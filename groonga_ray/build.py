@@ -1,0 +1,519 @@
+"""Ray-Data-native inverted-index build pipeline.
+
+The reference's offline build (grn_ii_build, lib/ii.c:8029: scan →
+per-16MB-block tokenize+encode sorted runs → k-way merge by term into
+chunks) becomes a two-stage Ray Data pipeline with per-partition
+checkpoints:
+
+Stage A (map side, no shuffle) — a Dataset of shard descriptors is
+  mapped through an actor pool (``map_batches(_ShardIndexer)``): each
+  shard (a contiguous, docid-ranged slice of the key-sorted input)
+  is read with column pruning, tokenized vectorized, locally
+  (term,docid)-sorted and encoded into a *segment run* — the analogue
+  of grn_ii_buffer_flush's temp-file block (lib/ii.c:7310), except the
+  run is already in final posting encoding. Runs and per-shard doc
+  lengths are written atomically with a manifest; a restarted build
+  skips shards whose manifest validates (per-partition lineage).
+
+Stage B (the only shuffle) — runs are read back (their size is the
+  *index* size, a small fraction of the corpus), grouped by bucket
+  (``groupby('bucket').map_groups``), and each term's runs are merged:
+  bulk-decoded and re-encoded into canonical chunks (the analogue of
+  grn_ii_buffer_merge/chunk_flush, lib/ii.c:7743/7547). Because shards
+  are contiguous docid ranges, runs concatenate in docid order — no
+  k-way compare is needed.
+
+Skew — hot terms (keywords like ``return`` with df ≈ N, FIXTURES.md
+  skew knobs) are salted at stage A: their bucket is
+  ``hash(term + '#' + salt)`` with ``salt = shard_id // salt_group``,
+  so no single stage-B group ever holds a hot term's full posting
+  list. Hot parts are *never* merged — they are written as multiple
+  ``part`` rows (the analogue of Groonga's CHUNK_SPLIT multi-chunk
+  form, lib/ii.c:59-60) and the lexicon records every (bucket, part)
+  location; the query side concatenates parts by first-docid order.
+  Hotness is decided per shard by local df (a term globally hot at
+  10^12 scale is locally hot in every shard) or a static broadcast set.
+
+Sections — the reference's WITH_SECTION flag (multi-column index,
+  lib/grn_ii.h:31-40) is realized as one posting dataset per source
+  column under ``sec=<column>/``; scores accumulate across sections at
+  query time exactly like grn_table_add_subrec (lib/db.c:2136-2158).
+
+Layout::
+
+    index_dir/
+      meta.json
+      sec=<col>/runs/shard=NNNNN/run.parquet + manifest.json
+      sec=<col>/postings/bucket=NNNN/part.parquet + manifest.json
+      sec=<col>/lexicon.parquet
+      doclens/shard=NNNNN.parquet      (docid, dl per section)
+      stats.json                        (N, avgdl/section, totals)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from . import codec
+from .docids import Shard, read_shard, sorted_file_shards
+from .tokenize import WordTokenizer, tokenize
+from .utils import atomic_write_table, file_fingerprint, fnv1a, read_manifest, write_manifest
+
+RUN_EXTRA_FIELDS = [("bucket", pa.uint32()), ("shard", pa.uint32()), ("hot", pa.bool_())]
+
+
+@dataclass
+class BuildConfig:
+    text_columns: tuple[str, ...] = ("content",)
+    tokenizer: str = "TokenCodeWord"         # vectorized word tokenizer (scale path)
+    with_positions: bool = True
+    n_buckets: int = 32
+    chunk_postings: int = codec.CHUNK_POSTINGS
+    hot_local_df: int = 65536                # per-shard df above which a term is salted
+    hot_terms: tuple[str, ...] = ()          # static hot set (broadcast)
+    salt_group: int = 4                      # shards per hot-term salt part
+    target_rows_per_shard: int = 200_000
+    docid_column: str | None = None          # pre-assigned docids (e.g. documents.doc_id)
+    docid_offset: int = 1                    # docids are 1-based when assigned by rank
+
+    def fingerprint(self) -> dict:
+        return {k: list(v) if isinstance(v, tuple) else v for k, v in self.__dict__.items()}
+
+
+# ------------------------------------------------------------------ stage A
+
+def _tokenize_column(cfg: BuildConfig, col: pa.Array, wt: WordTokenizer):
+    """Returns (terms, row_idx, positions, n_tokens_per_row)."""
+    if cfg.tokenizer == "TokenCodeWord":
+        tb = wt.tokenize_column(col)
+        return tb.terms, tb.row_idx, tb.positions, tb.n_tokens_per_row
+    # ngram family: per-row state machine (conformance path, not the
+    # 100TB hot path — document the cost; still batched per shard)
+    terms: list[str] = []
+    row_idx: list[int] = []
+    positions: list[int] = []
+    n_per_row = np.zeros(len(col), np.int64)
+    for i, v in enumerate(col):
+        text = v.as_py()
+        if not text:
+            continue
+        stream = tokenize(text, cfg.tokenizer, mode="add")
+        for t in stream.tokens:
+            terms.append(t.term)
+            row_idx.append(i)
+            positions.append(t.pos)
+        n_per_row[i] = stream.tokens[-1].pos + 1 if stream.tokens else 0
+    return (
+        pa.array(terms, type=pa.large_string()),
+        np.array(row_idx, np.int64),
+        np.array(positions, np.uint32),
+        n_per_row,
+    )
+
+
+def _rank_terms(terms: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """Dictionary-encode then remap codes to lexicographic rank.
+    Returns (rank_per_token, sorted_unique_terms)."""
+    dict_arr = pc.dictionary_encode(terms)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = dict_arr.dictionary
+    order = pc.sort_indices(uniq)  # rank -> code
+    order_np = order.to_numpy(zero_copy_only=False).astype(np.int64)
+    rank_of_code = np.empty(len(uniq), np.int64)
+    rank_of_code[order_np] = np.arange(len(uniq))
+    sorted_terms = uniq.take(order)
+    return rank_of_code[codes], sorted_terms.cast(pa.large_string())
+
+
+def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str) -> dict:
+    """Tokenize + encode one shard of one section into a segment run.
+
+    Returns the manifest payload (also written to disk). Idempotent:
+    validates and reuses an existing manifest.
+    """
+    run_dir = os.path.join(index_dir, f"sec={section}", "runs", f"shard={shard.shard_id:05d}")
+    man_path = os.path.join(run_dir, "manifest.json")
+    fp = {
+        "file": shard.file,
+        "rg": [shard.row_group_start, shard.row_group_count],
+        "config": cfg.fingerprint(),
+    }
+    existing = read_manifest(man_path)
+    if existing and existing.get("fingerprint") == fp:
+        existing["skipped"] = True
+        return existing
+
+    t0 = time.time()
+    cols = [section] + ([cfg.docid_column] if cfg.docid_column else [])
+    data = read_shard(shard, columns=cols)
+    col = data.column(section)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    wt = WordTokenizer()
+    terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col.cast(pa.large_string()), wt)
+
+    if cfg.docid_column:
+        docid_of_row = data.column(cfg.docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
+        # rows must be docid-sorted within the shard for run contiguity
+        if len(docid_of_row) > 1 and not np.all(np.diff(docid_of_row.astype(np.int64)) > 0):
+            raise ValueError("docid column must be strictly increasing within a shard")
+    else:
+        docid_of_row = (shard.docid_base + np.arange(data.num_rows, dtype=np.uint64)).astype(np.uint64)
+
+    if len(terms) == 0:
+        run_table = codec.POSTING_SCHEMA.empty_table()
+        for name, typ in RUN_EXTRA_FIELDS:
+            run_table = run_table.append_column(name, pa.array([], type=typ))
+    else:
+        tok_docids = docid_of_row[row_idx]
+        rank, sorted_terms = _rank_terms(terms)
+        order = np.lexsort((positions, tok_docids, rank))
+        s_rank = rank[order]
+        s_docid = tok_docids[order]
+        s_pos = positions[order].astype(np.uint64)
+
+        # group boundaries at (term, docid) change
+        grp_start = np.empty(len(order), bool)
+        grp_start[0] = True
+        grp_start[1:] = (s_rank[1:] != s_rank[:-1]) | (s_docid[1:] != s_docid[:-1])
+        starts = np.flatnonzero(grp_start)
+        tf = np.diff(np.append(starts, len(order))).astype(np.uint64)
+        g_docid = s_docid[starts]
+        g_rank = s_rank[starts]
+        pos_offsets = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(tf.astype(np.int64), out=pos_offsets[1:])
+
+        term_start = np.empty(len(starts), bool)
+        term_start[0] = True
+        term_start[1:] = g_rank[1:] != g_rank[:-1]
+        term_offsets = np.append(np.flatnonzero(term_start), len(starts)).astype(np.int64)
+
+        run_table = codec.encode_posting_table(
+            sorted_terms,
+            term_offsets,
+            g_docid,
+            tf,
+            pos_offsets if cfg.with_positions else None,
+            s_pos if cfg.with_positions else None,
+            chunk_postings=cfg.chunk_postings,
+        )
+
+        # bucket + salt
+        local_df = np.diff(term_offsets)
+        h = fnv1a(sorted_terms)
+        hot = local_df > cfg.hot_local_df
+        if cfg.hot_terms:
+            hot |= pc.is_in(sorted_terms, value_set=pa.array(cfg.hot_terms)).to_numpy(
+                zero_copy_only=False
+            )
+        bucket = (h % np.uint64(cfg.n_buckets)).astype(np.uint32)
+        if hot.any():
+            salt = np.uint64(shard.shard_id // cfg.salt_group)
+            h_hot = fnv1a(
+                pa.array(
+                    [f"{t}#{salt}" for t in sorted_terms.filter(pa.array(hot)).to_pylist()],
+                    type=pa.large_string(),
+                )
+            )
+            bucket[hot] = (h_hot % np.uint64(cfg.n_buckets)).astype(np.uint32)
+        run_table = run_table.append_column("bucket", pa.array(bucket, pa.uint32()))
+        run_table = run_table.append_column(
+            "shard", pa.array(np.full(run_table.num_rows, shard.shard_id, np.uint32))
+        )
+        run_table = run_table.append_column("hot", pa.array(hot))
+
+    atomic_write_table(run_table, os.path.join(run_dir, "run.parquet"))
+    # doc lengths for BM25 (one file per shard+section)
+    dl_table = pa.table(
+        {
+            "docid": pa.array(docid_of_row, pa.uint64()),
+            "dl": pa.array(n_tokens.astype(np.uint32), pa.uint32()),
+        }
+    )
+    atomic_write_table(
+        dl_table, os.path.join(index_dir, "doclens", f"sec={section}", f"shard={shard.shard_id:05d}.parquet")
+    )
+    manifest = {
+        "fingerprint": fp,
+        "shard_id": shard.shard_id,
+        "rows": int(data.num_rows),
+        "tokens": int(n_tokens.sum()),
+        "terms": int(run_table.num_rows),
+        "docid_base": int(docid_of_row[0]) if len(docid_of_row) else 0,
+        "elapsed_sec": round(time.time() - t0, 3),
+        "skipped": False,
+    }
+    write_manifest(man_path, manifest)
+    return manifest
+
+
+class _ShardIndexer:
+    """Actor-pool callable for stage A: one batch = shard descriptors."""
+
+    def __init__(self, cfg: BuildConfig, sections: tuple[str, ...], index_dir: str, shards):
+        self.cfg = cfg
+        self.sections = sections
+        self.index_dir = index_dir
+        self.shards = {s.shard_id: s for s in shards}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for sid in batch.column("shard_id").to_pylist():
+            shard = self.shards[sid]
+            for section in self.sections:
+                m = build_shard_run(self.cfg, shard, section, self.index_dir)
+                out.append(
+                    {
+                        "shard_id": sid,
+                        "section": section,
+                        "rows": m["rows"],
+                        "tokens": m["tokens"],
+                        "terms": m["terms"],
+                        "skipped": bool(m.get("skipped", False)),
+                        "elapsed_sec": float(m["elapsed_sec"]),
+                    }
+                )
+        return pa.Table.from_pylist(out)
+
+
+# ------------------------------------------------------------------ stage B
+
+def merge_bucket_group(
+    group: pa.Table, cfg: BuildConfig, section: str, index_dir: str
+) -> pa.Table:
+    """Merge one bucket's runs into final posting rows and write them.
+
+    Non-hot terms: bulk-decode all runs (vectorized across rows) and
+    re-encode once. Hot terms: pass through as parts (chunk directories
+    untouched). Returns one manifest row.
+    """
+    bucket = int(group.column("bucket")[0].as_py())
+    out_dir = os.path.join(index_dir, f"sec={section}", "postings", f"bucket={bucket:04d}")
+    man_path = os.path.join(out_dir, "manifest.json")
+
+    hot_mask = group.column("hot").to_numpy(zero_copy_only=False)
+    terms_all = group.column("term")
+    if isinstance(terms_all, pa.ChunkedArray):
+        terms_all = terms_all.combine_chunks()
+
+    pieces = []
+    cold_idx = np.flatnonzero(~hot_mask)
+    if len(cold_idx):
+        cold = group.take(pa.array(cold_idx))
+        terms = cold.column("term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        rank, sorted_terms = _rank_terms(terms)
+        cfirst0 = np.array([c[0] for c in cold.column("cfirst").to_pylist()], np.uint64)
+        order = np.lexsort((cfirst0, rank))
+        docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
+            cold, order, with_positions=cfg.with_positions
+        )
+        # term boundaries over ordered rows
+        o_rank = rank[order]
+        row_term_start = np.empty(len(order), bool)
+        row_term_start[0] = True
+        row_term_start[1:] = o_rank[1:] != o_rank[:-1]
+        term_row_idx = np.flatnonzero(row_term_start)
+        term_offsets = np.append(row_offsets[term_row_idx], row_offsets[-1]).astype(np.int64)
+        pos_offsets = None
+        if positions is not None:
+            pos_offsets = np.zeros(len(docids) + 1, np.int64)
+            np.cumsum(tfs.astype(np.int64), out=pos_offsets[1:])
+        merged = codec.encode_posting_table(
+            sorted_terms,
+            term_offsets,
+            docids,
+            tfs,
+            pos_offsets,
+            positions,
+            chunk_postings=cfg.chunk_postings,
+        )
+        merged = merged.append_column(
+            "part", pa.array(np.zeros(merged.num_rows, np.uint32), pa.uint32())
+        )
+        pieces.append(merged)
+
+    hot_idx = np.flatnonzero(hot_mask)
+    if len(hot_idx):
+        hot = group.take(pa.array(hot_idx)).select([f.name for f in codec.POSTING_SCHEMA] )
+        shard_col = group.take(pa.array(hot_idx)).column("shard").to_numpy(zero_copy_only=False)
+        hot = hot.append_column("part", pa.array(shard_col.astype(np.uint32) + 1, pa.uint32()))
+        pieces.append(hot)
+
+    if pieces:
+        final = pa.concat_tables(pieces).combine_chunks()
+        order = pc.sort_indices(
+            final, sort_keys=[("term", "ascending"), ("part", "ascending")]
+        )
+        final = final.take(order)
+    else:
+        final = codec.POSTING_SCHEMA.empty_table().append_column(
+            "part", pa.array([], pa.uint32())
+        )
+    atomic_write_table(final, os.path.join(out_dir, "part.parquet"))
+    write_manifest(
+        man_path,
+        {
+            "bucket": bucket,
+            "terms": final.num_rows,
+            "input_rows": group.num_rows,
+            "config": cfg.fingerprint(),
+        },
+    )
+    return pa.Table.from_pylist(
+        [{"bucket": bucket, "terms": final.num_rows, "section": section}]
+    )
+
+
+# ------------------------------------------------------------------ driver
+
+def build_index(
+    input_files: list[str],
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    concurrency: int | None = None,
+) -> dict:
+    """Run the full build. Resumable: re-running after a crash skips
+    shards and re-merges only buckets (bucket merge is idempotent)."""
+    cfg = cfg or BuildConfig()
+    t0 = time.time()
+    os.makedirs(index_dir, exist_ok=True)
+    shards = sorted_file_shards(input_files, cfg.target_rows_per_shard, cfg.docid_offset)
+    if concurrency is None:
+        concurrency = max(2, min(len(shards), int(ray.cluster_resources().get("CPU", 4)) - 1))
+
+    sections = tuple(cfg.text_columns)
+
+    # ---- stage A: shard -> segment runs (actor pool, no shuffle)
+    work = ray.data.from_items([{"shard_id": s.shard_id} for s in shards])
+    manifests = work.map_batches(
+        _ShardIndexer,
+        fn_constructor_args=(cfg, sections, index_dir, shards),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=min(concurrency, len(shards)),
+        num_cpus=1,
+    ).take_all()
+    stage_a_sec = time.time() - t0
+
+    # ---- stage B: bucketed merge (the shuffle)
+    t1 = time.time()
+    for section in sections:
+        run_files = sorted(
+            glob.glob(os.path.join(index_dir, f"sec={section}", "runs", "shard=*", "run.parquet"))
+        )
+        # partitioning=None: hive-style `sec=`/`shard=` path segments must
+        # NOT be inferred as partition columns (we carry real columns)
+        runs = ray.data.read_parquet(run_files, partitioning=None)
+        runs.groupby("bucket").map_groups(
+            lambda g, section=section: merge_bucket_group(g, cfg, section, index_dir),
+            batch_format="pyarrow",
+        ).take_all()
+    stage_b_sec = time.time() - t1
+
+    # ---- stage C: lexicon per section + stats
+    t2 = time.time()
+    stats: dict = {"sections": {}, "n_docs": 0}
+    for section in sections:
+        posting_files = sorted(
+            glob.glob(os.path.join(index_dir, f"sec={section}", "postings", "bucket=*", "part.parquet"))
+        )
+        metas = [
+            pq.read_table(f, columns=["term", "df", "cf", "part"]).append_column(
+                "bucket",
+                pa.array(
+                    np.full(
+                        pq.ParquetFile(f).metadata.num_rows,
+                        int(os.path.basename(os.path.dirname(f)).split("=")[1]),
+                        np.uint32,
+                    )
+                ),
+            )
+            for f in posting_files
+        ]
+        meta_tbl = pa.concat_tables(metas).combine_chunks()
+        # aggregate parts per term into lexicon rows (vectorized groupby)
+        terms = meta_tbl.column("term")
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        rank, sorted_terms = _rank_terms(terms)
+        order = np.argsort(rank, kind="stable")
+        o_rank = rank[order]
+        row_start = np.empty(len(order), bool)
+        if len(order):
+            row_start[0] = True
+            row_start[1:] = o_rank[1:] != o_rank[:-1]
+        starts = np.flatnonzero(row_start)
+        seg = np.append(starts, len(order))
+        df_np = meta_tbl.column("df").to_numpy(zero_copy_only=False)[order]
+        cf_np = meta_tbl.column("cf").to_numpy(zero_copy_only=False)[order]
+        df_sum = np.add.reduceat(df_np, starts) if len(starts) else np.empty(0, np.uint64)
+        cf_sum = np.add.reduceat(cf_np, starts) if len(starts) else np.empty(0, np.uint64)
+        n_parts = np.diff(seg)
+        bucket_np = meta_tbl.column("bucket").to_numpy(zero_copy_only=False)[order]
+        part_np = meta_tbl.column("part").to_numpy(zero_copy_only=False)[order]
+        lex_offsets = np.zeros(len(starts) + 1, np.int32)
+        np.cumsum(n_parts, out=lex_offsets[1:])
+        lexicon = pa.table(
+            {
+                "term": sorted_terms,
+                "df": pa.array(df_sum.astype(np.uint64), pa.uint64()),
+                "cf": pa.array(cf_sum.astype(np.uint64), pa.uint64()),
+                "n_parts": pa.array(n_parts.astype(np.uint32), pa.uint32()),
+                "buckets": pa.ListArray.from_arrays(
+                    pa.array(lex_offsets, pa.int32()), pa.array(bucket_np, pa.uint32())
+                ),
+                "parts": pa.ListArray.from_arrays(
+                    pa.array(lex_offsets, pa.int32()), pa.array(part_np, pa.uint32())
+                ),
+            }
+        )
+        atomic_write_table(lexicon, os.path.join(index_dir, f"sec={section}", "lexicon.parquet"))
+
+        dl_files = sorted(glob.glob(os.path.join(index_dir, "doclens", f"sec={section}", "*.parquet")))
+        dl = pa.concat_tables(pq.read_table(f) for f in dl_files)
+        n_docs = dl.num_rows
+        total_dl = int(pc.sum(dl.column("dl")).as_py() or 0)
+        stats["sections"][section] = {
+            "n_terms": lexicon.num_rows,
+            "n_docs": n_docs,
+            "total_tokens": total_dl,
+            "avgdl": (total_dl / n_docs) if n_docs else 0.0,
+        }
+        stats["n_docs"] = max(stats["n_docs"], n_docs)
+    stage_c_sec = time.time() - t2
+
+    total_rows = sum(m["rows"] for m in manifests if m["section"] == sections[0])
+    meta = {
+        "config": cfg.fingerprint(),
+        "sections": list(sections),
+        "input_fingerprint": file_fingerprint(input_files),
+        "n_shards": len(shards),
+        "n_docs": total_rows,
+        "stats": stats,
+        "timings": {
+            "stage_a_sec": round(stage_a_sec, 3),
+            "stage_b_sec": round(stage_b_sec, 3),
+            "stage_c_sec": round(stage_c_sec, 3),
+            "total_sec": round(time.time() - t0, 3),
+        },
+        "docs_per_sec": round(total_rows / max(1e-9, time.time() - t0), 1),
+    }
+    with open(os.path.join(index_dir, "stats.json"), "w") as fh:
+        json.dump(stats, fh, indent=1)
+    write_manifest(os.path.join(index_dir, "meta.json"), meta)
+    return meta

@@ -351,6 +351,79 @@ def decode_postings(
     return PostingList(docids, tfs, positions, pos_offsets)
 
 
+def _gather_binary(col: pa.Array, order: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate the given rows of a large_binary column in ``order``
+    into one contiguous uint8 buffer. Returns (buffer, row_byte_lens)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    data = col.buffers()[2]
+    buf = np.frombuffer(data, np.uint8) if data is not None else np.empty(0, np.uint8)
+    offsets = np.frombuffer(col.buffers()[1], np.int64)[col.offset : col.offset + len(col) + 1]
+    starts = offsets[:-1][order]
+    lens = np.diff(offsets)[order]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.uint8), lens
+    out_off = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    gather = (
+        np.arange(total, dtype=np.int64) - np.repeat(out_off[:-1], lens) + np.repeat(starts, lens)
+    )
+    return buf[gather], lens
+
+
+def bulk_decode_rows(
+    table: pa.Table, order: np.ndarray, with_positions: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None, np.ndarray]:
+    """Decode many posting rows at once, fully vectorized.
+
+    ``order`` selects and orders the rows (e.g. sorted by term, first
+    docid). Returns ``(docids, tfs, positions, row_offsets)`` where
+    ``row_offsets`` (len R+1) bounds each row's postings in the flat
+    arrays. Positions are None when absent.
+    """
+    dfs = np.asarray(table.column("df").to_numpy(zero_copy_only=False), dtype=np.int64)[order]
+    cn_col = table.column("cn")
+    if isinstance(cn_col, pa.ChunkedArray):
+        cn_col = cn_col.combine_chunks()
+    cn_offsets = cn_col.offsets.to_numpy().astype(np.int64)
+    cn_values = cn_col.values.to_numpy().astype(np.int64)
+    # flattened chunk sizes in `order`
+    cn_lens = np.diff(cn_offsets)[order]
+    total_chunks = int(cn_lens.sum())
+    gather = (
+        np.arange(total_chunks, dtype=np.int64)
+        - np.repeat(np.cumsum(cn_lens) - cn_lens, cn_lens)
+        + np.repeat(cn_offsets[:-1][order], cn_lens)
+    )
+    chunk_sizes = cn_values[gather]
+
+    doc_buf, _ = _gather_binary(table.column("docs"), order)
+    gaps = vb_decode(doc_buf)
+    P = len(gaps)
+    chunk_start_pos = np.cumsum(chunk_sizes) - chunk_sizes
+    mask = np.zeros(P, bool)
+    mask[chunk_start_pos] = True
+    docids = _segmented_abs_from_gaps(gaps, mask)
+
+    tf_buf, _ = _gather_binary(table.column("tfs"), order)
+    tfs = vb_decode(tf_buf) + np.uint64(1)
+
+    row_offsets = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(dfs, out=row_offsets[1:])
+
+    positions = None
+    if with_positions:
+        pos_buf, _ = _gather_binary(table.column("poss"), order)
+        if len(pos_buf):
+            pos_gaps = vb_decode(pos_buf)
+            pos_starts = np.cumsum(tfs.astype(np.int64)) - tfs.astype(np.int64)
+            pmask = np.zeros(len(pos_gaps), bool)
+            pmask[pos_starts] = True
+            positions = _segmented_abs_from_gaps(pos_gaps, pmask)
+    return docids, tfs, positions, row_offsets
+
+
 def merge_posting_rows(rows: list[dict], chunk_postings: int = CHUNK_POSTINGS) -> dict:
     """Merge docid-disjoint posting rows of the SAME term into one row by
     decoding and re-encoding — yields the canonical chunking, identical

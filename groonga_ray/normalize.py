@@ -1,0 +1,87 @@
+"""Text normalization with per-char type flags (NormalizerAuto-like).
+
+Semantics modeled on the reference's NormalizerAuto / utf8_normalize
+(reference lib/normalizer.c:616-757): NFKC-normalize, lowercase,
+REMOVE_BLANK (whitespace is dropped from the normalized string and the
+*preceding* emitted character is flagged BLANK), and WITH_TYPES (a char
+class per normalized character: ALPHA/DIGIT/SYMBOL/KANJI/...).
+
+Parity scope: exact for ASCII (which is what the code corpus and the
+reference's ASCII golden tests exercise); non-ASCII uses Python's
+unicodedata NFKC + category classes rather than the reference's
+generated nfkc.c tables.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+
+# char classes, same ordering idea as grn_char_type (groonga.h)
+CHAR_NULL = 0
+CHAR_ALPHA = 1
+CHAR_DIGIT = 2
+CHAR_SYMBOL = 3
+CHAR_HIRAGANA = 4
+CHAR_KATAKANA = 5
+CHAR_KANJI = 6
+CHAR_OTHERS = 7
+
+
+def _char_class(ch: str) -> int:
+    o = ord(ch)
+    if o < 128:
+        if ch.isalpha():
+            return CHAR_ALPHA
+        if ch.isdigit():
+            return CHAR_DIGIT
+        if ch.isspace():
+            return CHAR_NULL  # handled as blank by caller
+        if 33 <= o <= 126:
+            return CHAR_SYMBOL
+        return CHAR_OTHERS
+    if 0x3040 <= o <= 0x309F:
+        return CHAR_HIRAGANA
+    if 0x30A0 <= o <= 0x30FF:
+        return CHAR_KATAKANA
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+        return CHAR_KANJI
+    cat = unicodedata.category(ch)
+    if cat.startswith("L"):
+        return CHAR_ALPHA
+    if cat.startswith("N"):
+        return CHAR_DIGIT
+    if cat[0] in "PSM":
+        return CHAR_SYMBOL
+    if cat.startswith("Z"):
+        return CHAR_NULL
+    return CHAR_OTHERS
+
+
+def normalize(text: str, nfkc: bool = True) -> tuple[str, np.ndarray, np.ndarray]:
+    """Return ``(normalized, classes, blanks)``.
+
+    * ``normalized``: NFKC + lowercased text with whitespace removed,
+    * ``classes``: uint8 char class per normalized character,
+    * ``blanks``: bool per normalized character — True when whitespace
+      followed this character in the source (the reference's
+      GRN_STR_ISBLANK bit, set on the preceding char because blanks
+      themselves are removed under GRN_STRING_REMOVE_BLANK).
+    """
+    if nfkc:
+        text = unicodedata.normalize("NFKC", text)
+    text = text.lower()
+    out_chars: list[str] = []
+    classes: list[int] = []
+    blanks: list[bool] = []
+    for ch in text:
+        cls = _char_class(ch)
+        if cls == CHAR_NULL and (ch.isspace() or ch == "\x00"):
+            if out_chars:
+                blanks[-1] = True
+            continue
+        out_chars.append(ch)
+        classes.append(cls)
+        blanks.append(False)
+    return "".join(out_chars), np.array(classes, np.uint8), np.array(blanks, bool)

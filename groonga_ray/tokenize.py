@@ -1,0 +1,356 @@
+"""Tokenizers: Groonga-parity n-gram state machine + a fully vectorized
+byte-level word tokenizer for the code-corpus hot path.
+
+* :func:`ngram_tokenize` reimplements the semantics of the reference's
+  ``grn_ngram_tokenizer`` / ``ngram_next`` (lib/tokenizers.c:355-455)
+  plus the token-cursor ADD/GET handling (lib/token_cursor.c:241-252):
+  runs of ALPHA (resp. DIGIT / SYMBOL, per the ``uni_*`` variant flags)
+  are emitted as whole words; other scripts (CJK) get overlapping
+  n-grams advancing one character; blank flags break runs; in GET
+  (query) mode overlapping unmatured tails are skipped and a trailing
+  short token forces prefix search. Positions are token ordinals
+  (``token_cursor->pos``), not character offsets.
+
+* :class:`WordTokenizer` is the scale-path tokenizer (the north rule's
+  "unigram for code identifiers"): word = a maximal run of
+  ``[a-z0-9_]`` bytes over the lowercased text. It is implemented with
+  numpy over the concatenated UTF-8 buffer of a whole Arrow column —
+  no per-row Python — and its output is exactly reproducible in SQL as
+  ``regexp_split_to_array(lower(text), '[^a-z0-9_]+')``, which is what
+  the DuckDB oracle uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .normalize import CHAR_ALPHA, CHAR_DIGIT, CHAR_SYMBOL, normalize
+
+# token status flags (names follow the reference's grn_token_status)
+TOKEN_OVERLAP = 1 << 0
+TOKEN_UNMATURED = 1 << 1
+TOKEN_LAST = 1 << 2
+TOKEN_REACH_END = 1 << 3
+TOKEN_FORCE_PREFIX = 1 << 4
+
+
+@dataclass
+class Token:
+    term: str
+    pos: int           # token ordinal (what goes into the posting position)
+    status: int = 0
+
+
+@dataclass
+class TokenStream:
+    tokens: list[Token] = field(default_factory=list)
+    force_prefix: bool = False   # GET mode: last token should prefix-expand
+
+
+def _ngram_raw(norm: str, classes: np.ndarray, blanks: np.ndarray, unit: int,
+               uni_alpha: bool, uni_digit: bool, uni_symbol: bool,
+               ignore_blank: bool):
+    """Yield (start, length, status) over the normalized text, following
+    the ngram_next state machine (one emission per call in the
+    reference; a generator here)."""
+    n = len(norm)
+    pos = 0
+    skip = 0
+    overlap = False
+    while True:
+        p = pos + skip
+        status = 0
+        length = 0
+        if p >= n:
+            # p == r case: empty token, LAST — the cursor drops empties
+            yield p, 0, TOKEN_LAST | TOKEN_REACH_END
+            return
+        cls = classes[p]
+        if uni_alpha and cls == CHAR_ALPHA:
+            i = p
+            while i < n:
+                length += 1
+                brk = blanks[i]
+                i += 1
+                if brk:
+                    break
+                if i >= n or classes[i] != CHAR_ALPHA:
+                    break
+            overlap = False
+            next_i = i
+        elif uni_digit and cls == CHAR_DIGIT:
+            i = p
+            while i < n:
+                length += 1
+                brk = blanks[i]
+                i += 1
+                if brk:
+                    break
+                if i >= n or classes[i] != CHAR_DIGIT:
+                    break
+            overlap = False
+            next_i = i
+        elif uni_symbol and cls == CHAR_SYMBOL:
+            i = p
+            while i < n:
+                length += 1
+                brk = blanks[i] and not ignore_blank
+                i += 1
+                if brk:
+                    break
+                if i >= n or classes[i] != CHAR_SYMBOL:
+                    break
+            overlap = False
+            next_i = i
+        else:
+            # n-gram branch: consume one char, extend to `unit`, advance 1
+            i = p
+            length = 1
+            i += 1
+            next_i = i
+            while length < unit and i < n:
+                if not ignore_blank and blanks[i - 1]:
+                    break
+                c2 = classes[i]
+                if (uni_alpha and c2 == CHAR_ALPHA) or \
+                   (uni_digit and c2 == CHAR_DIGIT) or \
+                   (uni_symbol and c2 == CHAR_SYMBOL):
+                    break
+                length += 1
+                i += 1
+            if overlap:
+                status |= TOKEN_OVERLAP
+            if length < unit:
+                status |= TOKEN_UNMATURED
+            overlap = length > 1
+        pos = p
+        end = p + length
+        if next_i >= n:
+            skip = 0
+            status |= TOKEN_LAST
+        else:
+            skip = 1 if overlap else length
+        if end >= n:
+            status |= TOKEN_REACH_END
+        yield p, length, status
+        if status & TOKEN_LAST:
+            return
+
+
+def ngram_tokenize(
+    text: str,
+    mode: str = "add",
+    unit: int = 2,
+    uni_alpha: bool = True,
+    uni_digit: bool = True,
+    uni_symbol: bool = True,
+    ignore_blank: bool = False,
+    nfkc: bool = True,
+    max_token_bytes: int = 4096,
+) -> TokenStream:
+    """TokenBigram-family tokenization (unit=1/2/3 → Unigram/Bigram/Trigram).
+
+    ``mode='add'`` is index-build tokenization; ``mode='get'`` is query
+    tokenization (skips overlapping unmatured tails, stops at the end of
+    text, marks a trailing unmatured token as force-prefix) — the
+    token-cursor rules of lib/token_cursor.c:241-252.
+    """
+    norm, classes, blanks = normalize(text, nfkc=nfkc)
+    stream = TokenStream()
+    get = mode == "get"
+    tpos = 0  # token ordinal, the reference's token_cursor->pos
+    for start, length, status in _ngram_raw(
+        norm, classes, blanks, unit, uni_alpha, uni_digit, uni_symbol, ignore_blank
+    ):
+        done = bool(status & TOKEN_LAST) or (get and (status & TOKEN_REACH_END))
+        force_prefix = False
+        if length == 0:
+            if done:
+                break
+            continue
+        term = norm[start : start + length]
+        if len(term.encode("utf-8")) > max_token_bytes:
+            # too-long tokens are dropped WITHOUT consuming a position
+            # (reference lib/token_cursor.c:233-243; golden:
+            # tokenizers/bigram/long_token/middle.test gives "after"
+            # position 4 right after the dropped 4096-byte run)
+            if done:
+                break
+            continue
+        if status & TOKEN_UNMATURED:
+            if status & TOKEN_OVERLAP:
+                if get:
+                    tpos += 1
+                    continue
+            elif status & TOKEN_REACH_END:
+                force_prefix = True
+        stream.tokens.append(Token(term, tpos, status))
+        stream.force_prefix = force_prefix
+        tpos += 1
+        if done:
+            break
+    return stream
+
+
+def delimit_tokenize(text: str, delimiter: str = " ", nfkc: bool = True) -> TokenStream:
+    """TokenDelimit / TokenDelimitNull (lib/tokenizers.c:101-236): split
+    the *raw* text on a single-byte delimiter; tokens are then
+    normalized individually."""
+    stream = TokenStream()
+    tpos = 0
+    for piece in text.split(delimiter):
+        if not piece:
+            continue
+        norm, _, _ = normalize(piece, nfkc=nfkc)
+        if norm:
+            stream.tokens.append(Token(norm, tpos))
+            tpos += 1
+    return stream
+
+
+# ------------------------------------------------------------------
+# Vectorized word tokenizer (scale path)
+# ------------------------------------------------------------------
+
+def _word_byte_table(extra: bytes = b"_") -> np.ndarray:
+    tbl = np.zeros(256, bool)
+    for lo, hi in ((ord("a"), ord("z")), (ord("0"), ord("9"))):
+        tbl[lo : hi + 1] = True
+    for b in extra:
+        tbl[b] = True
+    return tbl
+
+
+@dataclass
+class TokenizedBatch:
+    """Exploded tokens of one Arrow string column batch."""
+
+    terms: pa.Array          # large_string, one per token
+    row_idx: np.ndarray      # int64 row index of each token within the batch
+    positions: np.ndarray    # uint32 token ordinal within its row
+    n_tokens_per_row: np.ndarray  # int64 per input row (doc length in tokens)
+
+
+class WordTokenizer:
+    """Maximal-run [a-z0-9_] tokenizer, vectorized over whole batches.
+
+    The entire column is processed as one concatenated UTF-8 byte
+    buffer: per-byte word/non-word classification via a 256-entry
+    lookup table, run boundaries via a shifted comparison, token
+    extraction via a vectorized range-gather. SQL-oracle equivalent:
+    ``list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')``.
+
+    Multi-byte UTF-8 characters (bytes >= 0x80) are non-word bytes,
+    which matches the ASCII character class in the SQL regex.
+    """
+
+    def __init__(self, word_chars_extra: bytes = b"_", max_tokens_per_doc: int = 1_000_000):
+        self._tbl = _word_byte_table(word_chars_extra)
+        # cap mirrors Groonga's est_len guard for absurd rows (lib/ii.c:7403)
+        self.max_tokens_per_doc = max_tokens_per_doc
+
+    def tokenize_column(self, col: pa.Array) -> TokenizedBatch:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lowered = pc.utf8_lower(col).cast(pa.large_string())
+        buf = np.frombuffer(lowered.buffers()[2], np.uint8) if lowered.buffers()[2] is not None else np.empty(0, np.uint8)
+        offsets = np.frombuffer(lowered.buffers()[1], np.int64)[lowered.offset : lowered.offset + len(lowered) + 1]
+        base = offsets[0]
+        view = buf[base : offsets[-1]]
+        offsets = offsets - base
+        n_rows = len(lowered)
+        if len(view) == 0:
+            return TokenizedBatch(
+                pa.array([], type=pa.large_string()),
+                np.empty(0, np.int64),
+                np.empty(0, np.uint32),
+                np.zeros(n_rows, np.int64),
+            )
+
+        is_word = self._tbl[view]
+        # force run breaks at row boundaries: treat position -1 as non-word
+        prev = np.empty_like(is_word)
+        prev[0] = False
+        prev[1:] = is_word[:-1]
+        prev[offsets[:-1][offsets[:-1] < len(view)]] = False
+        nxt = np.empty_like(is_word)
+        nxt[-1] = False
+        nxt[:-1] = is_word[1:]
+        row_end_pos = offsets[1:] - 1
+        nxt[row_end_pos[(row_end_pos >= 0) & (row_end_pos < len(view))]] = is_word[
+            row_end_pos[(row_end_pos >= 0) & (row_end_pos < len(view))]
+        ]
+        # a byte ends a token if it is a word byte and (next is non-word or it's a row end)
+        row_last = np.zeros(len(view), bool)
+        rl = row_end_pos[(row_end_pos >= 0)]
+        row_last[rl] = True
+        starts = np.flatnonzero(is_word & ~prev)
+        ends_mask = is_word & (~nxt | row_last)
+        ends = np.flatnonzero(ends_mask) + 1
+        assert len(starts) == len(ends)
+        lens = ends - starts
+
+        # token -> row assignment + per-row ordinals
+        row_idx = np.searchsorted(offsets, starts, side="right") - 1
+        tokens_per_row = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+        first_tok = np.zeros(n_rows, np.int64)
+        np.cumsum(tokens_per_row[:-1], out=first_tok[1:])
+        positions = (np.arange(len(starts)) - first_tok[row_idx]).astype(np.uint32)
+
+        # vectorized range-gather of token bytes
+        out_off = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        total = int(out_off[-1])
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_off[:-1], lens)
+            + np.repeat(starts, lens)
+        )
+        token_bytes = view[gather]
+        terms = pa.LargeStringArray.from_buffers(
+            len(starts), pa.py_buffer(out_off), pa.py_buffer(token_bytes)
+        )
+        return TokenizedBatch(terms, row_idx, positions, tokens_per_row)
+
+    def tokenize_text(self, text: str) -> list[str]:
+        tb = self.tokenize_column(pa.array([text], type=pa.large_string()))
+        return tb.terms.to_pylist()
+
+
+TOKENIZERS = {
+    "TokenBigram": dict(unit=2),
+    "TokenUnigram": dict(unit=1),
+    "TokenTrigram": dict(unit=3),
+    "TokenBigramSplitSymbol": dict(unit=2, uni_symbol=False),
+    "TokenBigramSplitSymbolAlpha": dict(unit=2, uni_symbol=False, uni_alpha=False),
+    "TokenBigramSplitSymbolAlphaDigit": dict(
+        unit=2, uni_symbol=False, uni_alpha=False, uni_digit=False
+    ),
+    "TokenBigramIgnoreBlank": dict(unit=2, ignore_blank=True),
+    "TokenBigramIgnoreBlankSplitSymbol": dict(unit=2, ignore_blank=True, uni_symbol=False),
+    "TokenBigramIgnoreBlankSplitSymbolAlpha": dict(
+        unit=2, ignore_blank=True, uni_symbol=False, uni_alpha=False
+    ),
+    "TokenBigramIgnoreBlankSplitSymbolAlphaDigit": dict(
+        unit=2, ignore_blank=True, uni_symbol=False, uni_alpha=False, uni_digit=False
+    ),
+}
+
+
+def tokenize(text: str, tokenizer: str = "TokenBigram", mode: str = "add") -> TokenStream:
+    """Registry entry point mirroring the reference's named tokenizers
+    (registration: lib/tokenizers.c:783-828)."""
+    if tokenizer in ("TokenDelimit",):
+        return delimit_tokenize(text, " ")
+    if tokenizer in ("TokenDelimitNull",):
+        return delimit_tokenize(text, "\x00")
+    if tokenizer == "TokenCodeWord":
+        ts = TokenStream()
+        ts.tokens = [Token(t, i) for i, t in enumerate(WordTokenizer().tokenize_text(text))]
+        return ts
+    kwargs = TOKENIZERS[tokenizer]
+    return ngram_tokenize(text, mode=mode, **kwargs)

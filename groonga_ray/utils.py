@@ -1,0 +1,81 @@
+"""Small shared utilities: stable vectorized string hashing, atomic
+file writes, manifest helpers."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a(strings: pa.Array) -> np.ndarray:
+    """Stable FNV-1a 64-bit hash of each UTF-8 string, vectorized.
+
+    (Python's builtin ``hash`` is process-salted and unusable for
+    cross-task partitioning; this is the bucket hash.)
+    """
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, (pa.LargeStringArray, pa.StringArray)):
+        strings = pa.array(list(strings), type=pa.large_string())
+    if strings.type == pa.string():
+        strings = strings.cast(pa.large_string())
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    data = strings.buffers()[2]
+    buf = np.frombuffer(data, np.uint8) if data is not None else np.empty(0, np.uint8)
+    offsets = np.frombuffer(strings.buffers()[1], np.int64)[strings.offset : strings.offset + n + 1]
+    starts = offsets[:-1]
+    lens = np.diff(offsets)
+    h = np.full(n, FNV_OFFSET, np.uint64)
+    max_len = int(lens.max()) if n else 0
+    for j in range(max_len):
+        m = lens > j
+        h[m] = (h[m] ^ buf[starts[m] + j].astype(np.uint64)) * FNV_PRIME
+    return h
+
+
+def atomic_write_table(table: pa.Table, path: str, **kwargs) -> None:
+    """Write parquet to a temp file in the destination dir, then rename
+    (rename is atomic on one filesystem) — partial outputs never look
+    complete to a resuming run."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp, **kwargs)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def write_manifest(path: str, payload: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def read_manifest(path: str) -> dict | None:
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def file_fingerprint(paths: list[str]) -> list[list]:
+    return [[p, os.path.getsize(p)] for p in sorted(paths)]

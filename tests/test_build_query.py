@@ -1,0 +1,248 @@
+"""End-to-end build + query tests against an independent Python oracle."""
+
+import json
+import os
+import re
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from groonga_ray import score as score_mod
+from groonga_ray.build import BuildConfig, build_index
+from groonga_ray.corpus import generate_code_corpus
+from groonga_ray.index import IndexReader
+from groonga_ray.search import MatchResult, op_and, op_and_not, op_or, term_match, top_k, wand_topk
+
+N_ROWS = 1500
+WORD = re.compile(r"[a-z0-9_]+")
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("idx")
+    corpus_dir = str(root / "corpus")
+    files = generate_code_corpus(corpus_dir, n_rows=N_ROWS, n_files=4)
+    index_dir = str(root / "index")
+    cfg = BuildConfig(
+        text_columns=("content",),
+        n_buckets=8,
+        chunk_postings=64,            # small chunks to exercise skip dirs
+        hot_local_df=200,             # salt the keyword terms
+        target_rows_per_shard=400,    # several shards per file
+    )
+    meta = build_index(files, index_dir, cfg)
+    return files, index_dir, cfg, meta
+
+
+@pytest.fixture(scope="module")
+def oracle(built):
+    """Independent recount: per-term posting dict from the raw corpus."""
+    files, *_ = built
+    postings: dict[str, dict[int, list[int]]] = {}
+    doclen: dict[int, int] = {}
+    docid = 0
+    rows = []
+    for f in sorted(files):
+        t = pq.read_table(f, columns=["repo", "path", "content"])
+        rows.extend(zip(t.column("repo").to_pylist(), t.column("path").to_pylist(), t.column("content").to_pylist()))
+    assert rows == sorted(rows, key=lambda r: (r[0], r[1]))
+    for repo, path, content in rows:
+        docid += 1
+        words = WORD.findall(content.lower())
+        doclen[docid] = len(words)
+        for p, w in enumerate(words):
+            postings.setdefault(w, {}).setdefault(docid, []).append(p)
+    return postings, doclen
+
+
+def test_meta_counts(built):
+    _, index_dir, _, meta = built
+    assert meta["n_docs"] == N_ROWS
+    st = meta["stats"]["sections"]["content"]
+    assert st["n_docs"] == N_ROWS
+    assert st["n_terms"] > 100
+
+
+def test_postings_match_oracle(built, oracle):
+    _, index_dir, cfg, _ = built
+    postings, doclen = oracle
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    # hot keyword, mid-df identifier, df=1 unique term
+    for term in ["return", "def", "get_value", "uniq_00000042_42", "x", "y", "z"]:
+        tid = si.term_id(term)
+        want = postings.get(term)
+        if want is None:
+            assert tid is None, term
+            continue
+        assert tid is not None, term
+        assert int(si.df[tid]) == len(want), term
+        pl = si.postings(tid, with_positions=True)
+        assert pl.docids.tolist() == sorted(want), term
+        for j, d in enumerate(pl.docids.tolist()):
+            got = pl.positions[pl.pos_offsets[j] : pl.pos_offsets[j + 1]].tolist()
+            assert got == want[d], (term, d)
+
+
+def test_hot_terms_salted(built):
+    _, index_dir, cfg, _ = built
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    tid = si.term_id("return")
+    rows = si.posting_rows(tid)
+    assert len(rows) > 1, "hot term should be stored as multiple salted parts"
+    # parts are docid-disjoint and ordered
+    lasts = [max(row["clast"]) for row in rows]
+    firsts = [row["cfirst"][0] for row in rows]
+    assert all(lasts[i] < firsts[i + 1] for i in range(len(rows) - 1))
+
+
+def test_doclens_and_stats(built, oracle):
+    _, index_dir, _, meta = built
+    _, doclen = oracle
+    r = IndexReader(index_dir)
+    dl = r.doclens("content")
+    for d in [1, 7, N_ROWS]:
+        assert dl[d] == doclen[d]
+    assert abs(r.avgdl("content") - np.mean(list(doclen.values()))) < 1e-6
+
+
+def _bm25_oracle(postings, doclen, terms, n_docs, k=10):
+    avgdl = np.mean(list(doclen.values()))
+    scores: dict[int, float] = {}
+    for t in terms:
+        docs = postings.get(t, {})
+        df = len(docs)
+        if df == 0:
+            continue
+        for d, ps in docs.items():
+            tf = np.array([len(ps)], np.float64)
+            s = score_mod.bm25(tf, df, np.array([doclen[d]], np.float64), n_docs, avgdl)[0]
+            scores[d] = scores.get(d, 0.0) + s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return ranked
+
+
+def test_bm25_single_term_topk(built, oracle):
+    _, index_dir, _, _ = built
+    postings, doclen = oracle
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    for term in ["get_value", "parse_token", "def"]:
+        if term not in postings:
+            continue
+        m = term_match(
+            si, [(term, 0)], "bm25",
+            n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens(),
+        )
+        docids, scores = top_k(m, 10)
+        want = _bm25_oracle(postings, doclen, [term], r.n_docs, 10)
+        assert docids.tolist() == [d for d, _ in want], term
+        np.testing.assert_allclose(scores, [s for _, s in want], rtol=1e-12)
+
+
+def test_bm25_or_and_not(built, oracle):
+    _, index_dir, _, _ = built
+    postings, doclen = oracle
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    kw = dict(n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens())
+    a = term_match(si, [("get_value", 0)], "bm25", **kw)
+    b = term_match(si, [("set_index", 0)], "bm25", **kw)
+    both = op_or(a, b)
+    want = _bm25_oracle(postings, doclen, ["get_value", "set_index"], r.n_docs, 10)
+    docids, scores = top_k(both, 10)
+    assert docids.tolist() == [d for d, _ in want]
+
+    inter = op_and(a, b)
+    wa = set(postings["get_value"]) & set(postings["set_index"])
+    assert set(inter.docids.tolist()) == wa
+
+    diff = op_and_not(a, b)
+    assert set(diff.docids.tolist()) == set(postings["get_value"]) - set(postings["set_index"])
+
+
+def test_phrase_match(built, oracle):
+    _, index_dir, _, _ = built
+    postings, doclen = oracle
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    # find a phrase that actually occurs: scan one doc's word stream
+    files, *_ = built[:1]
+    t = pq.read_table(sorted(built[0])[0], columns=["content"])
+    words = WORD.findall(t.column("content")[0].as_py().lower())
+    w1, w2 = words[3], words[4]
+    m = term_match(
+        si, [(w1, 0), (w2, 1)], "default",
+        n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens(),
+    )
+    # oracle: docs where w2 follows w1
+    want = {}
+    for d in set(postings[w1]) & set(postings[w2]):
+        c = len(set(postings[w1][d]) & {p - 1 for p in postings[w2][d]})
+        if c:
+            want[d] = c
+    assert dict(zip(m.docids.tolist(), m.scores.astype(int).tolist())) == want
+    assert len(want) > 0
+
+
+def test_prefix_and_escalation(built, oracle):
+    _, index_dir, _, _ = built
+    postings, doclen = oracle
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    kw = dict(n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens())
+    # explicit prefix: uniq_000001* matches several unique terms
+    m = term_match(si, [("uniq_000001", 0)], "default", prefix_last=True, **kw)
+    want_docs = sorted(
+        {d for t, ds in postings.items() if t.startswith("uniq_000001") for d in ds}
+    )
+    assert m.docids.tolist() == want_docs
+    # zero-hit term escalates to prefix automatically (threshold 0)
+    m2 = term_match(si, [("uniq_000001", 0)], "default", **kw)
+    assert m2.docids.tolist() == want_docs
+
+
+def test_wand_equals_exhaustive(built, oracle):
+    _, index_dir, _, _ = built
+    postings, doclen = oracle
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    kw = dict(n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens())
+    for terms, mode in [
+        (["get_value", "set_index", "parse_token"], "or"),
+        (["return", "def"], "or"),
+        (["get_value", "return"], "and"),
+    ]:
+        terms = [t for t in terms if t in postings]
+        ms = [term_match(si, [(t, 0)], "bm25", escalate=False, **kw) for t in terms]
+        acc = ms[0]
+        for m in ms[1:]:
+            acc = (op_or if mode == "or" else op_and)(acc, m)
+        want_d, want_s = top_k(acc, 10)
+        got_d, got_s = wand_topk(
+            si, terms, 10, "bm25", n_docs=r.n_docs, avgdl=r.avgdl(),
+            doclens=r.doclens(), mode=mode,
+        )
+        assert got_d.tolist() == want_d.tolist(), (terms, mode)
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-12)
+
+
+def test_resume_skips_and_identical(built, tmp_path):
+    files, index_dir, cfg, meta = built
+    # re-run: all shards must be skipped, meta identical counts
+    meta2 = build_index(files, index_dir, cfg)
+    assert meta2["n_docs"] == meta["n_docs"]
+    man = json.load(open(os.path.join(index_dir, "sec=content", "runs", "shard=00000", "manifest.json")))
+    assert man["fingerprint"]["config"] == cfg.fingerprint()
+
+    # delete one shard's run + manifest → only that shard rebuilds, and
+    # the final lexicon is byte-identical
+    lex_before = open(os.path.join(index_dir, "sec=content", "lexicon.parquet"), "rb").read()
+    shutil.rmtree(os.path.join(index_dir, "sec=content", "runs", "shard=00001"))
+    meta3 = build_index(files, index_dir, cfg)
+    lex_after = open(os.path.join(index_dir, "sec=content", "lexicon.parquet"), "rb").read()
+    assert lex_before == lex_after
+    assert meta3["n_docs"] == meta["n_docs"]

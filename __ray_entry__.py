@@ -1,44 +1,628 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init/shutdown here or in the library (groonga_ray never calls it).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator family
+(SURVEY.md §2): fulltext match/scoring through the real index build +
+query engine, relational sort/group/filter through Ray Datasets, and
+the training-data operators (dedup, text stats, ANN, multimodal
+plumbing). ``oracle_sql()`` gives the DuckDB-equivalent SQL; column
+names and value rounding match exactly (floats rounded identically on
+both sides before the driver's value-hash).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+CACHE_ROOT = "/tmp/groonga_ray_cache"
+
+# SQL tokenizer equivalent of groonga_ray.tokenize.WordTokenizer
+_TOKS = """
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+doclen AS (
+  SELECT d.doc_id, coalesce(t.dl, 0)::DOUBLE AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM doclen),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+"""
+
+
+def _files(sf_dir: str, name: str) -> list[str]:
+    return [os.path.join(sf_dir, f"{name}.parquet")]
+
+
+def _index_for(sf_dir: str, sections: tuple[str, ...] = ("text",)) -> "Any":
+    """Build (once, cached+resumable) the documents index for sf_dir."""
+    from groonga_ray.build import BuildConfig, build_index
+    from groonga_ray.engine import IndexedTable
+
+    files = _files(sf_dir, "documents")
+    cfg = BuildConfig(
+        text_columns=sections,
+        docid_column="doc_id",
+        n_buckets=16,
+        target_rows_per_shard=2048,
+        hot_local_df=1024,
+        salt_group=2,
+    )
+    key = hashlib.md5(
+        json.dumps([sf_dir, cfg.fingerprint(), [os.path.getsize(f) for f in files]]).encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"docidx_{key}")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_index(files, index_dir, cfg)
+    return IndexedTable(index_dir, files, "doc_id")
+
+
+def _ft(table, **kw) -> pa.Table:
+    """select() -> (doc_id int64, score float64) with exact-order-free
+    column naming for the driver compare."""
+    from groonga_ray.engine import select
+
+    res = select(table, **kw)
+    rows = res["rows"]
+    return pa.table(
+        {
+            "doc_id": rows.column("_id").cast(pa.int64()),
+            "score": rows.column("_score").cast(pa.float64()),
+        }
+    )
+
+
+def _round(tbl: pa.Table, col: str, digits: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    i = tbl.column_names.index(col)
+    # half_towards_infinity == DuckDB ROUND's half-away-from-zero ties
+    return tbl.set_column(
+        i, col, pc.round(tbl.column(col), ndigits=digits, round_mode="half_towards_infinity")
+    )
+
+
+# ------------------------------------------------------------------ entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the sf0.001 documents index (resumable two-stage
+    pipeline) and run the headline BM25 top-k query."""
+    table = _index_for("/root/testdata/sf0.001")
+    return _ft(
+        table, query="spark OR window", match_columns="text", scorer="bm25", limit=10
+    ).to_pandas()
 
+
+# ------------------------------------------------------------------ queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def ft_tokens(sf_dir):
+        from groonga_ray.engine import dump_tokens
 
+        t = _index_for(sf_dir)
+        ds = dump_tokens(t.index_dir, "text")
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "term": b.column("term").cast(pa.string()),
+                    "pos": b.column("pos").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def ft_term_tf(sf_dir):
+        t = _index_for(sf_dir)
+        out = _ft(t, query="spark", match_columns="text", limit=-1)
+        return pa.table(
+            {"doc_id": out.column("doc_id"), "tf": out.column("score").cast(pa.int64())}
+        )
+
+    def ft_topk_bm25(sf_dir):
+        t = _index_for(sf_dir)
+        return _round(
+            _ft(t, query="spark OR window", match_columns="text", scorer="bm25", limit=10),
+            "score", 6,
+        )
+
+    def ft_topk_tfidf(sf_dir):
+        t = _index_for(sf_dir)
+        return _round(
+            _ft(t, query="batch", match_columns="text", scorer="tf_idf", limit=10),
+            "score", 6,
+        )
+
+    def ft_and(sf_dir):
+        t = _index_for(sf_dir)
+        return _ft(t, query="spark +window", match_columns="text", limit=-1)
+
+    def ft_not(sf_dir):
+        t = _index_for(sf_dir)
+        return _ft(t, query="spark -window", match_columns="text", limit=-1)
+
+    def ft_phrase(sf_dir):
+        t = _index_for(sf_dir)
+        return _ft(t, query='"spark window"', match_columns="text", limit=-1)
+
+    def ft_prefix(sf_dir):
+        t = _index_for(sf_dir)
+        return _ft(t, query="wi*", match_columns="text", limit=-1)
+
+    def ft_count(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(t, query="fast", match_columns="text", limit=0)
+        return pa.table({"n": pa.array([res["hits"]], pa.int64())})
+
+    def ft_doclen(sf_dir):
+        from groonga_ray.index import IndexReader
+
+        t = _index_for(sf_dir)
+        r = IndexReader(t.index_dir)
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(t.source_files[0], columns=["doc_id"]).column("doc_id")
+        dl = r.doclens("text")
+        ids_np = ids.to_numpy()
+        return pa.table(
+            {
+                "doc_id": ids.cast(pa.int64()),
+                "dl": pa.array(dl[ids_np].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def ft_sections_weighted(sf_dir):
+        t2 = _index_for(sf_dir, sections=("text", "source"))
+        return _ft(t2, query="src3 OR spark", match_columns="text*2||source", limit=-1)
+
+    def content_sha(sf_dir):
+        from groonga_ray.engine import fetch_docs
+        import pyarrow.parquet as pq
+
+        t = _index_for(sf_dir)
+        # fetch THROUGH the engine doc store (per-row invariant check)
+        ids = pq.read_table(t.source_files[0], columns=["doc_id"]).column("doc_id")
+        docids = ids.to_numpy().astype(np.uint64)
+        docs = fetch_docs(t, docids, ["text"])
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": ids.cast(pa.int64()), "text": docs.column("text")})
+        )
+
+        def sha(batch: pa.Table) -> pa.Table:
+            out = [
+                hashlib.sha256((s or "").encode()).hexdigest()
+                for s in batch.column("text").to_pylist()
+            ]
+            return pa.table({"doc_id": batch.column("doc_id"), "sha": pa.array(out)})
+
+        return ds.map_batches(sha, batch_format="pyarrow")
+
+    def drill_lang(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(t, query="spark", match_columns="text", drilldown="lang", drilldown_limit=100)
+        dd = res["drilldown"]
+        return pa.table(
+            {"lang": dd.column("lang"), "n": dd.column("_nsubrecs").cast(pa.int64())}
+        )
+
+    def sort_limit(sf_dir):
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+        out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(15)
+        return out
+
+    def agg_lineitem(sf_dir):
+        from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+        ds = ray.data.read_parquet(
+            _files(sf_dir, "lineitem"),
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        out = ds.groupby("l_returnflag").aggregate(
+            Count(alias_name="n"),
+            Sum("l_quantity", alias_name="sum_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Max("l_quantity", alias_name="max_qty"),
+            Min("l_quantity", alias_name="min_qty"),
+        )
+        t = _round(pa.Table.from_pandas(out.to_pandas()), "avg_price", 4)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": t.column("n").cast(pa.int64()),
+                "sum_qty": t.column("sum_qty").cast(pa.float64()),
+                "avg_price": t.column("avg_price").cast(pa.float64()),
+                "max_qty": t.column("max_qty").cast(pa.float64()),
+                "min_qty": t.column("min_qty").cast(pa.float64()),
+            }
+        )
+
+    def filter_between_in(sf_dir):
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Sum
+
+        ds = ray.data.read_parquet(
+            _files(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+        )
+
+        def flt(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.and_(
+                    pc.greater_equal(b.column("l_quantity"), pa.scalar(5.0)),
+                    pc.less_equal(b.column("l_quantity"), pa.scalar(10.0)),
+                ),
+                pc.is_in(b.column("l_returnflag"), value_set=pa.array(["A", "N"])),
+            )
+            return b.filter(m)
+
+        out = (
+            ds.map_batches(flt, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+        )
+        t = pa.Table.from_pandas(out.to_pandas())
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "n": t.column("n").cast(pa.int64()),
+                "sum_qty": t.column("sum_qty").cast(pa.float64()),
+            }
+        )
+
+    def events_agg(sf_dir):
+        from ray.data.aggregate import Count, Sum
+
+        ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["event_type", "value"])
+        out = ds.groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="sum_value")
+        )
+        t = _round(pa.Table.from_pandas(out.to_pandas()), "sum_value", 4)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": t.column("n").cast(pa.int64()),
+                "sum_value": t.column("sum_value").cast(pa.float64()),
+            }
+        )
+
+    def dedup_exact_q(sf_dir):
+        from groonga_ray.pipelines.dedup import exact_dedup
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        out = exact_dedup(ds)
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "content_hash": b.column("content_hash"),
+                    "keep_id": b.column("keep_id").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def dedup_ngram_key_q(sf_dir):
+        from groonga_ray.pipelines.dedup import ngram_key_dedup
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        out = ngram_key_dedup(ds, k=8)
+        return out.map_batches(
+            lambda b: pa.table(
+                {"key": b.column("key"), "keep_id": b.column("keep_id").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def minhash_bands(sf_dir):
+        from groonga_ray.pipelines.dedup import minhash_lsh_candidates
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return minhash_lsh_candidates(ds).map_batches(
+            lambda b: b.select(["band", "band_hash", "n"]), batch_format="pyarrow"
+        )
+
+    def simhash_q(sf_dir):
+        from groonga_ray.pipelines.dedup import SimHasher
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id").cast(pa.int64()), "simhash": b.column("simhash")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def text_stats_q(sf_dir):
+        from groonga_ray.pipelines.textstats import token_stats
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return token_stats(ds).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "n_tokens": b.column("n_tokens"),
+                    "n_uniq": b.column("n_uniq"),
+                    "n_chars": b.column("n_chars"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def quality_q(sf_dir):
+        from groonga_ray.pipelines.textstats import QualityScore
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        out = ds.map_batches(QualityScore, batch_format="pyarrow", concurrency=2)
+        return out.map_batches(
+            lambda b: _round(
+                _round(
+                    _round(
+                        pa.table(
+                            {
+                                "doc_id": b.column("doc_id").cast(pa.int64()),
+                                "stop_ratio": b.column("stop_ratio"),
+                                "mean_word_len": b.column("mean_word_len"),
+                                "alpha_ratio": b.column("alpha_ratio"),
+                            }
+                        ),
+                        "stop_ratio", 6,
+                    ),
+                    "mean_word_len", 6,
+                ),
+                "alpha_ratio", 6,
+            ),
+            batch_format="pyarrow",
+        )
+
+    def langid_q(sf_dir):
+        from groonga_ray.pipelines.textstats import LangId
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id").cast(pa.int64()), "lang_pred": b.column("lang_pred")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def ann_brute(sf_dir):
+        import pyarrow.parquet as pq
+        from groonga_ray.pipelines.ann import brute_cosine_topk
+
+        emb = pq.read_table(_files(sf_dir, "embeddings")[0])
+        q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+        ds = ray.data.read_parquet(_files(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        out = brute_cosine_topk(ds, q[None, :], k=10)
+        out = _round(out, "sim", 4)
+        return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
+
+    def ann_lsh(sf_dir):
+        import pyarrow.parquet as pq
+        from groonga_ray.pipelines.ann import lsh_cosine_topk
+
+        emb = pq.read_table(_files(sf_dir, "embeddings")[0])
+        q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+        ds = ray.data.read_parquet(_files(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        out = lsh_cosine_topk(ds, q, k=10, bits=6)
+        out = _round(out, "sim", 4)
+        return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
+
+    def media_decode(sf_dir):
+        from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        out = decode_media(texts_as_media(ds))
+        return out.map_batches(
+            lambda b: pa.table(
+                {"media_id": b.column("media_id"), "n_bytes": b.column("n_bytes")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    return {
+        "ft_tokens": ft_tokens,
+        "ft_term_tf": ft_term_tf,
+        "ft_topk_bm25": ft_topk_bm25,
+        "ft_topk_tfidf": ft_topk_tfidf,
+        "ft_and": ft_and,
+        "ft_not": ft_not,
+        "ft_phrase": ft_phrase,
+        "ft_prefix": ft_prefix,
+        "ft_count": ft_count,
+        "ft_doclen": ft_doclen,
+        "ft_sections_weighted": ft_sections_weighted,
+        "content_sha": content_sha,
+        "drill_lang": drill_lang,
+        "sort_limit": sort_limit,
+        "agg_lineitem": agg_lineitem,
+        "filter_between_in": filter_between_in,
+        "events_agg": events_agg,
+        "dedup_exact": dedup_exact_q,
+        "dedup_ngram_key": dedup_ngram_key_q,
+        "minhash_bands": minhash_bands,
+        "simhash": simhash_q,
+        "text_stats": text_stats_q,
+        "quality": quality_q,
+        "langid": langid_q,
+        "ann_brute": ann_brute,
+        "ann_lsh": ann_lsh,
+        "media_decode": media_decode,
+    }
+
+
+# ------------------------------------------------------------------ oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25 = f"""
+{_TOKS}
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN doclen dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('spark', 'window')
+  GROUP BY tf.doc_id
+) ORDER BY score DESC, doc_id LIMIT 10
+"""
+    tfidf = f"""
+{_TOKS}
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT tf.doc_id,
+         greatest(tf.tf * ln(s.n_docs /
+                  (CASE WHEN df.df = 1 THEN 1 ELSE df.df + 2 END)), 1.0) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN stats s
+  WHERE tf.term = 'batch'
+) ORDER BY score DESC, doc_id LIMIT 10
+"""
+    return {
+        "ft_tokens": f"{_TOKS} SELECT doc_id, term, pos FROM toks",
+        "ft_term_tf": f"{_TOKS} SELECT doc_id, tf FROM tf WHERE term = 'spark'",
+        "ft_topk_bm25": bm25,
+        "ft_topk_tfidf": tfidf,
+        "ft_and": f"""
+{_TOKS}
+SELECT a.doc_id, (a.tf + b.tf)::DOUBLE AS score
+FROM (SELECT doc_id, tf FROM tf WHERE term = 'spark') a
+JOIN (SELECT doc_id, tf FROM tf WHERE term = 'window') b USING (doc_id)
+""",
+        "ft_not": f"""
+{_TOKS}
+SELECT doc_id, tf::DOUBLE AS score FROM tf
+WHERE term = 'spark'
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')
+""",
+        "ft_phrase": f"""
+{_TOKS}
+SELECT a.doc_id, count(*)::DOUBLE AS score
+FROM (SELECT doc_id, pos FROM toks WHERE term = 'spark') a
+JOIN (SELECT doc_id, pos FROM toks WHERE term = 'window') b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+""",
+        "ft_prefix": f"""
+{_TOKS}
+SELECT doc_id, count(*)::DOUBLE AS score FROM toks
+WHERE term LIKE 'wi%' GROUP BY doc_id
+""",
+        "ft_count": f"""
+{_TOKS}
+SELECT count(DISTINCT doc_id)::BIGINT AS n FROM toks WHERE term = 'fast'
+""",
+        "ft_doclen": f"{_TOKS} SELECT doc_id, dl::BIGINT AS dl FROM doclen",
+        "ft_sections_weighted": f"""
+{_TOKS}
+, src AS (
+  SELECT doc_id, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(source),
+               '[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents)
+  WHERE term = 'src3' GROUP BY doc_id
+),
+spark_text AS (SELECT doc_id, tf FROM tf WHERE term = 'spark'),
+src3_text AS (SELECT doc_id, tf FROM tf WHERE term = 'src3')
+SELECT doc_id,
+       (2.0 * coalesce(st.tf, 0) + 2.0 * coalesce(s3t.tf, 0)
+        + 1.0 * coalesce(src.tf, 0))::DOUBLE AS score
+FROM documents
+LEFT JOIN spark_text st USING (doc_id)
+LEFT JOIN src3_text s3t USING (doc_id)
+LEFT JOIN src USING (doc_id)
+WHERE st.tf IS NOT NULL OR src.tf IS NOT NULL OR s3t.tf IS NOT NULL
+""",
+        "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "drill_lang": f"""
+{_TOKS}
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+GROUP BY lang
+""",
+        "sort_limit": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 15",
+        "agg_lineitem": """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       sum(l_quantity)::DOUBLE AS sum_qty,
+       round(avg(l_extendedprice), 4)::DOUBLE AS avg_price,
+       max(l_quantity)::DOUBLE AS max_qty,
+       min(l_quantity)::DOUBLE AS min_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+        "filter_between_in": """
+SELECT l_returnflag, count(*)::BIGINT AS n, sum(l_quantity)::DOUBLE AS sum_qty
+FROM lineitem
+WHERE l_quantity BETWEEN 5 AND 10 AND l_returnflag IN ('A', 'N')
+GROUP BY l_returnflag
+""",
+        "events_agg": """
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS sum_value
+FROM events GROUP BY event_type
+""",
+        "dedup_exact": """
+SELECT sha256(text) AS content_hash, min(doc_id)::BIGINT AS keep_id
+FROM documents GROUP BY text
+""",
+        "dedup_ngram_key": """
+SELECT array_to_string(arr[1:8], ' ') AS key, min(doc_id)::BIGINT AS keep_id
+FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                         x -> x <> '') AS arr
+      FROM documents)
+GROUP BY 1
+""",
+        "text_stats": f"""
+{_TOKS}
+SELECT d.doc_id, coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(t.n_uniq, 0)::BIGINT AS n_uniq,
+       length(d.text)::BIGINT AS n_chars
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq
+           FROM toks GROUP BY 1) t USING (doc_id)
+""",
+        "quality": f"""
+{_TOKS}
+, per_doc AS (
+  SELECT doc_id, count(*)::DOUBLE AS n_tok,
+         sum(CASE WHEN term IN ('the','a','an','and','or','of','to','in','is','it')
+             THEN 1 ELSE 0 END)::DOUBLE AS n_stop,
+         sum(length(term))::DOUBLE AS word_chars
+  FROM toks GROUP BY 1)
+SELECT d.doc_id,
+       round(coalesce(p.n_stop / greatest(p.n_tok, 1), 0), 6) AS stop_ratio,
+       round(coalesce(p.word_chars / greatest(p.n_tok, 1), 0), 6) AS mean_word_len,
+       round(coalesce(p.word_chars, 0) / greatest(length(d.text), 1), 6) AS alpha_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        "ann_brute": """
+WITH q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+                  unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              unnest(generate_series(1, len(embedding))) AS i
+       FROM embeddings),
+dots AS (SELECT ev.vec_id, sum(ev.v * q.qv) AS dot, sum(ev.v * ev.v) AS n2
+         FROM ev JOIN q USING (i) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q)
+SELECT vec_id, round(dot / (sqrt(n2) * qnorm), 4) AS sim
+FROM dots, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+        "media_decode": "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes FROM documents",
+        # minhash_bands / simhash / langid / ann_lsh: deterministic but not
+        # SQL-expressible (hash permutations, heuristic model) -> rows-only
+    }

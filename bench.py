@@ -1,0 +1,161 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Usage:
+    python bench.py                   # full bench at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling         # same job at 8 and 32 CPUs, reports efficiency
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  * build_documents — fresh two-stage index build of the documents table
+  * build_code      — fresh build of the synthetic 50k-row code corpus
+                      (FIXTURES.md F1; the north-rule workload shape)
+  * query p50/p95   — BM25 top-k, AND, phrase, prefix, WAND over the
+                      warm index (QueryActor-style: reader loaded once)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CODE_ROWS = int(os.environ.get("GRAFT_CODE_ROWS", "50000"))
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    DataContext.get_current().enable_progress_bars = False
+
+    from groonga_ray.build import BuildConfig, build_index
+    from groonga_ray.corpus import corpus_cache_dir
+    from groonga_ray.engine import IndexedTable, select
+    from groonga_ray.index import IndexReader
+    from groonga_ray.search import wand_topk
+
+    queries: dict[str, float] = {}
+    t_total = time.time()
+
+    # ---- 1. documents index build (fresh)
+    doc_files = [os.path.join(SF_DIR, "documents.parquet")]
+    idx_dir = f"/tmp/bench_docidx_cpus{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = BuildConfig(
+        text_columns=("text",), docid_column="doc_id", n_buckets=32,
+        target_rows_per_shard=2048, hot_local_df=1024, salt_group=2,
+    )
+    t0 = time.time()
+    meta = build_index(doc_files, idx_dir, cfg)
+    queries["build_documents_sec"] = round(time.time() - t0, 3)
+    queries["build_documents_docs_per_sec"] = meta["docs_per_sec"]
+
+    # ---- 2. code corpus build (fresh index, cached corpus)
+    corpus_dir = corpus_cache_dir(CODE_ROWS)
+    code_files = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+    )
+    code_idx = f"/tmp/bench_codeidx_cpus{NUM_CPUS}"
+    shutil.rmtree(code_idx, ignore_errors=True)
+    code_cfg = BuildConfig(
+        text_columns=("content",), n_buckets=32, target_rows_per_shard=4096,
+        hot_local_df=2048, salt_group=2,
+    )
+    t0 = time.time()
+    code_meta = build_index(code_files, code_idx, code_cfg)
+    queries["build_code_sec"] = round(time.time() - t0, 3)
+    queries["build_code_docs_per_sec"] = code_meta["docs_per_sec"]
+
+    # ---- 3. query latency over the warm documents index
+    table = IndexedTable(idx_dir, doc_files, "doc_id")
+    reader = table.reader()  # loaded once (QueryActor pattern)
+    si = reader.section("text")
+    dl = reader.doclens("text")
+
+    def timed(name, fn, n=20):
+        times = []
+        for _ in range(n):
+            t = time.time()
+            fn()
+            times.append(time.time() - t)
+        queries[f"{name}_p50_ms"] = round(float(np.percentile(times, 50)) * 1000, 2)
+        queries[f"{name}_p95_ms"] = round(float(np.percentile(times, 95)) * 1000, 2)
+
+    timed("q_bm25", lambda: select(table, query="spark OR window", match_columns="text", scorer="bm25", limit=10))
+    timed("q_and", lambda: select(table, query="spark +window +fast", match_columns="text", limit=10))
+    timed("q_phrase", lambda: select(table, query='"spark window"', match_columns="text", limit=10))
+    timed("q_prefix", lambda: select(table, query="wi*", match_columns="text", limit=10))
+    timed(
+        "q_wand",
+        lambda: wand_topk(
+            si, ["spark", "window", "fast"], 10, "bm25",
+            n_docs=reader.n_docs, avgdl=reader.avgdl(), doclens=dl,
+        ),
+    )
+
+    total = round(time.time() - t_total, 3)
+    return {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": meta["n_docs"],
+        "code_rows": CODE_ROWS,
+    }
+
+
+def run_scaling() -> dict:
+    """Same build job at 8 and 32 CPUs in fresh processes (the sandbox
+    stand-in for the N vs 4N cluster-size criterion)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm page cache + corpus cache once, untimed
+    run(8)
+    lo, hi = run(8), run(32)
+    build_lo = lo["queries"]["build_code_sec"] + lo["queries"]["build_documents_sec"]
+    build_hi = hi["queries"]["build_code_sec"] + hi["queries"]["build_documents_sec"]
+    eff = (build_lo / build_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "build_sec_8cpu": round(build_lo, 3),
+            "build_sec_32cpu": round(build_hi, 3),
+            "docs_per_sec_8cpu_code": lo["queries"]["build_code_docs_per_sec"],
+            "docs_per_sec_32cpu_code": hi["queries"]["build_code_docs_per_sec"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": [8, 32],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))

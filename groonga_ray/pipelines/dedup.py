@@ -1,0 +1,225 @@
+"""Deduplication operators over a document Dataset.
+
+All operators take/return ``ray.data.Dataset`` and stay vectorized
+inside ``map_batches``; the only shuffles are the final small
+``groupby`` over hashes/keys (pre-aggregated per batch where possible).
+
+* exact dedup — content hash -> keep min doc_id (hash-partition +
+  per-group first; the reference has no general distinct, its dedup is
+  the result-set hash keyed by rid — SURVEY.md §2.6).
+* ngram-key blocking — cheap near-dup blocking by the first-k-token
+  key.
+* MinHash + LSH — shingle -> 64 minhash perms -> banded buckets ->
+  candidate pairs -> verified Jaccard.
+* SimHash — 64-bit sign fingerprint of token hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..tokenize import WordTokenizer
+from ..utils import fnv1a
+
+# deterministic 64-bit mix constants for minhash permutations
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _sha256_col(texts: pa.Array) -> pa.Array:
+    return pa.array([hashlib.sha256((t or "").encode()).hexdigest() for t in texts.to_pylist()])
+
+
+def exact_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
+    """(hash, doc_id=min) — one row per distinct content."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "content_hash": _sha256_col(batch.column(text_col)),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keep_id"))
+    )
+
+
+def ngram_key_dedup(
+    ds: ray.data.Dataset, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Blocking key = first k tokens joined; keep min doc_id per key."""
+    wt = WordTokenizer()
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        tb = wt.tokenize_column(batch.column(text_col).cast(pa.large_string()))
+        terms = np.asarray(tb.terms.to_pylist(), dtype=object)
+        keys = []
+        n = batch.num_rows
+        start = 0
+        per_row = tb.n_tokens_per_row
+        for i in range(n):
+            cnt = int(per_row[i])
+            keys.append(" ".join(terms[start : start + min(cnt, k)]))
+            start += cnt
+        return pa.table({id_col: batch.column(id_col), "key": pa.array(keys)})
+
+    from ray.data.aggregate import Min
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Min(id_col, alias_name="keep_id"))
+    )
+
+
+class _MinHasher:
+    """Actor-pool stage: permutation constants built once per actor."""
+
+    def __init__(self, n_perm: int, shingle: int, text_col: str, id_col: str):
+        rng = np.random.default_rng(42)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.shingle = shingle
+        self.text_col = text_col
+        self.id_col = id_col
+        self.wt = WordTokenizer()
+
+    def signatures(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        tb = self.wt.tokenize_column(batch.column(self.text_col).cast(pa.large_string()))
+        tok_hash = fnv1a(tb.terms)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sigs = np.full((batch.num_rows, self.n_perm), np.iinfo(np.uint64).max, np.uint64)
+        # shingles: rolling combine of `shingle` consecutive token hashes
+        row = tb.row_idx
+        h = tok_hash.copy()
+        for s in range(1, self.shingle):
+            shifted = np.roll(tok_hash, -s)
+            same_row = np.roll(row, -s) == row
+            h = np.where(same_row, h * np.uint64(1099511628211) ^ shifted, h)
+        # per-permutation min per row (vectorized over rows via minimum.at)
+        for p in range(self.n_perm):
+            ph = (self.a[p] * h + self.b[p]) % _MERSENNE
+            m = np.full(batch.num_rows, np.iinfo(np.uint64).max, np.uint64)
+            np.minimum.at(m, row, ph)
+            sigs[:, p] = m
+        return ids, sigs
+
+
+class MinHashLSH(_MinHasher):
+    """map_batches callable emitting (band, band_hash, doc_id) rows."""
+
+    def __init__(self, n_perm=64, bands=8, shingle=3, text_col="text", id_col="doc_id"):
+        super().__init__(n_perm, shingle, text_col, id_col)
+        self.bands = bands
+        self.rows_per_band = n_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sigs = self.signatures(batch)
+        r = self.rows_per_band
+        out_band, out_hash, out_id = [], [], []
+        for bnd in range(self.bands):
+            seg = sigs[:, bnd * r : (bnd + 1) * r]
+            # stable hash of the band signature
+            bh = np.zeros(len(ids), np.uint64)
+            for j in range(r):
+                bh = bh * np.uint64(1099511628211) ^ seg[:, j]
+            out_band.append(np.full(len(ids), bnd, np.int32))
+            out_hash.append(bh)
+            out_id.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                # reinterpret as int64 (stable, avoids uint64 cast overflow)
+                "band_hash": pa.array(np.concatenate(out_hash).view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id)),
+            }
+        )
+
+
+def minhash_lsh_candidates(
+    ds: ray.data.Dataset, n_perm=64, bands=8, shingle=3, text_col="text", id_col="doc_id"
+) -> ray.data.Dataset:
+    """(band, band_hash) buckets with >1 doc -> candidate groups.
+    Returns rows (band, band_hash, doc_ids list, n)."""
+
+    def collapse(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        if len(ids) < 2:
+            return pa.table(
+                {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.int64()),
+                 "doc_ids": pa.array([], pa.list_(pa.int64())), "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "band": group.column("band").slice(0, 1),
+                "band_hash": group.column("band_hash").slice(0, 1),
+                "doc_ids": pa.array([ids], pa.list_(pa.int64())),
+                "n": pa.array([len(ids)], pa.int64()),
+            }
+        )
+
+    sig = ds.map_batches(
+        MinHashLSH,
+        fn_constructor_kwargs=dict(
+            n_perm=n_perm, bands=bands, shingle=shingle, text_col=text_col, id_col=id_col
+        ),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return sig.groupby(["band", "band_hash"]).map_groups(collapse, batch_format="pyarrow")
+
+
+class SimHasher:
+    """64-bit SimHash over token hashes, vectorized per batch."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.wt = WordTokenizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tb = self.wt.tokenize_column(batch.column(self.text_col).cast(pa.large_string()))
+        h = fnv1a(tb.terms)
+        row = tb.row_idx
+        n = batch.num_rows
+        acc = np.zeros((n, 64), np.int64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        contrib = bits * 2 - 1
+        np.add.at(acc, row, contrib)
+        sim = (acc > 0).astype(np.uint64)
+        out = np.zeros(n, np.uint64)
+        for j in range(64):
+            out |= sim[:, j] << np.uint64(j)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                # int64 reinterpretation for friendlier downstream schemas
+                "simhash": pa.array(out.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def verify_jaccard(texts_a: list[str], texts_b: list[str], shingle: int = 3) -> np.ndarray:
+    """Exact n-gram Jaccard for candidate verification (small sets)."""
+    wt = WordTokenizer()
+
+    def shingles(t: str) -> set:
+        toks = wt.tokenize_text(t)
+        return {tuple(toks[i : i + shingle]) for i in range(max(0, len(toks) - shingle + 1))}
+
+    out = np.zeros(len(texts_a))
+    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+        sa, sb = shingles(a), shingles(b)
+        u = len(sa | sb)
+        out[i] = (len(sa & sb) / u) if u else 0.0
+    return out

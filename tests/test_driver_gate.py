@@ -1,0 +1,97 @@
+"""Replicates the driver's correctness gate at sf0.001: run every
+queries() entry, compare against oracle_sql() via DuckDB (row count,
+column names, order-insensitive values)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _to_df(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    importlib.reload(e)
+    return e
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+    import glob
+    import os
+
+    con = duckdb.connect()
+    for f in glob.glob(f"{SF}/*.parquet"):
+        name = os.path.basename(f).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    return con
+
+
+def test_entry_smoke(entrymod):
+    df = entrymod.entry()
+    assert len(df) >= 0
+    assert set(df.columns) == {"doc_id", "score"}
+
+
+def _query_names():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    oracles = e.oracle_sql()
+    return sorted(oracles.keys())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_vs_oracle(entrymod, duck, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _canon(_to_df(q(SF)))
+    want = _canon(duck.sql(sql).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    for col in got.columns:
+        g, w = got[col].to_numpy(), want[col].to_numpy()
+        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
+            np.testing.assert_allclose(
+                g.astype(np.float64), w.astype(np.float64), rtol=0, atol=1e-9,
+                err_msg=f"{name}.{col}",
+            )
+        else:
+            assert g.tolist() == w.tolist(), f"{name}.{col}"
+
+
+def test_rows_only_queries(entrymod):
+    # queries without oracle must still run and return stable row counts
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in sorted(set(qs) - set(oracles)):
+        out = _to_df(qs[name](SF))
+        assert len(out) >= 0, name
+        out2 = _to_df(qs[name](SF))
+        assert len(out) == len(out2), f"{name} row count not deterministic"

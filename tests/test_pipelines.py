@@ -1,0 +1,122 @@
+"""Unit tests for the training-data pipeline operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    from groonga_ray.pipelines.dedup import exact_dedup
+
+    out = exact_dedup(docs).to_pandas()
+    # sf0.001 texts are all distinct -> one group per doc
+    assert len(out) == 500
+    assert out["keep_id"].min() == 0
+
+
+def test_minhash_similar_docs_collide():
+    import ray.data
+    from groonga_ray.pipelines.dedup import MinHashLSH, verify_jaccard
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about ray data pipelines and arrow",
+    ]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(texts)})
+    h = MinHashLSH(n_perm=64, bands=16, shingle=3)
+    out = h(t)
+    df = out.to_pandas()
+    # docs 1 and 2 share at least one band bucket; doc 3 shares none
+    shared_12 = set(map(tuple, df[df.doc_id == 1][["band", "band_hash"]].values)) & set(
+        map(tuple, df[df.doc_id == 2][["band", "band_hash"]].values)
+    )
+    shared_13 = set(map(tuple, df[df.doc_id == 1][["band", "band_hash"]].values)) & set(
+        map(tuple, df[df.doc_id == 3][["band", "band_hash"]].values)
+    )
+    assert shared_12 and not shared_13
+    j = verify_jaccard([texts[0]], [texts[1]])
+    assert j[0] > 0.7
+
+
+def test_simhash_hamming():
+    from groonga_ray.pipelines.dedup import SimHasher
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta epsilon zeta eta iota",
+                    "one two three four five six seven eight",
+                ]
+            ),
+        }
+    )
+    out = SimHasher()(t).to_pandas()
+    h = out["simhash"].to_numpy().view(np.uint64)
+    d12 = bin(int(h[0]) ^ int(h[1])).count("1")
+    d13 = bin(int(h[0]) ^ int(h[2])).count("1")
+    assert d12 < d13
+
+
+def test_token_stats_vs_python(docs):
+    import re
+
+    from groonga_ray.pipelines.textstats import token_stats
+
+    out = token_stats(docs).to_pandas().set_index("doc_id")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(r"[a-z0-9_]+")
+    for i in [0, 17, 499]:
+        did = t.column("doc_id")[i].as_py()
+        words = pat.findall(t.column("text")[i].as_py().lower())
+        assert out.loc[did, "n_tokens"] == len(words)
+        assert out.loc[did, "n_uniq"] == len(set(words))
+
+
+def test_brute_and_lsh_ann(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from groonga_ray.pipelines.ann import brute_cosine_topk, lsh_cosine_topk
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.array(emb.column("embedding").to_pylist(), np.float64)
+    q = mat[0]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = brute_cosine_topk(ds, q[None, :], k=5).to_pandas()
+    # numpy oracle
+    sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+    assert got["vec_id"].tolist() == order.tolist()
+    np.testing.assert_allclose(got["sim"].to_numpy(), sims[order], atol=1e-12)
+    # LSH variant returns a subset ranked consistently, query's own bucket
+    lsh = lsh_cosine_topk(ds, q, k=5, bits=4).to_pandas()
+    assert 0 in lsh["vec_id"].tolist()  # the query vector itself survives
+    assert (np.diff(lsh["sim"].to_numpy()) <= 1e-12).all()
+
+
+def test_media_decode_stub(docs):
+    from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
+
+    out = decode_media(texts_as_media(docs)).to_pandas()
+    assert len(out) == 500
+    assert (out["n_bytes"] > 0).all()
+    assert set(out.columns) == {"media_id", "kind", "n_bytes", "crc32", "width", "height"}
+    with pytest.raises(NotImplementedError):
+        from groonga_ray.pipelines.multimodal import MediaDecoder
+
+        MediaDecoder(real_codecs_required=True)

@@ -195,6 +195,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t2 = _index_for(sf_dir, sections=("text", "source"))
         return _ft(t2, query="src3 OR spark", match_columns="text*2||source", limit=-1)
 
+    def ft_near(sf_dir):
+        from groonga_ray.index import IndexReader
+        from groonga_ray.search import near_match
+
+        t = _index_for(sf_dir)
+        r = IndexReader(t.index_dir)
+        m = near_match(
+            r.section("text"), [("spark", 0), ("window", 1)], max_interval=3,
+            n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens(),
+        )
+        return pa.table({"doc_id": pa.array(m.docids.astype(np.int64), pa.int64())})
+
+    def ft_scorer_expr(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, query="fast", match_columns="text",
+            scorer_expr="_score = -n_chars", limit=-1,
+        )
+        rows = res["rows"]
+        return pa.table(
+            {
+                "doc_id": rows.column("_id").cast(pa.int64()),
+                "score": rows.column("_score").cast(pa.float64()),
+            }
+        )
+
+    def ft_adjuster(sf_dir):
+        t = _index_for(sf_dir)
+        return _ft(
+            t, query="spark", match_columns="text",
+            adjuster='text @ "window" * 5', limit=-1,
+        )
+
+    def drill_calc(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, query="spark", match_columns="text",
+            drilldown="lang", drilldown_limit=100,
+            drilldown_calc_types=("MAX", "MIN", "SUM", "AVG"),
+            drilldown_calc_target="n_chars",
+        )
+        dd = res["drilldown"]
+        out = pa.table(
+            {
+                "lang": dd.column("lang"),
+                "n": dd.column("_nsubrecs").cast(pa.int64()),
+                "max_chars": dd.column("_max").cast(pa.float64()),
+                "min_chars": dd.column("_min").cast(pa.float64()),
+                "sum_chars": dd.column("_sum").cast(pa.float64()),
+                "avg_chars": dd.column("_avg").cast(pa.float64()),
+            }
+        )
+        return _round(out, "avg_chars", 6)
+
     def content_sha(sf_dir):
         from groonga_ray.engine import fetch_docs
         import pyarrow.parquet as pq
@@ -449,6 +507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase": ft_phrase,
         "ft_prefix": ft_prefix,
         "ft_count": ft_count,
+        "ft_near": ft_near,
+        "ft_scorer_expr": ft_scorer_expr,
+        "ft_adjuster": ft_adjuster,
+        "drill_calc": drill_calc,
         "ft_doclen": ft_doclen,
         "ft_sections_weighted": ft_sections_weighted,
         "content_sha": content_sha,
@@ -547,6 +609,34 @@ LEFT JOIN spark_text st USING (doc_id)
 LEFT JOIN src3_text s3t USING (doc_id)
 LEFT JOIN src USING (doc_id)
 WHERE st.tf IS NOT NULL OR src.tf IS NOT NULL OR s3t.tf IS NOT NULL
+""",
+        "ft_near": f"""
+{_TOKS}
+SELECT DISTINCT a.doc_id FROM
+ (SELECT doc_id, pos FROM toks WHERE term = 'spark') a
+ JOIN (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'window') b
+ ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 3
+""",
+        "ft_scorer_expr": f"""
+{_TOKS}
+SELECT d.doc_id, (-d.n_chars)::DOUBLE AS score
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'fast')
+""",
+        "ft_adjuster": f"""
+{_TOKS}
+SELECT s.doc_id, (s.tf + 5.0 * coalesce(w.tf, 0))::DOUBLE AS score
+FROM (SELECT doc_id, tf FROM tf WHERE term = 'spark') s
+LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'window') w USING (doc_id)
+""",
+        "drill_calc": f"""
+{_TOKS}
+SELECT lang, count(*)::BIGINT AS n,
+       max(n_chars)::DOUBLE AS max_chars, min(n_chars)::DOUBLE AS min_chars,
+       sum(n_chars)::DOUBLE AS sum_chars, round(avg(n_chars), 6)::DOUBLE AS avg_chars
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+GROUP BY lang
 """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "drill_lang": f"""

@@ -16,3 +16,7 @@ the execution engine is ray.data.Dataset end to end.
 """
 
 __version__ = "0.1.0"
+
+from .utils import tune_malloc as _tune_malloc
+
+_tune_malloc()

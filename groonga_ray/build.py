@@ -15,13 +15,19 @@ Stage A (map side, no shuffle) — a Dataset of shard descriptors is
   lengths are written atomically with a manifest; a restarted build
   skips shards whose manifest validates (per-partition lineage).
 
-Stage B (the only shuffle) — runs are read back (their size is the
-  *index* size, a small fraction of the corpus), grouped by bucket
-  (``groupby('bucket').map_groups``), and each term's runs are merged:
-  bulk-decoded and re-encoded into canonical chunks (the analogue of
-  grn_ii_buffer_merge/chunk_flush, lib/ii.c:7743/7547). Because shards
-  are contiguous docid ranges, runs concatenate in docid order — no
-  k-way compare is needed.
+Stage B (the exchange) — each run file is written sorted by bucket
+  with ONE PARQUET ROW GROUP PER BUCKET, so the partitioned write *is*
+  the map-side shuffle: the per-bucket merge task reads only its row
+  group from each run (parquet statistics pruning), bulk-decodes all
+  runs of a term at once (vectorized across rows) and re-encodes into
+  canonical chunks (the analogue of grn_ii_buffer_merge/chunk_flush,
+  lib/ii.c:7743/7547). Because shards are contiguous docid ranges,
+  runs concatenate in docid order — no k-way compare is needed. No
+  all-to-all operator appears anywhere in the build; data moves once,
+  through the filesystem/object store, already bucket-partitioned.
+  (At 10^12-row scale the #shards x #buckets row-group matrix is
+  bounded by merging in waves of shards; buckets scale with the
+  cluster.)
 
 Skew — hot terms (keywords like ``return`` with df ≈ N, FIXTURES.md
   skew knobs) are salted at stage A: their bucket is
@@ -81,9 +87,12 @@ class BuildConfig:
     n_buckets: int = 32
     chunk_postings: int = codec.CHUNK_POSTINGS
     hot_local_df: int = 65536                # per-shard df above which a term is salted
+    hot_df_ratio: float = 0.25               # ...or above this fraction of the shard's rows
+    tokenize_rows_per_batch: int = 512       # stage-A sub-slice (bounds peak memory)
     hot_terms: tuple[str, ...] = ()          # static hot set (broadcast)
     salt_group: int = 4                      # shards per hot-term salt part
     target_rows_per_shard: int = 200_000
+    stage_b_concurrency: int = 8             # bucket-merge pool cap
     docid_column: str | None = None          # pre-assigned docids (e.g. documents.doc_id)
     docid_offset: int = 1                    # docids are 1-based when assigned by rank
 
@@ -138,6 +147,115 @@ def _rank_terms(terms: pa.Array) -> tuple[np.ndarray, pa.Array]:
     return rank_of_code[codes], sorted_terms.cast(pa.large_string())
 
 
+def _group_tokens_strings(terms, row_idx, positions, docid_of_row):
+    """Group an exploded token stream into (term, docid)->tf+positions
+    via string ranks (ngram/conformance path)."""
+    tok_docids = docid_of_row[row_idx]
+    rank, sorted_terms = _rank_terms(terms)
+    order = np.lexsort((positions, tok_docids, rank))
+    s_rank = rank[order]
+    s_docid = tok_docids[order]
+    s_pos = positions[order].astype(np.uint64)
+    grp_start = np.empty(len(order), bool)
+    grp_start[0] = True
+    grp_start[1:] = (s_rank[1:] != s_rank[:-1]) | (s_docid[1:] != s_docid[:-1])
+    starts = np.flatnonzero(grp_start)
+    tf = np.diff(np.append(starts, len(order))).astype(np.uint64)
+    g_docid = s_docid[starts]
+    g_rank = s_rank[starts]
+    pos_offsets = np.zeros(len(starts) + 1, np.int64)
+    np.cumsum(tf.astype(np.int64), out=pos_offsets[1:])
+    term_start = np.empty(len(starts), bool)
+    term_start[0] = True
+    term_start[1:] = g_rank[1:] != g_rank[:-1]
+    term_offsets = np.append(np.flatnonzero(term_start), len(starts)).astype(np.int64)
+    return sorted_terms, term_offsets, g_docid, tf, pos_offsets, s_pos
+
+
+def _tokenize_group_word(cfg: BuildConfig, col: pa.Array, docid_of_row: np.ndarray, wt: WordTokenizer):
+    """Scale-path tokenize+group: the column is processed in small row
+    slices (bounded peak footprint — decisive where first-touch page
+    faults are slow), tokens are grouped per slice by (term-hash,
+    docid), and slices merge with a single small pair-level stable sort
+    (docid order is preserved because slices are docid-contiguous).
+
+    Terms are identified by 64-bit FNV within the shard; group purity
+    is verified (docids strictly increasing per group) and the rare
+    collision falls back to the exact string path. Returns
+    ``(terms, term_offsets, docids, tf, pos_offsets, positions,
+    n_tokens_per_row)`` with terms in hash order (stage B re-sorts by
+    string; the lexicon is sorted in stage C).
+    """
+    n_rows = len(col)
+    S = cfg.tokenize_rows_per_batch
+    pair_hash, pair_docid, pair_tf, pos_segs = [], [], [], []
+    term_of_hash: dict[int, str] = {}
+    n_tokens = np.zeros(n_rows, np.int64)
+    for a in range(0, n_rows, S):
+        sub = col.slice(a, min(S, n_rows - a))
+        tb = wt.tokenize_column(sub)
+        n_tokens[a : a + len(sub)] = tb.n_tokens_per_row
+        if len(tb.row_idx) == 0:
+            continue
+        th = fnv1a(tb.terms)
+        docs = docid_of_row[a + tb.row_idx]
+        order = np.lexsort((tb.positions, docs, th))
+        h_s = th[order]
+        d_s = docs[order]
+        p_s = tb.positions[order].astype(np.uint64)
+        gs = np.empty(len(order), bool)
+        gs[0] = True
+        gs[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(gs)
+        pair_hash.append(h_s[starts])
+        pair_docid.append(d_s[starts])
+        pair_tf.append(np.diff(np.append(starts, len(order))).astype(np.int64))
+        pos_segs.append(p_s)
+        uh, ui = np.unique(th, return_index=True)
+        terms_py = None
+        for hsh, idx in zip(uh.tolist(), ui.tolist()):
+            if hsh not in term_of_hash:
+                if terms_py is None:
+                    terms_py = tb.terms
+                term_of_hash[hsh] = terms_py[idx].as_py()
+    if not pair_hash:
+        return None
+    H = np.concatenate(pair_hash)
+    D = np.concatenate(pair_docid)
+    TF = np.concatenate(pair_tf)
+    P = np.concatenate(pos_segs)
+    pair_pos_off = np.zeros(len(H) + 1, np.int64)
+    np.cumsum(TF, out=pair_pos_off[1:])
+
+    order = np.argsort(H, kind="stable")
+    Hs = H[order]
+    Ds = D[order]
+    TFs = TF[order]
+    # gather each pair's position run into the new order
+    lens = TFs
+    out_off = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    gather = np.arange(total, dtype=np.int64)
+    gather -= np.repeat(out_off[:-1], lens)
+    gather += np.repeat(pair_pos_off[:-1][order], lens)
+    Ps = P[gather]
+
+    term_start = np.empty(len(Hs), bool)
+    term_start[0] = True
+    term_start[1:] = Hs[1:] != Hs[:-1]
+    term_offsets = np.append(np.flatnonzero(term_start), len(Hs)).astype(np.int64)
+    # collision check: docids must be strictly increasing inside a group
+    d64 = Ds.astype(np.int64)
+    mono_bad = np.flatnonzero((np.diff(d64) <= 0) & ~term_start[1:])
+    if len(mono_bad):
+        return None  # hash collision (astronomically rare): caller uses string path
+    terms = pa.array(
+        [term_of_hash[h] for h in Hs[term_start].tolist()], type=pa.large_string()
+    )
+    return terms, term_offsets, Ds, TFs.astype(np.uint64), out_off, Ps, n_tokens
+
+
 def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str) -> dict:
     """Tokenize + encode one shard of one section into a segment run.
 
@@ -148,7 +266,7 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
     man_path = os.path.join(run_dir, "manifest.json")
     fp = {
         "file": shard.file,
-        "rg": [shard.row_group_start, shard.row_group_count],
+        "rows": [shard.row_start, shard.num_rows],
         "config": cfg.fingerprint(),
     }
     existing = read_manifest(man_path)
@@ -162,8 +280,8 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
     col = data.column(section)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    col = col.cast(pa.large_string())
     wt = WordTokenizer()
-    terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col.cast(pa.large_string()), wt)
 
     if cfg.docid_column:
         docid_of_row = data.column(cfg.docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -173,34 +291,28 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
     else:
         docid_of_row = (shard.docid_base + np.arange(data.num_rows, dtype=np.uint64)).astype(np.uint64)
 
-    if len(terms) == 0:
+    grouped = None
+    if cfg.tokenizer == "TokenCodeWord":
+        res = _tokenize_group_word(cfg, col, docid_of_row, wt)
+        if res is not None:
+            terms_arr, term_offsets, g_docid, tf, pos_offsets, s_pos, n_tokens = res
+            grouped = True
+    if grouped is None:
+        terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col, wt)
+        if len(terms) == 0:
+            grouped = False
+        else:
+            terms_arr, term_offsets, g_docid, tf, pos_offsets, s_pos = _group_tokens_strings(
+                terms, row_idx, positions, docid_of_row
+            )
+            grouped = True
+
+    if not grouped:
         run_table = codec.POSTING_SCHEMA.empty_table()
         for name, typ in RUN_EXTRA_FIELDS:
             run_table = run_table.append_column(name, pa.array([], type=typ))
     else:
-        tok_docids = docid_of_row[row_idx]
-        rank, sorted_terms = _rank_terms(terms)
-        order = np.lexsort((positions, tok_docids, rank))
-        s_rank = rank[order]
-        s_docid = tok_docids[order]
-        s_pos = positions[order].astype(np.uint64)
-
-        # group boundaries at (term, docid) change
-        grp_start = np.empty(len(order), bool)
-        grp_start[0] = True
-        grp_start[1:] = (s_rank[1:] != s_rank[:-1]) | (s_docid[1:] != s_docid[:-1])
-        starts = np.flatnonzero(grp_start)
-        tf = np.diff(np.append(starts, len(order))).astype(np.uint64)
-        g_docid = s_docid[starts]
-        g_rank = s_rank[starts]
-        pos_offsets = np.zeros(len(starts) + 1, np.int64)
-        np.cumsum(tf.astype(np.int64), out=pos_offsets[1:])
-
-        term_start = np.empty(len(starts), bool)
-        term_start[0] = True
-        term_start[1:] = g_rank[1:] != g_rank[:-1]
-        term_offsets = np.append(np.flatnonzero(term_start), len(starts)).astype(np.int64)
-
+        sorted_terms = terms_arr
         run_table = codec.encode_posting_table(
             sorted_terms,
             term_offsets,
@@ -214,7 +326,10 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
         # bucket + salt
         local_df = np.diff(term_offsets)
         h = fnv1a(sorted_terms)
-        hot = local_df > cfg.hot_local_df
+        # a globally hot term is locally hot in every shard; the ratio
+        # keeps the threshold meaningful however small shards are
+        hot_threshold = min(cfg.hot_local_df, max(16, int(cfg.hot_df_ratio * data.num_rows)))
+        hot = local_df > hot_threshold
         if cfg.hot_terms:
             hot |= pc.is_in(sorted_terms, value_set=pa.array(cfg.hot_terms)).to_numpy(
                 zero_copy_only=False
@@ -234,8 +349,12 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
             "shard", pa.array(np.full(run_table.num_rows, shard.shard_id, np.uint32))
         )
         run_table = run_table.append_column("hot", pa.array(hot))
+        # sort by bucket so the writer can emit one row group per bucket
+        # (terms stay sorted within a bucket: stable sort)
+        order = np.argsort(bucket, kind="stable")
+        run_table = run_table.take(pa.array(order))
 
-    atomic_write_table(run_table, os.path.join(run_dir, "run.parquet"))
+    _write_run_bucket_rowgroups(run_table, os.path.join(run_dir, "run.parquet"))
     # doc lengths for BM25 (one file per shard+section)
     dl_table = pa.table(
         {
@@ -261,7 +380,11 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
 
 
 class _ShardIndexer:
-    """Actor-pool callable for stage A: one batch = shard descriptors."""
+    """Stage-A actor: processes a stream of shard work items. An actor
+    pool (not tasks) so each worker's malloc pool and imports stay warm
+    across its whole stream of shards — decisive on kernels with slow
+    first-touch page faults — and so Ray can host the pool on already-
+    warm idle worker processes."""
 
     def __init__(self, cfg: BuildConfig, sections: tuple[str, ...], index_dir: str, shards):
         self.cfg = cfg
@@ -291,20 +414,98 @@ class _ShardIndexer:
 
 # ------------------------------------------------------------------ stage B
 
-def merge_bucket_group(
-    group: pa.Table, cfg: BuildConfig, section: str, index_dir: str
-) -> pa.Table:
-    """Merge one bucket's runs into final posting rows and write them.
+def _write_run_bucket_rowgroups(table: pa.Table, path: str) -> None:
+    """Write a run file with one row group per distinct bucket value
+    (rows must already be bucket-sorted). Parquet column statistics
+    then let the per-bucket merge read exactly its rows — the
+    partitioned write replaces a runtime shuffle."""
+    import tempfile
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        with pq.ParquetWriter(tmp, table.schema) as writer:
+            if table.num_rows:
+                buckets = table.column("bucket").to_numpy(zero_copy_only=False)
+                starts = np.flatnonzero(
+                    np.concatenate([[True], buckets[1:] != buckets[:-1]])
+                )
+                bounds = np.append(starts, len(buckets))
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    writer.write_table(table.slice(int(a), int(b - a)))
+            else:
+                writer.write_table(table)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+class RunReader:
+    """Per-actor cache of run-file handles + a bucket -> row-group map
+    built from parquet column statistics (each run has one row group
+    per bucket). Metadata is parsed once per actor, not once per
+    (bucket, file)."""
+
+    def __init__(self, run_files: list[str]):
+        self.files: list[tuple[pq.ParquetFile, dict[int, list[int]]]] = []
+        for f in run_files:
+            pf = pq.ParquetFile(f)
+            meta = pf.metadata
+            # parquet LEAF column index of `bucket` (nested list columns
+            # occupy their own leaf slots, so arrow field index is wrong)
+            bcol = [
+                i for i in range(meta.num_columns)
+                if meta.schema.column(i).path == "bucket"
+            ][0]
+            by_bucket: dict[int, list[int]] = {}
+            for i in range(meta.num_row_groups):
+                st = meta.row_group(i).column(bcol).statistics
+                if st is None:
+                    continue
+                by_bucket.setdefault(int(st.min), []).append(i)
+            self.files.append((pf, by_bucket))
+
+    def read_bucket(self, bucket: int) -> pa.Table | None:
+        parts = []
+        for pf, by_bucket in self.files:
+            groups = by_bucket.get(bucket)
+            if groups:
+                parts.append(pf.read_row_groups(groups))
+        if not parts:
+            return None
+        return pa.concat_tables(parts).combine_chunks()
+
+
+def merge_bucket(
+    cfg: BuildConfig, section: str, index_dir: str, bucket: int, runs: "RunReader"
+) -> dict:
+    """Merge one bucket across all runs (row-group-pruned reads) into
+    final posting rows; write them + manifest. Idempotent.
 
     Non-hot terms: bulk-decode all runs (vectorized across rows) and
     re-encode once. Hot terms: pass through as parts (chunk directories
-    untouched). Returns one manifest row.
+    untouched).
     """
-    bucket = int(group.column("bucket")[0].as_py())
+    group = runs.read_bucket(bucket)
+    if group is None:
+        group = (
+            codec.POSTING_SCHEMA.empty_table()
+            .append_column("bucket", pa.array([], pa.uint32()))
+            .append_column("shard", pa.array([], pa.uint32()))
+            .append_column("hot", pa.array([], pa.bool_()))
+        )
+    return _merge_bucket_table(group, cfg, section, index_dir, bucket)
+
+
+def _merge_bucket_table(
+    group: pa.Table, cfg: BuildConfig, section: str, index_dir: str, bucket: int
+) -> dict:
     out_dir = os.path.join(index_dir, f"sec={section}", "postings", f"bucket={bucket:04d}")
     man_path = os.path.join(out_dir, "manifest.json")
 
-    hot_mask = group.column("hot").to_numpy(zero_copy_only=False)
+    hot_mask = np.asarray(group.column("hot").to_numpy(zero_copy_only=False), bool)
     terms_all = group.column("term")
     if isinstance(terms_all, pa.ChunkedArray):
         terms_all = terms_all.combine_chunks()
@@ -365,18 +566,14 @@ def merge_bucket_group(
             "part", pa.array([], pa.uint32())
         )
     atomic_write_table(final, os.path.join(out_dir, "part.parquet"))
-    write_manifest(
-        man_path,
-        {
-            "bucket": bucket,
-            "terms": final.num_rows,
-            "input_rows": group.num_rows,
-            "config": cfg.fingerprint(),
-        },
-    )
-    return pa.Table.from_pylist(
-        [{"bucket": bucket, "terms": final.num_rows, "section": section}]
-    )
+    manifest = {
+        "bucket": bucket,
+        "terms": final.num_rows,
+        "input_rows": group.num_rows,
+        "config": cfg.fingerprint(),
+    }
+    write_manifest(man_path, manifest)
+    return manifest
 
 
 # ------------------------------------------------------------------ driver
@@ -410,19 +607,57 @@ def build_index(
     ).take_all()
     stage_a_sec = time.time() - t0
 
-    # ---- stage B: bucketed merge (the shuffle)
+    # ---- stage B: per-bucket merge over bucket-row-grouped runs (the
+    # partitioned stage-A write already did the exchange; each bucket
+    # task reads only its row groups via parquet statistics pruning)
     t1 = time.time()
     for section in sections:
         run_files = sorted(
             glob.glob(os.path.join(index_dir, f"sec={section}", "runs", "shard=*", "run.parquet"))
         )
-        # partitioning=None: hive-style `sec=`/`shard=` path segments must
-        # NOT be inferred as partition columns (we carry real columns)
-        runs = ray.data.read_parquet(run_files, partitioning=None)
-        runs.groupby("bucket").map_groups(
-            lambda g, section=section: merge_bucket_group(g, cfg, section, index_dir),
-            batch_format="pyarrow",
-        ).take_all()
+        run_fp = file_fingerprint(run_files)
+        todo = []
+        for b in range(cfg.n_buckets):
+            man = read_manifest(
+                os.path.join(index_dir, f"sec={section}", "postings", f"bucket={b:04d}", "manifest.json")
+            )
+            if not (man and man.get("runs_fingerprint") == run_fp):
+                todo.append(b)
+        if todo:
+            # task-based: one task merges a slice of buckets with ONE
+            # RunReader (metadata parsed once per task, warm workers)
+            def merge_some(batch: pa.Table, section=section) -> pa.Table:
+                t_start = time.time()
+                runs = RunReader(run_files)
+                out = []
+                for b in batch.column("bucket").to_pylist():
+                    t_b = time.time()
+                    m = merge_bucket(cfg, section, index_dir, b, runs)
+                    m["elapsed_sec"] = round(time.time() - t_b, 3)
+                    m["task_started_after_sec"] = round(t_b - t_start, 3)
+                    m["runs_fingerprint"] = run_fp
+                    write_manifest(
+                        os.path.join(
+                            index_dir, f"sec={section}", "postings",
+                            f"bucket={b:04d}", "manifest.json",
+                        ),
+                        m,
+                    )
+                    out.append({"bucket": b, "terms": m["terms"]})
+                return pa.Table.from_pylist(out)
+
+            # modest parallelism: merge work per bucket is small, and a
+            # wide pool of fresh workers costs more in cold start (slow
+            # first-touch pages) than it saves; each task amortizes its
+            # RunReader over several buckets
+            n_tasks = min(concurrency, cfg.stage_b_concurrency, len(todo))
+            ray.data.from_items([{"bucket": b} for b in todo]).map_batches(
+                merge_some,
+                batch_size=max(1, -(-len(todo) // n_tasks)),
+                batch_format="pyarrow",
+                concurrency=n_tasks,
+                num_cpus=1,
+            ).take_all()
     stage_b_sec = time.time() - t1
 
     # ---- stage C: lexicon per section + stats

@@ -66,6 +66,7 @@ def generate_code_corpus(
     lang = np.array([EXT_LANG[p.rsplit(".", 1)[1]] for p in path])
 
     # Zipf-weighted token stream over VOCAB + per-row unique identifiers
+    # (flat token array -> ListArray -> vectorized join, no Python loop)
     probs = 1.0 / np.arange(1, len(VOCAB) + 1)
     probs /= probs.sum()
     lens = rng.integers(min_tokens, max_tokens + 1, size=n_rows)
@@ -74,17 +75,22 @@ def generate_code_corpus(
     tokens = np.array(VOCAB, dtype=object)[tok_idx]
     offsets = np.zeros(n_rows + 1, np.int64)
     np.cumsum(lens, out=offsets[1:])
-    # unique tail identifier once per row (df=1 terms) + occasional non-ASCII
-    contents = []
-    for r in range(n_rows):
-        toks = tokens[offsets[r] : offsets[r + 1]].tolist()
-        toks[len(toks) // 2] = f"uniq_{r:08d}_{seed}"
-        if r % 251 == 0:
-            toks[0] = NON_ASCII_SAMPLES[r % len(NON_ASCII_SAMPLES)]
-        if r % 17 == 0:
-            toks[1] = "x->y(*z)"  # symbols
-        contents.append(" ".join(toks))
-    content = np.array(contents, dtype=object)
+    rows = np.arange(n_rows)
+    # unique tail identifier once per row (df=1 terms)
+    tokens[offsets[:-1] + lens // 2] = np.array(
+        [f"uniq_{r:08d}_{seed}" for r in rows], dtype=object
+    )
+    # occasional non-ASCII (NFKC exercise) + symbol runs
+    na = rows[rows % 251 == 0]
+    tokens[offsets[na]] = np.array(NON_ASCII_SAMPLES, dtype=object)[na % len(NON_ASCII_SAMPLES)]
+    sym = rows[rows % 17 == 0]
+    tokens[offsets[sym] + 1] = "x->y(*z)"
+    tok_arr = pa.array(tokens, pa.large_string())
+    if isinstance(tok_arr, pa.ChunkedArray):
+        tok_arr = tok_arr.combine_chunks()
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), tok_arr)
+    content_arr = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+    contents = content_arr.to_pylist()
 
     sha = np.array([hashlib.sha256(c.encode()).hexdigest() for c in contents])
     table = pa.table(
@@ -93,7 +99,7 @@ def generate_code_corpus(
             "path": path,
             "commit": commit,
             "lang": lang,
-            "content": content,
+            "content": content_arr,  # large_string: >2GB total content
             "content_sha256": sha,
         }
     )

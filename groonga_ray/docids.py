@@ -32,12 +32,17 @@ import pyarrow.parquet as pq
 
 @dataclass
 class Shard:
-    """A contiguous slice of the input: one or more row groups of one file."""
+    """A contiguous row range of one input file.
+
+    Shards may be finer than row groups: reading then slices the
+    overlapping row groups. Shard size bounds each build task's peak
+    memory footprint — size it so tokenize temporaries fit comfortably
+    in a worker's heap (SURVEY.md §4, block/batch sizing).
+    """
 
     shard_id: int
     file: str
-    row_group_start: int
-    row_group_count: int
+    row_start: int   # absolute row offset within the file
     num_rows: int
     docid_base: int  # first docid of this shard (docids are 1-based)
 
@@ -47,36 +52,46 @@ def sorted_file_shards(
     target_rows_per_shard: int = 200_000,
     first_docid: int = 1,
 ) -> list[Shard]:
-    """Split key-sorted files into shards along row-group boundaries.
+    """Split key-sorted files into contiguous row-range shards.
 
     docid of row r within a shard = ``shard.docid_base + r`` (rows keep
-    file order, which is global key order by precondition).
+    file order, which is global key order by precondition). Uses only
+    file metadata — no data pass.
     """
     shards: list[Shard] = []
     base = first_docid
     sid = 0
     for f in sorted(files):
-        meta = pq.ParquetFile(f).metadata
-        rg_rows = [meta.row_group(i).num_rows for i in range(meta.num_row_groups)]
+        n = pq.ParquetFile(f).metadata.num_rows
+        n_shards = max(1, -(-n // target_rows_per_shard))
+        per = -(-n // n_shards)
         start = 0
-        while start < len(rg_rows):
-            count = 0
-            end = start
-            while end < len(rg_rows) and (count == 0 or count + rg_rows[end] <= target_rows_per_shard):
-                count += rg_rows[end]
-                end += 1
-            shards.append(Shard(sid, f, start, end - start, count, base))
+        while start < n:
+            count = min(per, n - start)
+            shards.append(Shard(sid, f, start, count, base))
             base += count
             sid += 1
-            start = end
+            start += count
     return shards
 
 
 def read_shard(shard: Shard, columns: list[str] | None = None):
-    """Read one shard's rows (pyarrow Table)."""
+    """Read one shard's rows (pyarrow Table): reads the overlapping row
+    groups only, then slices to the exact row range."""
     pf = pq.ParquetFile(shard.file)
-    groups = list(range(shard.row_group_start, shard.row_group_start + shard.row_group_count))
-    return pf.read_row_groups(groups, columns=columns)
+    meta = pf.metadata
+    cum = 0
+    groups = []
+    first_grp_start = 0
+    for i in range(meta.num_row_groups):
+        g = meta.row_group(i).num_rows
+        if cum + g > shard.row_start and cum < shard.row_start + shard.num_rows:
+            if not groups:
+                first_grp_start = cum
+            groups.append(i)
+        cum += g
+    tbl = pf.read_row_groups(groups, columns=columns)
+    return tbl.slice(shard.row_start - first_grp_start, shard.num_rows)
 
 
 def compute_rank_mapping(files: list[str], key_columns: list[str], n_ranges: int = 64):

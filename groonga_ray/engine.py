@@ -198,37 +198,172 @@ def _source_docids(table: IndexedTable, tbl: pa.Table) -> np.ndarray:
     return np.arange(1, tbl.num_rows + 1, dtype=np.uint64)
 
 
+def _file_docid_ranges(table: IndexedTable) -> list[tuple[str, int, int]]:
+    """Per-file [first_docid, last_docid] from metadata only.
+
+    docid-column tables rely on parquet column statistics; rank-based
+    tables on the sorted-files prefix sums — either way no data pass.
+    """
+    ranges = []
+    base = 1
+    for f in sorted(table.source_files):
+        pf = pq.ParquetFile(f)
+        meta = pf.metadata
+        if table.docid_column:
+            col_idx = [
+                i for i in range(meta.num_columns)
+                if meta.schema.column(i).path == table.docid_column
+            ][0]
+            lo = min(meta.row_group(i).column(col_idx).statistics.min for i in range(meta.num_row_groups))
+            hi = max(meta.row_group(i).column(col_idx).statistics.max for i in range(meta.num_row_groups))
+            ranges.append((f, int(lo), int(hi)))
+        else:
+            ranges.append((f, base, base + meta.num_rows - 1))
+            base += meta.num_rows
+    return ranges
+
+
 def fetch_docs(table: IndexedTable, docids: np.ndarray, columns: list[str]) -> pa.Table:
-    """Fetch document rows by docid, column-pruned, preserving the
-    order of ``docids``."""
+    """Fetch document rows by docid, column-pruned AND file-pruned
+    (only files whose docid range intersects the request are read —
+    the doc store is the corpus; reading it whole per query would not
+    survive scale). Preserves the order of ``docids``."""
     need = [c for c in columns if c != "_id" and c != "_score"]
-    src_cols = need + ([table.docid_column] if table.docid_column else [])
-    tbl = _read_source(table, src_cols or None)
-    all_ids = _source_docids(table, tbl)
-    # positional lookup: docid -> row
+    if not need:
+        return pa.table({})
+    src_cols = sorted(set(need + ([table.docid_column] if table.docid_column else [])))
+    if len(docids) == 0:
+        tbl = pq.read_table(sorted(table.source_files)[0], columns=src_cols)
+        return tbl.slice(0, 0).select(need)
+    lo, hi = int(docids.min()), int(docids.max())
+    parts = []
+    bases = []
+    for f, flo, fhi in _file_docid_ranges(table):
+        if fhi < lo or flo > hi:
+            continue
+        parts.append(pq.read_table(f, columns=src_cols))
+        bases.append(flo)
+    tbl = pa.concat_tables(parts)
+    if table.docid_column:
+        all_ids = tbl.column(table.docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
+    else:
+        # rank docids: files are docid-contiguous, concatenation keeps order
+        all_ids = np.concatenate(
+            [np.arange(b, b + p.num_rows, dtype=np.uint64) for b, p in zip(bases, parts)]
+        )
     order = np.argsort(all_ids)
     pos = order[np.searchsorted(all_ids[order], docids)]
-    return tbl.take(pa.array(pos)).select(need) if need else pa.table({})
+    return tbl.take(pa.array(pos)).select(need)
 
 
 # ------------------------------------------------------------------ select
+
+def _expand_query_ast(node, expander: dict):
+    """--query_expander (lib/proc.c:330-430): rewrite matching terms
+    with their substitution query before evaluation."""
+    if isinstance(node, TermNode) and node.text in expander and node.mode == "match":
+        return parse_query(expander[node.text])
+    for attr in ("children",):
+        if hasattr(node, attr):
+            setattr(node, attr, [_expand_query_ast(c, expander) for c in getattr(node, attr)])
+    for attr in ("positive", "negative", "base", "adjust"):
+        if hasattr(node, attr) and getattr(node, attr) is not None:
+            setattr(node, attr, _expand_query_ast(getattr(node, attr), expander))
+    return node
+
+
+def _eval_scorer_expr(expr: str, docids, scores, table: IndexedTable) -> np.ndarray:
+    """--scorer per-record expression (lib/proc.c:1126-1150), e.g.
+    ``_score = -n_chars`` or ``_score = _score * 2 + n_chars``.
+    Vectorized over the result set via a restricted AST evaluator."""
+    import ast as pyast
+
+    lhs, rhs = expr.split("=", 1)
+    if lhs.strip() != "_score":
+        raise ValueError(f"scorer expression must assign _score: {expr!r}")
+    tree = pyast.parse(rhs.strip(), mode="eval")
+    names = sorted(
+        {n.id for n in pyast.walk(tree) if isinstance(n, pyast.Name) and n.id != "_score"}
+    )
+    cols = fetch_docs(table, docids, names) if names else None
+    env = {"_score": scores}
+    for c in names:
+        env[c] = cols.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def ev(n):
+        if isinstance(n, pyast.Expression):
+            return ev(n.body)
+        if isinstance(n, pyast.BinOp):
+            a, b = ev(n.left), ev(n.right)
+            if isinstance(n.op, pyast.Add):
+                return a + b
+            if isinstance(n.op, pyast.Sub):
+                return a - b
+            if isinstance(n.op, pyast.Mult):
+                return a * b
+            if isinstance(n.op, pyast.Div):
+                return a / b
+            if isinstance(n.op, pyast.Mod):
+                return a % b
+            raise ValueError(f"unsupported operator in scorer: {n.op}")
+        if isinstance(n, pyast.UnaryOp) and isinstance(n.op, pyast.USub):
+            return -ev(n.operand)
+        if isinstance(n, pyast.Name):
+            return env[n.id]
+        if isinstance(n, pyast.Constant) and isinstance(n.value, (int, float)):
+            return float(n.value)
+        raise ValueError(f"unsupported scorer expression node: {n!r}")
+
+    return np.asarray(ev(tree), np.float64)
+
+
+_ADJUSTER_RE = None
+
+
+def _apply_adjuster(adjuster: str, result: MatchResult, reader: IndexReader) -> MatchResult:
+    """--adjuster ``col @ "term" * factor [+ ...]``
+    (grn_select_apply_adjuster, lib/proc.c:516-548): add factor * tf to
+    matching documents' scores; never adds documents."""
+    import re as _re
+
+    global _ADJUSTER_RE
+    if _ADJUSTER_RE is None:
+        _ADJUSTER_RE = _re.compile(r'(\w+)\s*@\s*"([^"]+)"(?:\s*\*\s*([0-9.]+))?')
+    for col, term, factor in _ADJUSTER_RE.findall(adjuster):
+        f = float(factor) if factor else 1.0
+        si = reader.section(col)
+        tid = si.term_id(term)
+        if tid is None:
+            continue
+        pl = si.postings(tid)
+        bump = MatchResult(pl.docids.copy(), pl.tfs.astype(np.float64) * f)
+        result = op_adjust(result, bump)
+    return result
+
 
 def select(
     table: IndexedTable,
     query: str | None = None,
     match_columns: str | None = None,
     scorer: str | None = None,
+    scorer_expr: str | None = None,
+    adjuster: str | None = None,
+    query_expander: dict | None = None,
     sortby: str = "-_score",
     output_columns: tuple[str, ...] = ("_id", "_score"),
     offset: int = 0,
     limit: int = 10,
     drilldown: str | None = None,
     drilldown_limit: int = 10,
+    drilldown_calc_types: tuple[str, ...] = (),
+    drilldown_calc_target: str | None = None,
 ) -> dict:
     """Returns {"hits": int, "rows": pa.Table, "drilldown": pa.Table?}.
 
-    ``limit=-1`` returns all rows (the reference's negative-limit wrap,
-    lib/util.c:37-80).
+    Mirrors grn_select's parameter surface and stage order
+    (lib/proc.c:876-1195): match -> adjuster -> scorer expr -> sort ->
+    projection -> drilldown. ``limit=-1`` returns all rows (negative
+    offset/limit wrap, lib/util.c:37-80).
     """
     reader = table.reader()
     spec = parse_match_columns(match_columns) if match_columns else MatchSpec(
@@ -239,9 +374,19 @@ def select(
 
     if query:
         ast = parse_query(query)
+        if query_expander:
+            ast = _expand_query_ast(ast, query_expander)
         result = _eval_node(ast, reader, spec, table)
     else:
         result = _all_docs(reader)
+
+    if adjuster and result.nhits:
+        result = _apply_adjuster(adjuster, result, reader)
+    if scorer_expr and result.nhits:
+        result = MatchResult(
+            result.docids,
+            _eval_scorer_expr(scorer_expr, result.docids, result.scores, table),
+        )
 
     nhits = result.nhits
     if limit < 0:
@@ -269,7 +414,14 @@ def select(
         ]
         docids, scores = result.docids[order], result.scores[order]
 
-    # ---- projection
+    # ---- projection ("*" = all doc-store columns, grn_obj_columns
+    # lib/db.c:11187-11260)
+    if "*" in output_columns:
+        first = pq.ParquetFile(sorted(table.source_files)[0])
+        all_cols = [n for n in first.schema_arrow.names]
+        output_columns = tuple(
+            c for c in output_columns if c != "*"
+        ) + tuple(all_cols)
     out: dict[str, pa.Array] = {}
     doc_cols = [c for c in output_columns if c not in ("_id", "_score", "_score_int")]
     fetched = fetch_docs(table, docids, doc_cols) if doc_cols else None
@@ -286,19 +438,118 @@ def select(
 
     result_dict = {"hits": nhits, "rows": rows}
     if drilldown:
-        # group the FULL result set by a doc column (grn_table_group)
-        dd_tbl = fetch_docs(table, result.docids, [drilldown])
-        grouped = (
-            dd_tbl.append_column("_one", pa.array(np.ones(dd_tbl.num_rows, np.int64)))
-            .group_by(drilldown)
-            .aggregate([("_one", "sum")])
-            .rename_columns([drilldown, "_nsubrecs"])
-        )
+        # group the FULL result set by a doc column (grn_table_group,
+        # lib/db.c:3812-3895) with optional MAX/MIN/SUM/AVG calc types
+        # on a calc target (drilldown_calc_types, lib/rset.c:19-200)
+        need = [drilldown] + ([drilldown_calc_target] if drilldown_calc_target else [])
+        dd_tbl = fetch_docs(table, result.docids, need)
+        aggs = [("_one", "sum")]
+        dd_tbl = dd_tbl.append_column("_one", pa.array(np.ones(dd_tbl.num_rows, np.int64)))
+        names = [drilldown, "_nsubrecs"]
+        calc_map = {"MAX": "max", "MIN": "min", "SUM": "sum", "AVG": "mean"}
+        for ct in drilldown_calc_types:
+            aggs.append((drilldown_calc_target, calc_map[ct.upper()]))
+            names.append(f"_{ct.lower()}" if ct.upper() != "AVG" else "_avg")
+        grouped = dd_tbl.group_by(drilldown).aggregate(aggs)
+        # arrow names aggregates "<col>_<agg>"; map to _nsubrecs/_max/...
+        out_cols = {drilldown: grouped.column(drilldown), "_nsubrecs": grouped.column("_one_sum")}
+        for ct in drilldown_calc_types:
+            src = f"{drilldown_calc_target}_{calc_map[ct.upper()]}"
+            dst = "_avg" if ct.upper() == "AVG" else f"_{ct.lower()}"
+            out_cols[dst] = grouped.column(src)
+        grouped = pa.table(out_cols)
         order = pc.sort_indices(
             grouped, sort_keys=[("_nsubrecs", "descending"), (drilldown, "ascending")]
         )
         result_dict["drilldown"] = grouped.take(order).slice(0, drilldown_limit)
     return result_dict
+
+
+# ------------------------------------------------------- batch queries
+
+class QueryActor:
+    """Actor-pool stage for batch query evaluation: the IndexReader
+    (lexicon, stats, doclens, posting caches) is loaded ONCE per actor
+    in ``__init__``; each ``__call__`` evaluates a batch of query rows
+    ``(qid, query, match_columns, scorer, top_k)`` and emits
+    ``(qid, rank, doc_id, score)`` — the stateful-stage pattern the
+    reference realizes with per-worker mmap'd indexes
+    (thread-per-request over shared mmap, SURVEY.md §4)."""
+
+    def __init__(self, table: IndexedTable):
+        self.table = table
+        self.reader = table.reader()  # loads lexicon + stats once
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"qid": [], "rank": [], "doc_id": [], "score": []}
+        n = batch.num_rows
+        get = lambda col, i, default: (
+            batch.column(col)[i].as_py() if col in batch.column_names else default
+        )
+        for i in range(n):
+            qid = get("qid", i, i)
+            res = select(
+                self.table,
+                query=get("query", i, None),
+                match_columns=get("match_columns", i, None),
+                scorer=get("scorer", i, None),
+                limit=int(get("top_k", i, 10)),
+            )
+            rows = res["rows"]
+            ids = rows.column("_id").to_pylist()
+            scores = rows.column("_score").to_pylist()
+            for r, (d, s) in enumerate(zip(ids, scores), 1):
+                out["qid"].append(qid)
+                out["rank"].append(r)
+                out["doc_id"].append(int(d))
+                out["score"].append(float(s))
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "rank": pa.array(out["rank"], pa.int32()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+            }
+        )
+
+
+def run_query_batch(table: IndexedTable, queries, concurrency: int = 2, batch_size: int = 64):
+    """Evaluate a Dataset/table of query rows with a QueryActor pool."""
+    import ray.data
+
+    ds = queries if hasattr(queries, "map_batches") else ray.data.from_arrow(queries)
+    return ds.map_batches(
+        QueryActor,
+        fn_constructor_args=(table,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def select_v1(table: IndexedTable, **kwargs) -> list:
+    """Command-version-1 envelope ``[[nhits], [cols], rows...]`` with
+    the Int32 _score truncation (lib/output.c:569-570, 1165-1167) —
+    for conformance diffing against reference-style outputs."""
+    from . import score as score_mod
+
+    res = select(table, **kwargs)
+    rows = res["rows"]
+    cols = []
+    body_cols = []
+    for name in rows.column_names:
+        if name == "_score":
+            cols.append(["_score", "Int32"])
+            body_cols.append(score_mod.score_int32(rows.column(name).to_numpy()).tolist())
+        elif name == "_id":
+            cols.append(["_id", "UInt32"])
+            body_cols.append([int(v) for v in rows.column(name).to_pylist()])
+        else:
+            cols.append([name, str(rows.column(name).type)])
+            body_cols.append(rows.column(name).to_pylist())
+    body = [list(r) for r in zip(*body_cols)] if body_cols else []
+    return [[res["hits"]], cols, *body]
 
 
 # ------------------------------------------------------------- token dump

@@ -246,6 +246,149 @@ def _apply_scorer(scorer, docids, noccur, infos, n_docs, avgdl, doclens, weight)
     return score_mod.default_score(noccur.astype(np.float64), 0.0, weight)
 
 
+def near_match(
+    si: SectionIndex,
+    tokens: list[tuple[str, int]],
+    max_interval: int,
+    *,
+    n_docs: int,
+    avgdl: float = 1.0,
+    doclens: np.ndarray | None = None,
+    weight: float = 1.0,
+    use_offsets: bool = True,
+    scorer: str = "default",
+) -> MatchResult:
+    """NEAR / NEAR2 match (reference lib/ii.c:6481-6497): all tokens in
+    the same document with position span (max-min) <= max_interval.
+    NEAR adjusts each token's positions by its query offset
+    (``use_offsets=True``); NEAR2 uses raw positions
+    (token_info_clear_offset, lib/ii.c:6364). ``noccur`` counts the
+    windows found by the reference's sliding min/max walk.
+    """
+    infos = build_token_infos(si, tokens, with_positions=True)
+    if infos is None:
+        return MatchResult.empty()
+    order = sorted(range(len(infos)), key=lambda i: infos[i].df)
+    cand = infos[order[0]].postings.docids
+    for i in order[1:]:
+        cand = cand[np.isin(cand, infos[i].postings.docids)]
+        if len(cand) == 0:
+            return MatchResult.empty()
+
+    out_docs: list[int] = []
+    out_n: list[int] = []
+    # per-candidate-doc sliding window over k sorted position lists
+    # (candidate sets are small after the intersection; the reference's
+    # btr walk is likewise per-record)
+    per_doc_pos = []
+    for ti in infos:
+        pl = ti.postings
+        idx = {int(d): j for j, d in enumerate(pl.docids.tolist())}
+        per_doc_pos.append((pl, idx, ti.offset - infos[0].offset if use_offsets else 0))
+    for d in cand.tolist():
+        lists = []
+        for pl, idx, off in per_doc_pos:
+            j = idx[int(d)]
+            p = pl.positions[pl.pos_offsets[j] : pl.pos_offsets[j + 1]].astype(np.int64) - off
+            lists.append(p)
+        ptr = [0] * len(lists)
+        noccur = 0
+        alive = True
+        while alive:
+            vals = [lists[i][ptr[i]] for i in range(len(lists))]
+            mn_i = int(np.argmin(vals))
+            mn, mx = int(vals[mn_i]), int(max(vals))
+            if mx - mn <= max_interval:
+                noccur += 1
+                target = mx + 1
+            else:
+                target = mx - max_interval
+            li = lists[mn_i]
+            k = int(np.searchsorted(li, target))
+            if k >= len(li):
+                alive = False
+            else:
+                ptr[mn_i] = k
+        if noccur:
+            out_docs.append(d)
+            out_n.append(noccur)
+    if not out_docs:
+        return MatchResult.empty()
+    docids = np.array(out_docs, np.uint64)
+    noccur = np.array(out_n, np.int64)
+    scores = _apply_scorer(scorer, docids, noccur, infos, n_docs, avgdl, doclens, weight)
+    return MatchResult(docids, scores)
+
+
+def similar_match(
+    si: SectionIndex,
+    text: str,
+    similarity_threshold: int = 0,
+    max_size: int = 1 << 20,
+    *,
+    n_docs: int,
+    avgdl: float = 1.0,
+    doclens: np.ndarray | None = None,
+    weight: float = 1.0,
+) -> MatchResult:
+    """SIMILAR search (grn_ii_similar_search, lib/ii.c:5836-5960):
+    tokenize the text, weight each distinct token by
+    ``count_in_query + max_size/df̂`` (rarity), keep the top
+    ``similarity_threshold`` tokens (default size/8+1), OR their
+    postings with ``score = w1 * weight * tf``."""
+    from .tokenize import WordTokenizer
+
+    toks = WordTokenizer().tokenize_text(text)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    weighted: list[tuple[int, int]] = []  # (w1, tid)
+    for term, c in counts.items():
+        tid = si.term_id(term)
+        if tid is None:
+            continue
+        est = si.df_estimate(tid)
+        if est == 0:
+            continue
+        weighted.append((c + max_size // est, tid))
+    if not weighted:
+        return MatchResult.empty()
+    limit = similarity_threshold if similarity_threshold else (len(weighted) >> 3) + 1
+    limit = min(limit, len(weighted))
+    weighted.sort(key=lambda x: -x[0])
+    acc = MatchResult.empty()
+    for w1, tid in weighted[:limit]:
+        pl = si.postings(tid)
+        scores = pl.tfs.astype(np.float64) * float(w1) * weight
+        acc = op_or(acc, MatchResult(pl.docids.copy(), scores))
+    return acc
+
+
+def term_extract(si: SectionIndex, text: str) -> list[tuple[str, int]]:
+    """TERM_EXTRACT (grn_ii_term_extract, lib/ii.c:5966-6046): walk the
+    text; at each word boundary find the LONGEST lexicon term that is a
+    prefix of the remaining normalized text (grn_table_lcp_search
+    analogue over the sorted lexicon). Returns [(term, char_offset)]."""
+    norm = text.lower()
+    out: list[tuple[str, int]] = []
+    i = 0
+    n = len(norm)
+    while i < n:
+        # longest lexicon term that prefixes norm[i:]
+        best = None
+        rng = si.prefix_range(norm[i : i + 1])
+        for tid in rng:
+            t = si.term_at(tid)
+            if norm.startswith(t, i) and (best is None or len(t) > len(best)):
+                best = t
+        if best:
+            out.append((best, i))
+            i += len(best)
+        else:
+            i += 1
+    return out
+
+
 # ---------------------------------------------------------------- booleans
 
 def op_or(a: MatchResult, b: MatchResult) -> MatchResult:

@@ -301,15 +301,14 @@ class WordTokenizer:
         np.cumsum(tokens_per_row[:-1], out=first_tok[1:])
         positions = (np.arange(len(starts)) - first_tok[row_idx]).astype(np.uint32)
 
-        # vectorized range-gather of token bytes
+        # vectorized range-gather of token bytes (int32 arithmetic: the
+        # gather index is the largest temporary; batches are < 2 GiB)
         out_off = np.zeros(len(starts) + 1, np.int64)
         np.cumsum(lens, out=out_off[1:])
         total = int(out_off[-1])
-        gather = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(out_off[:-1], lens)
-            + np.repeat(starts, lens)
-        )
+        gather = np.arange(total, dtype=np.int32)
+        gather -= np.repeat(out_off[:-1].astype(np.int32), lens)
+        gather += np.repeat(starts.astype(np.int32), lens)
         token_bytes = view[gather]
         terms = pa.LargeStringArray.from_buffers(
             len(starts), pa.py_buffer(out_off), pa.py_buffer(token_bytes)

@@ -13,6 +13,43 @@ import pyarrow as pa
 FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)
 
+_MALLOC_TUNED = False
+
+
+def tune_malloc() -> None:
+    """Keep large allocations on the heap instead of mmap/munmap.
+
+    In sandboxed kernels first-touch page faults can run ~60x slower
+    than normal (measured ~35 MB/s here); glibc serves >128KB
+    allocations via mmap and returns them to the OS on free, so every
+    large numpy temporary pays that cost again. Raising
+    M_MMAP_THRESHOLD / M_TRIM_THRESHOLD makes freed pages stay pooled
+    (measured: repeated 160MB alloc+fill 1.56s -> 0.03s). Idempotent,
+    harmless on normal kernels; called on package import so Ray worker
+    processes get it too."""
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return
+    _MALLOC_TUNED = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+    try:
+        # Arrow's default (jemalloc/mimalloc) pool releases pages back
+        # to the OS on its own schedule, bypassing the mallopt pooling
+        # above — every Arrow buffer then re-pays the slow first touch.
+        # The system pool routes Arrow through the tuned glibc malloc.
+        import pyarrow as _pa
+
+        _pa.set_memory_pool(_pa.system_memory_pool())
+    except Exception:
+        pass
+
 
 def fnv1a(strings: pa.Array) -> np.ndarray:
     """Stable FNV-1a 64-bit hash of each UTF-8 string, vectorized.

@@ -1,0 +1,176 @@
+"""Tests for the extended operator set: NEAR, SIMILAR, TERM_EXTRACT,
+scorer expressions, adjuster, query expander, drilldown calc types."""
+
+import numpy as np
+import pytest
+
+from groonga_ray.build import BuildConfig, build_index
+from groonga_ray.engine import IndexedTable, select
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def doc_table(ray_session, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("extidx"))
+    files = [f"{SF}/documents.parquet"]
+    cfg = BuildConfig(
+        text_columns=("text",), docid_column="doc_id",
+        n_buckets=8, target_rows_per_shard=200, hot_local_df=150,
+    )
+    build_index(files, index_dir, cfg)
+    return IndexedTable(index_dir, files, "doc_id")
+
+
+def _texts():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def test_near(doc_table):
+    from groonga_ray.search import near_match
+    from groonga_ray.index import IndexReader
+
+    r = IndexReader(doc_table.index_dir)
+    si = r.section("text")
+    m = near_match(
+        si, [("spark", 0), ("window", 1)], max_interval=3,
+        n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens(),
+    )
+    # oracle: docs where some |pos(spark) - (pos(window)-1)| <= 3
+    import re
+
+    texts = _texts()
+    want = set()
+    for d, tx in texts.items():
+        words = re.findall(r"[a-z0-9_]+", tx.lower())
+        p1 = [i for i, w in enumerate(words) if w == "spark"]
+        p2 = [i - 1 for i, w in enumerate(words) if w == "window"]
+        if p1 and p2 and min(abs(a - b) for a in p1 for b in p2) <= 3:
+            want.add(d)
+    assert set(m.docids.tolist()) == want
+    assert len(want) > 0
+
+
+def test_near2_no_offsets(doc_table):
+    from groonga_ray.search import near_match
+    from groonga_ray.index import IndexReader
+
+    r = IndexReader(doc_table.index_dir)
+    si = r.section("text")
+    m = near_match(
+        si, [("spark", 0), ("window", 1)], max_interval=0, use_offsets=False,
+        n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens(),
+    )
+    # NEAR2 interval 0: spark and window at the same raw position -> impossible
+    assert m.nhits == 0
+
+
+def test_similar_search(doc_table):
+    from groonga_ray.search import similar_match
+    from groonga_ray.index import IndexReader
+
+    r = IndexReader(doc_table.index_dir)
+    si = r.section("text")
+    texts = _texts()
+    m = similar_match(
+        si, texts[0], similarity_threshold=3,
+        n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens(),
+    )
+    assert m.nhits > 0
+    assert 0 in m.docids.tolist()  # the doc itself should match
+
+
+def test_scorer_expression(doc_table):
+    res = select(
+        doc_table, query="spark", match_columns="text",
+        scorer_expr="_score = -n_chars", limit=5,
+        output_columns=("_id", "_score", "n_chars"),
+    )
+    rows = res["rows"]
+    s = rows.column("_score").to_numpy()
+    n = rows.column("n_chars").to_numpy()
+    assert (s == -n).all()
+    assert (np.diff(s) <= 0).all()  # sorted by -_score
+
+
+def test_adjuster(doc_table):
+    base = select(doc_table, query="spark", match_columns="text", limit=-1)
+    adj = select(
+        doc_table, query="spark", match_columns="text",
+        adjuster='text @ "window" * 5', limit=-1,
+    )
+    assert adj["hits"] == base["hits"]
+    b = dict(zip(base["rows"].column("_id").to_pylist(), base["rows"].column("_score").to_pylist()))
+    a = dict(zip(adj["rows"].column("_id").to_pylist(), adj["rows"].column("_score").to_pylist()))
+    bumped = [d for d in a if a[d] > b[d]]
+    assert bumped, "some spark docs containing window must get bumped"
+    # bump amount = 5 * tf(window)
+    import re
+
+    texts = _texts()
+    for d in bumped[:5]:
+        tfw = len([w for w in re.findall(r"[a-z0-9_]+", texts[d].lower()) if w == "window"])
+        assert a[d] - b[d] == pytest.approx(5.0 * tfw)
+
+
+def test_query_expander(doc_table):
+    plain = select(doc_table, query="spark", match_columns="text", limit=-1)
+    expanded = select(
+        doc_table, query="spark", match_columns="text", limit=-1,
+        query_expander={"spark": "(spark OR window)"},
+    )
+    assert expanded["hits"] > plain["hits"]
+
+
+def test_drilldown_calc(doc_table):
+    res = select(
+        doc_table, query="spark", match_columns="text",
+        drilldown="lang", drilldown_calc_types=("MAX", "MIN", "SUM", "AVG"),
+        drilldown_calc_target="n_chars", drilldown_limit=100,
+    )
+    dd = res["drilldown"].to_pandas().set_index("lang")
+    import duckdb
+
+    want = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '')) AS term
+          FROM '{SF}/documents.parquet')
+        SELECT lang, count(*) AS n, max(n_chars) AS mx, min(n_chars) AS mn,
+               sum(n_chars) AS sm, avg(n_chars) AS av
+        FROM '{SF}/documents.parquet'
+        WHERE doc_id IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+        GROUP BY lang
+        """
+    ).df().set_index("lang")
+    for lang in want.index:
+        assert dd.loc[lang, "_nsubrecs"] == want.loc[lang, "n"]
+        assert dd.loc[lang, "_max"] == want.loc[lang, "mx"]
+        assert dd.loc[lang, "_min"] == want.loc[lang, "mn"]
+        assert dd.loc[lang, "_sum"] == want.loc[lang, "sm"]
+        assert dd.loc[lang, "_avg"] == pytest.approx(want.loc[lang, "av"])
+
+
+def test_term_extract(doc_table):
+    from groonga_ray.search import term_extract
+    from groonga_ray.index import IndexReader
+
+    r = IndexReader(doc_table.index_dir)
+    si = r.section("text")
+    # longest-prefix walk of a text against the lexicon
+    hits = term_extract(si, "sparkly windows scan")
+    terms = [t for t, _ in hits]
+    assert "spark" in terms  # longest lexicon prefix of "sparkly"
+    assert "window" in terms
+    assert "scan" in terms
+
+
+def test_select_output_columns_star(doc_table):
+    res = select(doc_table, query="spark", match_columns="text",
+                 output_columns=("*",), limit=3)
+    cols = set(res["rows"].column_names)
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= cols

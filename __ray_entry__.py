@@ -253,6 +253,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _round(out, "avg_chars", 6)
 
+    def ft_filter(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, query="spark", match_columns="text",
+            filter="between(n_chars, 150, 350)", limit=-1,
+            output_columns=("_id", "n_chars"),
+        )
+        return pa.table(
+            {
+                "doc_id": res["rows"].column("_id").cast(pa.int64()),
+                "n_chars": res["rows"].column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    def edit_dist(sf_dir):
+        import pyarrow.parquet as pq
+        from groonga_ray.functions import edit_distance_batch
+
+        tbl = pq.read_table(_files(sf_dir, "documents")[0], columns=["doc_id", "source"])
+        d = edit_distance_batch(tbl.column("source").combine_chunks(), pa.scalar("src1"))
+        return pa.table(
+            {"doc_id": tbl.column("doc_id").cast(pa.int64()), "dist": pa.array(d, pa.int64())}
+        )
+
     def content_sha(sf_dir):
         from groonga_ray.engine import fetch_docs
         import pyarrow.parquet as pq
@@ -511,6 +537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_scorer_expr": ft_scorer_expr,
         "ft_adjuster": ft_adjuster,
         "drill_calc": drill_calc,
+        "ft_filter": ft_filter,
+        "edit_dist": edit_dist,
         "ft_doclen": ft_doclen,
         "ft_sections_weighted": ft_sections_weighted,
         "content_sha": content_sha,
@@ -638,6 +666,13 @@ FROM documents
 WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
 GROUP BY lang
 """,
+        "ft_filter": f"""
+{_TOKS}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+  AND d.n_chars BETWEEN 150 AND 350
+""",
+        "edit_dist": "SELECT doc_id, levenshtein(source, 'src1')::BIGINT AS dist FROM documents",
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "drill_lang": f"""
 {_TOKS}

@@ -1,0 +1,146 @@
+"""Thin CLI — the analogue of the reference's standalone REPL / command
+surface (src/groonga.c:359 do_alone; command dispatch lib/ctx.c:1529).
+
+Commands: build, select, tokenize, normalize, dump-tokens, status.
+Run via ``python -m groonga_ray.cli <command> ...`` or submit the whole
+thing as a Ray job (``ray job submit -- python -m groonga_ray.cli build ...``).
+
+Owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args):
+    from .build import BuildConfig, build_index
+
+    _ray_init(args.num_cpus)
+    cfg = BuildConfig(
+        text_columns=tuple(args.columns.split(",")),
+        docid_column=args.docid_column,
+        n_buckets=args.buckets,
+        target_rows_per_shard=args.rows_per_shard,
+    )
+    meta = build_index(sorted(args.files), args.index, cfg, concurrency=args.concurrency)
+    print(json.dumps(meta, indent=1))
+
+
+def cmd_select(args):
+    from .engine import IndexedTable, select_v1
+
+    table = IndexedTable(args.index, sorted(args.files), args.docid_column)
+    env = select_v1(
+        table,
+        query=args.query,
+        filter=args.filter,
+        match_columns=args.match_columns,
+        scorer=args.scorer,
+        limit=args.limit,
+        offset=args.offset,
+        output_columns=tuple(args.output_columns.split(",")),
+        drilldown=args.drilldown,
+    )
+    print(json.dumps(env, ensure_ascii=False))
+
+
+def cmd_tokenize(args):
+    from .tokenize import tokenize
+
+    stream = tokenize(args.text, args.tokenizer, mode=args.mode.lower())
+    out = [
+        {"value": t.term, "position": t.pos,
+         "force_prefix": bool(stream.force_prefix and i == len(stream.tokens) - 1)}
+        for i, t in enumerate(stream.tokens)
+    ]
+    print(json.dumps([[0, 0.0, 0.0], out], ensure_ascii=False))
+
+
+def cmd_normalize(args):
+    from .normalize import normalize
+
+    norm, classes, blanks = normalize(args.text)
+    print(json.dumps([[0, 0.0, 0.0], {"normalized": norm, "types": classes.tolist()}],
+                     ensure_ascii=False))
+
+
+def cmd_status(args):
+    import os
+
+    meta_path = os.path.join(args.index, "meta.json")
+    with open(meta_path) as fh:
+        print(json.dumps(json.load(fh), indent=1))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="groonga_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--index", required=True)
+    b.add_argument("--columns", default="content")
+    b.add_argument("--docid-column", default=None)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--rows-per-shard", type=int, default=200_000)
+    b.add_argument("--concurrency", type=int, default=None)
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument("files", nargs="+")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("select")
+    s.add_argument("--index", required=True)
+    s.add_argument("--docid-column", default=None)
+    s.add_argument("--query", default=None)
+    s.add_argument("--filter", default=None)
+    s.add_argument("--match-columns", dest="match_columns", default=None)
+    s.add_argument("--scorer", default=None)
+    s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--offset", type=int, default=0)
+    s.add_argument("--output-columns", dest="output_columns", default="_id,_score")
+    s.add_argument("--drilldown", default=None)
+    s.add_argument("files", nargs="+")
+    s.set_defaults(fn=cmd_select)
+
+    t = sub.add_parser("tokenize")
+    t.add_argument("tokenizer")
+    t.add_argument("text")
+    t.add_argument("--mode", default="ADD")
+    t.set_defaults(fn=cmd_tokenize)
+
+    n = sub.add_parser("normalize")
+    n.add_argument("text")
+    n.set_defaults(fn=cmd_normalize)
+
+    st = sub.add_parser("status")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_status)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

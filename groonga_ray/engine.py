@@ -341,9 +341,52 @@ def _apply_adjuster(adjuster: str, result: MatchResult, reader: IndexReader) -> 
     return result
 
 
+def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec: MatchSpec) -> MatchResult:
+    """--filter script expression: index-capable `col @ "text"` units
+    run through the posting lists; the residual predicate runs as a
+    vectorized column scan (grn_table_select_index vs _sequential,
+    lib/expr.c:5038/4673)."""
+    from .script import eval_filter, parse_filter, split_filter
+
+    plan = split_filter(parse_filter(filter_str))
+    acc: MatchResult | None = None
+    for col, text in plan.matches:
+        si = reader.section(col)
+        kw = dict(
+            n_docs=reader.n_docs, avgdl=reader.avgdl(col),
+            doclens=reader.doclens(col), weight=1.0,
+        )
+        m = term_match(si, _query_tokens(text), spec.scorer, **kw)
+        acc = m if acc is None else op_and(acc, m)
+    if plan.predicate is not None:
+        cols = set()
+
+        def collect(n):
+            if n[0] == "col":
+                cols.add(n[1])
+            for child in n[1:]:
+                if isinstance(child, tuple):
+                    collect(child)
+                elif isinstance(child, list):
+                    for c in child:
+                        collect(c)
+
+        collect(plan.predicate)
+        need = sorted(cols | ({table.docid_column} if table.docid_column else set()))
+        tbl = _read_source(table, need)
+        mask = eval_filter(plan.predicate, tbl)
+        mask_np = np.asarray(mask.to_numpy(zero_copy_only=False), bool)
+        docids = _source_docids(table, tbl)[mask_np]
+        order = np.argsort(docids)
+        m = MatchResult(docids[order].astype(np.uint64), np.zeros(int(mask_np.sum()), np.float64))
+        acc = m if acc is None else op_and(acc, m)
+    return acc if acc is not None else MatchResult.empty()
+
+
 def select(
     table: IndexedTable,
     query: str | None = None,
+    filter: str | None = None,
     match_columns: str | None = None,
     scorer: str | None = None,
     scorer_expr: str | None = None,
@@ -379,6 +422,10 @@ def select(
         result = _eval_node(ast, reader, spec, table)
     else:
         result = _all_docs(reader)
+
+    if filter:
+        fres = _eval_filter(filter, reader, table, spec)
+        result = op_and(result, fres) if query else fres
 
     if adjuster and result.nhits:
         result = _apply_adjuster(adjuster, result, reader)

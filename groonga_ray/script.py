@@ -1,0 +1,290 @@
+"""Script-syntax (``--filter``) expression subset.
+
+The reference compiles an ECMAScript-ish grammar to stack bytecode run
+by an expression VM (lib/grn_ecmascript.lemon, grn_expr_exec
+lib/expr.c:2330-2780). Here the supported subset — comparisons,
+arithmetic, &&/||/!, parentheses, column refs, literals, and the
+``@`` match operator plus selector functions ``between(col, min, max)``
+/ ``in_values(col, v...)`` (lib/proc.c:5570, 6161) — is parsed with a
+small recursive-descent parser and evaluated VECTORIZED per batch with
+pyarrow.compute (the planner analogue of scan_info_build routing
+match predicates to the index and the rest to a column scan,
+lib/expr.c:4360).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass
+class FilterPlan:
+    """Split of a filter into index-capable match terms and a residual
+    columnar predicate (mirrors scan_info units)."""
+
+    matches: list[tuple[str, str]]          # (column, query_text) from `col @ "text"`
+    predicate: object | None                # AST for columnar evaluation
+    conjunctive: bool = True
+
+
+class _P:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def ws(self):
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def peek(self, k=1):
+        return self.s[self.i : self.i + k]
+
+    def eat(self, tok: str) -> bool:
+        self.ws()
+        if self.s[self.i : self.i + len(tok)] == tok:
+            self.i += len(tok)
+            return True
+        return False
+
+    def parse(self):
+        node = self.parse_or()
+        self.ws()
+        if self.i < len(self.s):
+            raise ValueError(f"trailing filter input: {self.s[self.i:]!r}")
+        return node
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.eat("||"):
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while True:
+            self.ws()
+            if self.peek(2) == "&&":
+                self.i += 2
+                left = ("and", left, self.parse_not())
+            elif self.peek(2) == "&!":
+                self.i += 2
+                left = ("and_not", left, self.parse_not())
+            else:
+                return left
+
+    def parse_not(self):
+        self.ws()
+        if self.eat("!"):
+            return ("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        self.ws()
+        for op in ("==", "!=", "<=", ">=", "@^", "@$", "@", "<", ">"):
+            if self.eat(op):
+                right = self.parse_add()
+                return (op, left, right)
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while True:
+            self.ws()
+            if self.peek() == "+" and self.peek(2) != "+=":
+                self.i += 1
+                left = ("+", left, self.parse_mul())
+            elif self.peek() == "-":
+                self.i += 1
+                left = ("-", left, self.parse_mul())
+            else:
+                return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while True:
+            self.ws()
+            if self.peek() == "*":
+                self.i += 1
+                left = ("*", left, self.parse_unary())
+            elif self.peek() == "/":
+                self.i += 1
+                left = ("/", left, self.parse_unary())
+            elif self.peek() == "%":
+                self.i += 1
+                left = ("%", left, self.parse_unary())
+            else:
+                return left
+
+    def parse_unary(self):
+        self.ws()
+        if self.eat("-"):
+            return ("neg", self.parse_unary())
+        return self.parse_atom()
+
+    def parse_atom(self):
+        self.ws()
+        c = self.peek()
+        if c == "(":
+            self.i += 1
+            node = self.parse_or()
+            if not self.eat(")"):
+                raise ValueError("unbalanced ( in filter")
+            return node
+        if c in "\"'":
+            quote = c
+            self.i += 1
+            start = self.i
+            while self.i < len(self.s) and self.s[self.i] != quote:
+                self.i += 1
+            val = self.s[start : self.i]
+            self.i += 1
+            return ("str", val)
+        # number or identifier / function call
+        start = self.i
+        while self.i < len(self.s) and (self.s[self.i].isalnum() or self.s[self.i] in "._"):
+            self.i += 1
+        word = self.s[start : self.i]
+        if not word:
+            raise ValueError(f"unexpected char in filter at {self.i}: {self.s[self.i:]!r}")
+        try:
+            return ("num", float(word) if "." in word else int(word))
+        except ValueError:
+            pass
+        self.ws()
+        if self.peek() == "(":
+            self.i += 1
+            args = []
+            while True:
+                self.ws()
+                if self.eat(")"):
+                    break
+                args.append(self.parse_or())
+                self.ws()
+                self.eat(",")
+            return ("call", word, args)
+        if word == "true":
+            return ("num", True)
+        if word == "false":
+            return ("num", False)
+        return ("col", word)
+
+
+def parse_filter(s: str):
+    return _P(s).parse()
+
+
+def split_filter(ast) -> FilterPlan:
+    """Route top-level AND-ed `col @ "text"` terms to the index; keep
+    the rest as a columnar predicate (scan_info_build analogue).
+    Non-AND shapes fall back entirely to the columnar scan."""
+    matches: list[tuple[str, str]] = []
+
+    def walk(n):
+        if n[0] == "and":
+            left = walk(n[1])
+            right = walk(n[2])
+            if left is None:
+                return right
+            if right is None:
+                return left
+            return ("and", left, right)
+        if n[0] == "@" and n[1][0] == "col" and n[2][0] == "str":
+            matches.append((n[1][1], n[2][1]))
+            return None
+        return n
+
+    residual = walk(ast)
+    return FilterPlan(matches, residual)
+
+
+def eval_filter(ast, batch: pa.Table):
+    """Evaluate a filter AST against a record batch -> BooleanArray /
+    value array, fully vectorized."""
+
+    def ev(n):
+        kind = n[0]
+        if kind == "col":
+            return batch.column(n[1])
+        if kind in ("num", "str"):
+            return pa.scalar(n[1])
+        if kind == "and":
+            return pc.and_kleene(ev(n[1]), ev(n[2]))
+        if kind == "or":
+            return pc.or_kleene(ev(n[1]), ev(n[2]))
+        if kind == "and_not":
+            return pc.and_kleene(ev(n[1]), pc.invert(ev(n[2])))
+        if kind == "not":
+            return pc.invert(ev(n[1]))
+        if kind == "neg":
+            return pc.negate(ev(n[1]))
+        if kind in ("==", "!=", "<", ">", "<=", ">="):
+            fn = {
+                "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                ">": pc.greater, "<=": pc.less_equal, ">=": pc.greater_equal,
+            }[kind]
+            return fn(ev(n[1]), ev(n[2]))
+        if kind in ("+", "-", "*", "/", "%"):
+            fn = {
+                "+": pc.add, "-": pc.subtract, "*": pc.multiply,
+                "/": pc.divide, "%": lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b)),
+            }[kind]
+            return fn(ev(n[1]), ev(n[2]))
+        if kind == "@":
+            # unindexed substring match fallback (sequential scan,
+            # grn_table_select_sequential analogue)
+            return pc.match_substring(ev(n[1]), n[2][1])
+        if kind == "@^":
+            return pc.starts_with(ev(n[1]), n[2][1])
+        if kind == "@$":
+            return pc.ends_with(ev(n[1]), n[2][1])
+        if kind == "call":
+            name, args = n[1], n[2]
+            if name == "between":
+                col = ev(args[0])
+                lo, hi = ev(args[1]), ev(args[2])
+                return pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+            if name == "in_values":
+                col = ev(args[0])
+                vals = pa.array([a[1] for a in args[1:]])
+                return pc.is_in(col, value_set=vals)
+            if name == "all_records":
+                return pa.array(np.ones(batch.num_rows, bool))
+            if name == "vector_size":
+                return pc.list_value_length(ev(args[0]))
+            if name == "edit_distance":
+                return pa.array(edit_distance_batch(ev(args[0]), ev(args[1])))
+            raise ValueError(f"unknown filter function {name}")
+        raise ValueError(f"unknown filter node {n!r}")
+
+    return ev(ast)
+
+
+def edit_distance_batch(a, b) -> np.ndarray:
+    """Levenshtein distance (lib/proc.c:4790-4828 DP), per row.
+    Accepts column vs column or column vs scalar."""
+
+    def dist(x: str, y: str) -> int:
+        if x is None or y is None:
+            return 0
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i] + [0] * len(y)
+            for j, cy in enumerate(y, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+            prev = cur
+        return prev[-1]
+
+    if isinstance(a, pa.Scalar):
+        a_list = None
+    if isinstance(b, pa.Scalar):
+        bs = b.as_py()
+        return np.array([dist(x, bs) for x in a.to_pylist()], np.int64)
+    if isinstance(a, pa.Scalar):
+        as_ = a.as_py()
+        return np.array([dist(as_, y) for y in b.to_pylist()], np.int64)
+    return np.array([dist(x, y) for x, y in zip(a.to_pylist(), b.to_pylist())], np.int64)

@@ -412,6 +412,18 @@ def op_and_not(a: MatchResult, b: MatchResult) -> MatchResult:
     return MatchResult(a.docids[mask], a.scores[mask])
 
 
+def op_difference(a: MatchResult, b: MatchResult) -> tuple[MatchResult, MatchResult]:
+    """Symmetric difference (grn_table_difference, lib/db.c:4010):
+    removes the intersection from BOTH sides; returns the two pruned
+    results."""
+    in_b = np.isin(a.docids, b.docids)
+    in_a = np.isin(b.docids, a.docids)
+    return (
+        MatchResult(a.docids[~in_b], a.scores[~in_b]),
+        MatchResult(b.docids[~in_a], b.scores[~in_a]),
+    )
+
+
 def op_adjust(a: MatchResult, b: MatchResult) -> MatchResult:
     """ADJUST: add b's scores to docs already in a (no new docs)."""
     common, ia, ib = np.intersect1d(a.docids, b.docids, return_indices=True)

@@ -523,9 +523,27 @@ class QueryActor:
     reference realizes with per-worker mmap'd indexes
     (thread-per-request over shared mmap, SURVEY.md §4)."""
 
-    def __init__(self, table: IndexedTable):
+    def __init__(self, table: IndexedTable, cache_size: int = 256):
+        from collections import OrderedDict
+
         self.table = table
         self.reader = table.reader()  # loads lexicon + stats once
+        # per-actor LRU output cache keyed on the full request — the
+        # reference's grn_cache keyed on the whole arg string
+        # (lib/proc.c:986-996)
+        self._cache: OrderedDict[tuple, dict] = OrderedDict()
+        self._cache_size = cache_size
+
+    def _select_cached(self, **kwargs) -> dict:
+        key = tuple(sorted(kwargs.items()))
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        res = select(self.table, **kwargs)
+        self._cache[key] = res
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"qid": [], "rank": [], "doc_id": [], "score": []}
@@ -535,8 +553,7 @@ class QueryActor:
         )
         for i in range(n):
             qid = get("qid", i, i)
-            res = select(
-                self.table,
+            res = self._select_cached(
                 query=get("query", i, None),
                 match_columns=get("match_columns", i, None),
                 scorer=get("scorer", i, None),

@@ -511,6 +511,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = _round(out, "sim", 4)
         return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
 
+    def ft_col_eq(sf_dir):
+        t = _index_for(sf_dir)
+        return _ft(t, query="spark +lang:en", match_columns="text", limit=-1)
+
+    def ann_ivf(sf_dir):
+        import pyarrow.parquet as pq
+        from groonga_ray.pipelines.ann import ivf_cosine_topk
+
+        emb = pq.read_table(_files(sf_dir, "embeddings")[0])
+        q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+        ds = ray.data.read_parquet(_files(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        out = _round(ivf_cosine_topk(ds, q, k=10, n_centroids=8, n_probe=4), "sim", 4)
+        return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
+
     def media_decode(sf_dir):
         from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
 
@@ -556,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": langid_q,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "ft_col_eq": ft_col_eq,
         "media_decode": media_decode,
     }
 
@@ -673,6 +689,12 @@ WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
   AND d.n_chars BETWEEN 150 AND 350
 """,
         "edit_dist": "SELECT doc_id, levenshtein(source, 'src1')::BIGINT AS dist FROM documents",
+        "ft_col_eq": f"""
+{_TOKS}
+SELECT d.doc_id, t.tf::DOUBLE AS score
+FROM documents d JOIN tf t USING (doc_id)
+WHERE t.term = 'spark' AND d.lang = 'en'
+""",
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "drill_lang": f"""
 {_TOKS}

@@ -550,9 +550,35 @@ def _merge_bucket_table(
 
     hot_idx = np.flatnonzero(hot_mask)
     if len(hot_idx):
-        hot = group.take(pa.array(hot_idx)).select([f.name for f in codec.POSTING_SCHEMA] )
-        shard_col = group.take(pa.array(hot_idx)).column("shard").to_numpy(zero_copy_only=False)
-        hot = hot.append_column("part", pa.array(shard_col.astype(np.uint32) + 1, pa.uint32()))
+        # concatenate each hot term's shard rows (this bucket holds one
+        # salt group of them) into ONE part via lossless chunk-directory
+        # concat — no decode, and the final part count per term is the
+        # number of salt groups, not the number of shards
+        hot_tbl = group.take(pa.array(hot_idx))
+        shard_col = hot_tbl.column("shard").to_numpy(zero_copy_only=False)
+        terms_col = hot_tbl.column("term")
+        if isinstance(terms_col, pa.ChunkedArray):
+            terms_col = terms_col.combine_chunks()
+        rank, _ = _rank_terms(terms_col)
+        order = np.lexsort((shard_col, rank))
+        rows_out = []
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and rank[order[j]] == rank[order[i]]:
+                j += 1
+            rows = [
+                {c: hot_tbl.column(c)[int(order[k])].as_py() for c in hot_tbl.column_names}
+                for k in range(i, j)
+            ]
+            merged_row = rows[0] if len(rows) == 1 else codec.concat_posting_rows(rows)
+            merged_row["part"] = int(shard_col[order[i]]) + 1
+            rows_out.append(merged_row)
+            i = j
+        hot = pa.Table.from_pylist(
+            rows_out,
+            schema=codec.POSTING_SCHEMA.append(pa.field("part", pa.uint32())),
+        )
         pieces.append(hot)
 
     if pieces:

@@ -123,6 +123,11 @@ def _query_tokens(text: str) -> list[tuple[str, int]]:
 
 def _eval_node(node, reader, spec, table: "IndexedTable") -> MatchResult:
     if isinstance(node, (TermNode, PhraseNode)):
+        sec = getattr(node, "section", None)
+        if sec and sec not in reader.sections:
+            # col:value on an unindexed scalar column = equality filter
+            # (grn_table_select key search, lib/db.c:2641)
+            return _range_filter(RangeNode(sec, "==", node.text), reader, table)
         return _eval_match_node(node, reader, spec)
     if isinstance(node, AndNode):
         parts = [_eval_node(c, reader, spec, table) for c in node.children]

@@ -114,6 +114,54 @@ def brute_cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    ds: ray.data.Dataset, n_centroids: int = 16, iters: int = 8,
+    vec_col: str = "embedding", seed: int = 42, sample_limit: int = 50_000,
+) -> np.ndarray:
+    """Mini k-means on a bounded sample (deterministic seed): the IVF
+    coarse quantizer. At scale the sample is a `random_sample` of the
+    Dataset; iterations run driver-side on the small sample."""
+    sample = ds.limit(sample_limit).to_pandas()
+    m = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_cosine_topk(
+    ds: ray.data.Dataset, query: np.ndarray, k: int = 10, n_centroids: int = 16,
+    n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
+) -> pa.Table:
+    """IVF ANN: assign every vector to its nearest centroid inside
+    map_batches (centroids broadcast once), scan only the query's
+    ``n_probe`` nearest lists. Same output schema as brute_cosine_topk;
+    recall < 1 by design (n_probe/n_centroids trades recall for scan)."""
+    q = np.asarray(query, np.float64).reshape(1, -1)
+    cent = train_ivf_centroids(ds, n_centroids, vec_col=vec_col, seed=seed)
+    cent_ref = ray.put(cent)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = set(np.argsort(-(cent @ qn.ravel()))[:n_probe].tolist())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _to_matrix(batch.column(vec_col))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        lists = (mn @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+    probe_expr = " or ".join(f"ivf_list == {p}" for p in sorted(probes))
+    candidates = ds.map_batches(assign, batch_format="pyarrow").filter(expr=f"({probe_expr})")
+    return brute_cosine_topk(candidates, q, k, id_col, vec_col)
+
+
 class LshBucketer:
     """Random-hyperplane signature (B bits) per vector — bucketed ANN."""
 

@@ -149,9 +149,14 @@ def _phrase_noccur(infos: list[TokenInfo], cand: np.ndarray) -> tuple[np.ndarray
             return np.empty(0, np.uint64), np.empty(0, np.int64)
         tf = pl.tfs.astype(np.int64)
         sel_doc = np.repeat(pl.docids[idx], tf[idx])
-        take = np.concatenate(
-            [np.arange(pl.pos_offsets[i], pl.pos_offsets[i + 1]) for i in idx]
-        )
+        # vectorized range-gather of the selected postings' positions
+        lens = tf[idx]
+        starts = pl.pos_offsets[idx]
+        out_off = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        take = np.arange(int(out_off[-1]), dtype=np.int64)
+        take -= np.repeat(out_off[:-1], lens)
+        take += np.repeat(starts, lens)
         sel_pos = pl.positions[take].astype(np.int64) - (ti.offset - infos[0].offset)
         pair_doc_all.append(sel_doc)
         pair_pos_all.append(sel_pos)

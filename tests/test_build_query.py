@@ -30,6 +30,7 @@ def built(ray_session, tmp_path_factory):
         n_buckets=8,
         chunk_postings=64,            # small chunks to exercise skip dirs
         hot_local_df=200,             # salt the keyword terms
+        salt_group=1,                 # one salt per shard -> multiple parts
         target_rows_per_shard=400,    # several shards per file
     )
     meta = build_index(files, index_dir, cfg)

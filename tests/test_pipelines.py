@@ -120,3 +120,23 @@ def test_media_decode_stub(docs):
         from groonga_ray.pipelines.multimodal import MediaDecoder
 
         MediaDecoder(real_codecs_required=True)
+
+
+def test_ivf_ann(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from groonga_ray.pipelines.ann import brute_cosine_topk, ivf_cosine_topk
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.array(emb.column("embedding").to_pylist(), np.float64)
+    q = mat[3]
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = brute_cosine_topk(ds, q[None, :], k=10).to_pandas()
+    approx = ivf_cosine_topk(ds, q, k=10, n_centroids=8, n_probe=4).to_pandas()
+    # approx is a subset-ranked result; recall@10 should be decent and
+    # the query's own vector must be found
+    recall = len(set(approx.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.5
+    assert 3 in approx.vec_id.tolist()
+    assert (np.diff(approx.sim.to_numpy()) <= 1e-12).all()

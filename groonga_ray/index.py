@@ -83,6 +83,38 @@ class SectionIndex:
     def term_at(self, tid: int) -> str:
         return self._terms[tid].as_py()
 
+    def suffix_tids(self, suffix: str) -> list[int]:
+        """tids of terms ending with ``suffix`` — the patricia trie's
+        SIS suffix links (GRN_OBJ_KEY_WITH_SIS, lib/pat.c:841-868)
+        replaced by a reversed-term sorted index built lazily once per
+        reader and binary-searched like the prefix path."""
+        if not hasattr(self, "_rev"):
+            import pyarrow.compute as pc
+
+            rev = pc.utf8_reverse(self._terms)
+            order = pc.sort_indices(rev)
+            self._rev_sorted = rev.take(order)
+            self._rev_tid = order.to_numpy(zero_copy_only=False).astype(np.int64)
+            self._rev = True
+        target = suffix[::-1]
+        lo, hi = 0, len(self._rev_sorted)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._rev_sorted[mid].as_py() < target:
+                lo = mid + 1
+            else:
+                hi = mid
+        start = lo
+        upper = target + "￿"
+        hi = len(self._rev_sorted)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._rev_sorted[mid].as_py() < upper:
+                lo = mid + 1
+            else:
+                hi = mid
+        return self._rev_tid[start:lo].tolist()
+
     def df_estimate(self, tid: int) -> int:
         """The reference's df *estimate* (grn_ii_estimate_size,
         lib/ii.c:4470-4494): 1 for single-posting terms, df+2 for

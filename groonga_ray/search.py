@@ -231,11 +231,24 @@ def term_match(
             ))
 
     if result.nhits == 0 and escalate and not prefix_last and len(tokens) == 1:
-        # match escalation (threshold 0): retry as prefix expansion
-        return term_match(
+        # match escalation (threshold 0, grn_ii_sel lib/ii.c:6659):
+        # UNSPLIT ≈ prefix expansion, then PARTIAL ≈ suffix expansion
+        result = term_match(
             si, tokens, scorer, n_docs=n_docs, avgdl=avgdl, doclens=doclens,
             weight=weight, prefix_last=True, escalate=False,
         )
+        if result.nhits == 0:
+            tids = si.suffix_tids(tokens[0][0])
+            if tids:
+                pls = [si.postings(t) for t in tids]
+                pl = union_postings(pls)
+                if len(pl):
+                    infos2 = [TokenInfo(pl, len(pl.docids), sum(si.df_estimate(t) for t in tids), 0, tokens[0][0])]
+                    result = MatchResult(
+                        pl.docids,
+                        _apply_scorer(scorer, pl.docids, pl.tfs.astype(np.int64),
+                                      infos2, n_docs, avgdl, doclens, weight),
+                    )
     return result
 
 

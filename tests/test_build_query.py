@@ -247,3 +247,22 @@ def test_resume_skips_and_identical(built, tmp_path):
     lex_after = open(os.path.join(index_dir, "sec=content", "lexicon.parquet"), "rb").read()
     assert lex_before == lex_after
     assert meta3["n_docs"] == meta["n_docs"]
+
+
+def test_compute_rank_mapping(built):
+    import duckdb
+
+    from groonga_ray.docids import compute_rank_mapping
+
+    files, *_ = built
+    mapping = compute_rank_mapping(sorted(files), ["repo", "path"])
+    got = mapping.to_pandas()
+    want = duckdb.sql(
+        f"""
+        SELECT repo, path, row_number() OVER (ORDER BY repo, path) AS docid
+        FROM read_parquet({sorted(files)!r}) ORDER BY repo, path
+        """
+    ).df()
+    assert got["repo"].tolist() == want["repo"].tolist()
+    assert got["path"].tolist() == want["path"].tolist()
+    assert got["docid"].astype(int).tolist() == want["docid"].astype(int).tolist()

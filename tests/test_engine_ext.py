@@ -174,3 +174,29 @@ def test_select_output_columns_star(doc_table):
                  output_columns=("*",), limit=3)
     cols = set(res["rows"].column_names)
     assert {"doc_id", "text", "lang", "source", "n_chars"} <= cols
+
+
+def test_suffix_search_and_escalation(doc_table):
+    from groonga_ray.index import IndexReader
+    from groonga_ray.search import term_match
+
+    r = IndexReader(doc_table.index_dir)
+    si = r.section("text")
+    # suffix lookup: terms ending in 'dow' -> window
+    tids = si.suffix_tids("dow")
+    assert "window" in [si.term_at(t) for t in tids]
+    # escalation chain: 'ndow' matches nothing, no prefix, suffix hits
+    m = term_match(
+        si, [("ndow", 0)], "default",
+        n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens(),
+    )
+    assert m.nhits > 0
+    import re
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = {
+        d for d, tx in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if any(w.endswith("ndow") for w in re.findall(r"[a-z0-9_]+", tx.lower()))
+    }
+    assert set(m.docids.tolist()) == want

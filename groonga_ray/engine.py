@@ -355,6 +355,13 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
 
     plan = split_filter(parse_filter(filter_str))
     acc: MatchResult | None = None
+    for mc, q in plan.subqueries:
+        # query("cols", "q") — nested sub-select as a predicate
+        # (lib/proc.c:5138-5268)
+        sub_spec = parse_match_columns(mc)
+        sub_spec.scorer = spec.scorer
+        m = _eval_node(parse_query(q), reader, sub_spec, table)
+        acc = m if acc is None else op_and(acc, m)
     for col, text in plan.matches:
         si = reader.section(col)
         kw = dict(

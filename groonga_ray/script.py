@@ -28,7 +28,12 @@ class FilterPlan:
 
     matches: list[tuple[str, str]]          # (column, query_text) from `col @ "text"`
     predicate: object | None                # AST for columnar evaluation
+    subqueries: list[tuple[str, str]] = None  # query("cols","q") units (lib/proc.c:5138)
     conjunctive: bool = True
+
+    def __post_init__(self):
+        if self.subqueries is None:
+            self.subqueries = []
 
 
 class _P:
@@ -183,6 +188,7 @@ def split_filter(ast) -> FilterPlan:
     the rest as a columnar predicate (scan_info_build analogue).
     Non-AND shapes fall back entirely to the columnar scan."""
     matches: list[tuple[str, str]] = []
+    subqueries: list[tuple[str, str]] = []
 
     def walk(n):
         if n[0] == "and":
@@ -196,10 +202,16 @@ def split_filter(ast) -> FilterPlan:
         if n[0] == "@" and n[1][0] == "col" and n[2][0] == "str":
             matches.append((n[1][1], n[2][1]))
             return None
+        if (
+            n[0] == "call" and n[1] == "query" and len(n[2]) == 2
+            and n[2][0][0] == "str" and n[2][1][0] == "str"
+        ):
+            subqueries.append((n[2][0][1], n[2][1][1]))
+            return None
         return n
 
     residual = walk(ast)
-    return FilterPlan(matches, residual)
+    return FilterPlan(matches, residual, subqueries)
 
 
 def eval_filter(ast, batch: pa.Table):

@@ -134,3 +134,11 @@ def test_cli_tokenize_and_select(doc_table, tmp_path):
     )
     env = json.loads(out.stdout)
     assert env[0][0] > 3 and len(env) == 2 + 3
+
+
+def test_filter_nested_query(doc_table):
+    a = select(doc_table, filter='query("text", "spark OR window") && n_chars > 300', limit=-1)
+    b = select(doc_table, query="spark OR window", match_columns="text",
+               filter="n_chars > 300", limit=-1)
+    assert a["hits"] == b["hits"]
+    assert set(a["rows"].column("_id").to_pylist()) == set(b["rows"].column("_id").to_pylist())

@@ -390,6 +390,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def events_window(sf_dir):
+        # tumbling 1h event-time windows: the stream-shaped reference
+        # pattern realized batch-side (floor(ts) bucket inside
+        # map_batches, then a small groupby) — SURVEY §1.2: the engine
+        # is batch-only like the reference
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count, Sum
+
+        ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+        def add_window(b: pa.Table) -> pa.Table:
+            epoch = pc.cast(b.column("ts"), pa.int64())  # microseconds
+            hour = pc.multiply(pc.divide(epoch, 3_600_000_000), 3_600_000_000)
+            return pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "window_us": hour,
+                    "value": b.column("value"),
+                }
+            )
+
+        out = (
+            ds.map_batches(add_window, batch_format="pyarrow")
+            .groupby(["event_type", "window_us"])
+            .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        )
+        t = _round(pa.Table.from_pandas(out.to_pandas()), "sum_value", 4)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_us": t.column("window_us").cast(pa.int64()),
+                "n": t.column("n").cast(pa.int64()),
+                "sum_value": t.column("sum_value").cast(pa.float64()),
+            }
+        )
+
     def dedup_exact_q(sf_dir):
         from groonga_ray.pipelines.dedup import exact_dedup
 
@@ -561,6 +597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_lineitem": agg_lineitem,
         "filter_between_in": filter_between_in,
         "events_agg": events_agg,
+        "events_window": events_window,
         "dedup_exact": dedup_exact_q,
         "dedup_ngram_key": dedup_ngram_key_q,
         "minhash_bands": minhash_bands,
@@ -720,6 +757,12 @@ GROUP BY l_returnflag
         "events_agg": """
 SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS sum_value
 FROM events GROUP BY event_type
+""",
+        "events_window": """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000 * 3600000000)::BIGINT AS window_us,
+       count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2
 """,
         "dedup_exact": """
 SELECT sha256(text) AS content_hash, min(doc_id)::BIGINT AS keep_id

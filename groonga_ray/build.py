@@ -33,10 +33,12 @@ Skew — hot terms (keywords like ``return`` with df ≈ N, FIXTURES.md
   skew knobs) are salted at stage A: their bucket is
   ``hash(term + '#' + salt)`` with ``salt = shard_id // salt_group``,
   so no single stage-B group ever holds a hot term's full posting
-  list. Hot parts are *never* merged — they are written as multiple
-  ``part`` rows (the analogue of Groonga's CHUNK_SPLIT multi-chunk
-  form, lib/ii.c:59-60) and the lexicon records every (bucket, part)
-  location; the query side concatenates parts by first-docid order.
+  list. A hot term's rows within one salt group are chunk-directory
+  concatenated (lossless, no decode) into a single ``part`` row; parts
+  across salt groups are never merged (the analogue of Groonga's
+  CHUNK_SPLIT multi-chunk form, lib/ii.c:59-60) and the lexicon
+  records every (bucket, part) location; the query side concatenates
+  parts by first-docid order.
   Hotness is decided per shard by local df (a term globally hot at
   10^12 scale is locally hot in every shard) or a static broadcast set.
 
@@ -191,9 +193,11 @@ def _tokenize_group_word(cfg: BuildConfig, col: pa.Array, docid_of_row: np.ndarr
     pair_hash, pair_docid, pair_tf, pos_segs = [], [], [], []
     term_of_hash: dict[int, str] = {}
     n_tokens = np.zeros(n_rows, np.int64)
+    n_truncated = 0
     for a in range(0, n_rows, S):
         sub = col.slice(a, min(S, n_rows - a))
         tb = wt.tokenize_column(sub)
+        n_truncated += tb.n_truncated_rows
         n_tokens[a : a + len(sub)] = tb.n_tokens_per_row
         if len(tb.row_idx) == 0:
             continue
@@ -253,7 +257,7 @@ def _tokenize_group_word(cfg: BuildConfig, col: pa.Array, docid_of_row: np.ndarr
     terms = pa.array(
         [term_of_hash[h] for h in Hs[term_start].tolist()], type=pa.large_string()
     )
-    return terms, term_offsets, Ds, TFs.astype(np.uint64), out_off, Ps, n_tokens
+    return terms, term_offsets, Ds, TFs.astype(np.uint64), out_off, Ps, n_tokens, n_truncated
 
 
 def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str) -> dict:
@@ -292,10 +296,11 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
         docid_of_row = (shard.docid_base + np.arange(data.num_rows, dtype=np.uint64)).astype(np.uint64)
 
     grouped = None
+    n_truncated = 0
     if cfg.tokenizer == "TokenCodeWord":
         res = _tokenize_group_word(cfg, col, docid_of_row, wt)
         if res is not None:
-            terms_arr, term_offsets, g_docid, tf, pos_offsets, s_pos, n_tokens = res
+            terms_arr, term_offsets, g_docid, tf, pos_offsets, s_pos, n_tokens, n_truncated = res
             grouped = True
     if grouped is None:
         terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col, wt)
@@ -372,6 +377,7 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
         "tokens": int(n_tokens.sum()),
         "terms": int(run_table.num_rows),
         "docid_base": int(docid_of_row[0]) if len(docid_of_row) else 0,
+        "truncated_rows": int(n_truncated),
         "elapsed_sec": round(time.time() - t0, 3),
         "skipped": False,
     }

@@ -233,6 +233,7 @@ class TokenizedBatch:
     row_idx: np.ndarray      # int64 row index of each token within the batch
     positions: np.ndarray    # uint32 token ordinal within its row
     n_tokens_per_row: np.ndarray  # int64 per input row (doc length in tokens)
+    n_truncated_rows: int = 0     # rows clipped at max_tokens_per_doc
 
 
 class WordTokenizer:
@@ -313,7 +314,19 @@ class WordTokenizer:
         terms = pa.LargeStringArray.from_buffers(
             len(starts), pa.py_buffer(out_off), pa.py_buffer(token_bytes)
         )
-        return TokenizedBatch(terms, row_idx, positions, tokens_per_row)
+        # wide-row guard (the reference's II_BUFFER est_len cap,
+        # lib/ii.c:7403): drop positions beyond max_tokens_per_doc and
+        # surface the truncation count as a metric
+        n_trunc = 0
+        cap = self.max_tokens_per_doc
+        if len(positions) and int(positions.max()) >= cap:
+            keep = positions < cap
+            n_trunc = int(np.count_nonzero(tokens_per_row > cap))
+            terms = terms.filter(pa.array(keep))
+            row_idx = row_idx[keep]
+            positions = positions[keep]
+            tokens_per_row = np.minimum(tokens_per_row, cap)
+        return TokenizedBatch(terms, row_idx, positions, tokens_per_row, n_trunc)
 
     def tokenize_text(self, text: str) -> list[str]:
         tb = self.tokenize_column(pa.array([text], type=pa.large_string()))

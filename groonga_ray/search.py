@@ -252,7 +252,25 @@ def term_match(
     return result
 
 
+CUSTOM_SCORERS: dict[str, "object"] = {}
+
+
+def register_scorer(name: str, fn) -> None:
+    """Plugin surface (grn_scorer_register, include/groonga/scorer.h:86):
+    ``fn(tf, df, df_estimate, dl, n_docs, avgdl) -> scores`` receives
+    the same matched-record quantities the reference hands scorers,
+    vectorized over the match."""
+    CUSTOM_SCORERS[name] = fn
+
+
 def _apply_scorer(scorer, docids, noccur, infos, n_docs, avgdl, doclens, weight):
+    if scorer in CUSTOM_SCORERS:
+        dl = doclens[docids.astype(np.int64)] if doclens is not None else np.full(len(docids), avgdl)
+        df = min(ti.df for ti in infos)
+        df_est = sum(ti.df_estimate for ti in infos)
+        return CUSTOM_SCORERS[scorer](
+            noccur.astype(np.float64), df, df_est, dl, n_docs, avgdl
+        ) * weight
     if scorer == "bm25":
         dl = doclens[docids.astype(np.int64)] if doclens is not None else np.full(len(docids), avgdl)
         # phrase: score by occurrence count as tf; single term: tf

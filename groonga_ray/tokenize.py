@@ -353,9 +353,21 @@ TOKENIZERS = {
 }
 
 
+CUSTOM_TOKENIZERS: dict[str, "object"] = {}
+
+
+def register_tokenizer(name: str, fn) -> None:
+    """Plugin surface (grn_proc_create PROC_TOKENIZER,
+    include/groonga/groonga.h:490): ``fn(text, mode) -> TokenStream``
+    becomes addressable by name everywhere a tokenizer name is taken."""
+    CUSTOM_TOKENIZERS[name] = fn
+
+
 def tokenize(text: str, tokenizer: str = "TokenBigram", mode: str = "add") -> TokenStream:
     """Registry entry point mirroring the reference's named tokenizers
     (registration: lib/tokenizers.c:783-828)."""
+    if tokenizer in CUSTOM_TOKENIZERS:
+        return CUSTOM_TOKENIZERS[tokenizer](text, mode)
     if tokenizer in ("TokenDelimit",):
         return delimit_tokenize(text, " ")
     if tokenizer in ("TokenDelimitNull",):

@@ -200,3 +200,32 @@ def test_suffix_search_and_escalation(doc_table):
         if any(w.endswith("ndow") for w in re.findall(r"[a-z0-9_]+", tx.lower()))
     }
     assert set(m.docids.tolist()) == want
+
+
+def test_plugin_registry(doc_table):
+    import numpy as np
+
+    from groonga_ray.index import IndexReader
+    from groonga_ray.search import register_scorer, term_match
+    from groonga_ray.tokenize import Token, TokenStream, register_tokenizer, tokenize
+
+    # custom tokenizer by name
+    def shouty(text, mode):
+        ts = TokenStream()
+        ts.tokens = [Token(w.upper(), i) for i, w in enumerate(text.split())]
+        return ts
+
+    register_tokenizer("TokenShouty", shouty)
+    assert [t.term for t in tokenize("a b", "TokenShouty").tokens] == ["A", "B"]
+
+    # custom scorer receives (tf, df, df_est, dl, N, avgdl)
+    register_scorer("tf_over_dl", lambda tf, df, dfe, dl, n, avg: tf / np.maximum(dl, 1))
+    r = IndexReader(doc_table.index_dir)
+    si = r.section("text")
+    m = term_match(si, [("spark", 0)], "tf_over_dl",
+                   n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens())
+    assert m.nhits > 0
+    dl = r.doclens()
+    pl = si.postings(si.term_id("spark"))
+    want = pl.tfs.astype(float) / np.maximum(dl[pl.docids.astype(np.int64)], 1)
+    np.testing.assert_allclose(m.scores, want)

@@ -381,12 +381,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ds.groupby("event_type").aggregate(
             Count(alias_name="n"), Sum("value", alias_name="sum_value")
         )
-        t = _round(pa.Table.from_pandas(out.to_pandas()), "sum_value", 4)
+        t = pa.Table.from_pandas(out.to_pandas())
+        # value is 2-decimal money: emit exact integer cents — float sums
+        # differ between engines by ~1e-13, which can flip a decimal
+        # rounding boundary; an integer representation cannot
+        cents = np.rint(t.column("sum_value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table(
             {
                 "event_type": t.column("event_type"),
                 "n": t.column("n").cast(pa.int64()),
-                "sum_value": t.column("sum_value").cast(pa.float64()),
+                "sum_cents": pa.array(cents, pa.int64()),
             }
         )
 
@@ -416,13 +420,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .groupby(["event_type", "window_us"])
             .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
         )
-        t = _round(pa.Table.from_pandas(out.to_pandas()), "sum_value", 4)
+        t = pa.Table.from_pandas(out.to_pandas())
+        cents = np.rint(t.column("sum_value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return pa.table(
             {
                 "event_type": t.column("event_type"),
                 "window_us": t.column("window_us").cast(pa.int64()),
                 "n": t.column("n").cast(pa.int64()),
-                "sum_value": t.column("sum_value").cast(pa.float64()),
+                "sum_cents": pa.array(cents, pa.int64()),
             }
         )
 
@@ -755,13 +760,14 @@ WHERE l_quantity BETWEEN 5 AND 10 AND l_returnflag IN ('A', 'N')
 GROUP BY l_returnflag
 """,
         "events_agg": """
-SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS sum_value
+SELECT event_type, count(*)::BIGINT AS n,
+       round(sum(value) * 100)::BIGINT AS sum_cents
 FROM events GROUP BY event_type
 """,
         "events_window": """
 SELECT event_type,
        (epoch_us(ts) // 3600000000 * 3600000000)::BIGINT AS window_us,
-       count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS sum_value
+       count(*)::BIGINT AS n, round(sum(value) * 100)::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2
 """,
         "dedup_exact": """

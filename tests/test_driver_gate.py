@@ -2,11 +2,15 @@
 queries() entry, compare against oracle_sql() via DuckDB (row count,
 column names, order-insensitive values)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
 
-SF = "/root/testdata/sf0.001"
+# override with GATE_SF_DIR=/root/testdata/sf0.01 to replicate the
+# driver's actual scale
+SF = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _to_df(obj) -> pd.DataFrame:

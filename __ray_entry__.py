@@ -330,13 +330,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Max("l_quantity", alias_name="max_qty"),
             Min("l_quantity", alias_name="min_qty"),
         )
-        t = _round(pa.Table.from_pandas(out.to_pandas()), "avg_price", 4)
+        t = pa.Table.from_pandas(out.to_pandas())
+        # deterministic integer representation of the mean: prices are
+        # 2-decimal, so sum*100 is an exact integer; integer division
+        # by n is identical in both engines (no float tie-breaking)
+        n_np = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        sum_cents = np.rint(
+            t.column("avg_price").to_numpy(zero_copy_only=False) * n_np * 100
+        ).astype(np.int64)
+        avg_price_c100 = sum_cents * 100 // n_np
         return pa.table(
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "n": t.column("n").cast(pa.int64()),
                 "sum_qty": t.column("sum_qty").cast(pa.float64()),
-                "avg_price": t.column("avg_price").cast(pa.float64()),
+                "avg_price_c100": pa.array(avg_price_c100, pa.int64()),
                 "max_qty": t.column("max_qty").cast(pa.float64()),
                 "min_qty": t.column("min_qty").cast(pa.float64()),
             }
@@ -748,7 +756,7 @@ GROUP BY lang
         "agg_lineitem": """
 SELECT l_returnflag, count(*)::BIGINT AS n,
        sum(l_quantity)::DOUBLE AS sum_qty,
-       round(avg(l_extendedprice), 4)::DOUBLE AS avg_price,
+       (round(sum(l_extendedprice) * 100)::BIGINT * 100) // count(*) AS avg_price_c100,
        max(l_quantity)::DOUBLE AS max_qty,
        min(l_quantity)::DOUBLE AS min_qty
 FROM lineitem GROUP BY l_returnflag

@@ -83,6 +83,28 @@ def cmd_normalize(args):
                      ensure_ascii=False))
 
 
+def cmd_load(args):
+    """The reference's `load` (lib/proc.c:1371): ingest JSON records
+    (array-of-objects, or JSON-lines with --jsonl) into a Parquet
+    table ready for build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with open(args.input) as fh:
+        if args.jsonl:
+            records = [json.loads(line) for line in fh if line.strip()]
+        else:
+            records = json.load(fh)
+    table = pa.Table.from_pylist(records)
+    if args.sort_by:
+        import pyarrow.compute as pc
+
+        keys = [(c, "ascending") for c in args.sort_by.split(",")]
+        table = table.take(pc.sort_indices(table, sort_keys=keys))
+    pq.write_table(table, args.output)
+    print(json.dumps({"rows": table.num_rows, "columns": table.column_names}))
+
+
 def cmd_status(args):
     import os
 
@@ -129,6 +151,13 @@ def main(argv=None):
     n = sub.add_parser("normalize")
     n.add_argument("text")
     n.set_defaults(fn=cmd_normalize)
+
+    ld = sub.add_parser("load")
+    ld.add_argument("input")
+    ld.add_argument("output")
+    ld.add_argument("--jsonl", action="store_true")
+    ld.add_argument("--sort-by", default=None, help="comma-separated key columns")
+    ld.set_defaults(fn=cmd_load)
 
     st = sub.add_parser("status")
     st.add_argument("--index", required=True)

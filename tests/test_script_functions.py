@@ -142,3 +142,23 @@ def test_filter_nested_query(doc_table):
                filter="n_chars > 300", limit=-1)
     assert a["hits"] == b["hits"]
     assert set(a["rows"].column("_id").to_pylist()) == set(b["rows"].column("_id").to_pylist())
+
+
+def test_cli_load_then_build(tmp_path):
+    recs = [
+        {"repo": "r/a", "path": f"f{i}.py", "commit": "c", "lang": "python",
+         "content": f"def f{i} return value x{i}"} for i in range(30)
+    ]
+    src = tmp_path / "in.json"
+    src.write_text(json.dumps(recs))
+    out = tmp_path / "docs.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "groonga_ray.cli", "load", str(src), str(out),
+         "--sort-by", "repo,path"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert json.loads(r.stdout)["rows"] == 30, r.stderr[-500:]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.column("path").to_pylist() == sorted(t.column("path").to_pylist())

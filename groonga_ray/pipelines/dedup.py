@@ -20,6 +20,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..tokenize import WordTokenizer
@@ -61,16 +62,19 @@ def ngram_key_dedup(
 
     def add_key(batch: pa.Table) -> pa.Table:
         tb = wt.tokenize_column(batch.column(text_col).cast(pa.large_string()))
-        terms = np.asarray(tb.terms.to_pylist(), dtype=object)
-        keys = []
         n = batch.num_rows
-        start = 0
-        per_row = tb.n_tokens_per_row
-        for i in range(n):
-            cnt = int(per_row[i])
-            keys.append(" ".join(terms[start : start + min(cnt, k)]))
-            start += cnt
-        return pa.table({id_col: batch.column(id_col), "key": pa.array(keys)})
+        # keep the first k tokens of each row, vectorized: positions<k
+        # mask -> per-row list array -> binary_join
+        keep = tb.positions < k
+        kept_terms = tb.terms.filter(pa.array(keep))
+        counts = np.minimum(tb.n_tokens_per_row, k)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), kept_terms
+        )
+        keys = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+        return pa.table({id_col: batch.column(id_col), "key": keys.cast(pa.string())})
 
     from ray.data.aggregate import Min
 

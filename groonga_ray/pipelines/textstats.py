@@ -60,12 +60,18 @@ class QualityScore:
         col = batch.column(self.text_col).cast(pa.large_string())
         tb = self.wt.tokenize_column(col)
         n = batch.num_rows
-        terms = tb.terms.to_pylist()
-        is_stop = np.fromiter((t in self.stop for t in terms), bool, len(terms))
-        stop_cnt = np.bincount(tb.row_idx[is_stop], minlength=n) if len(terms) else np.zeros(n)
+        n_tok = len(tb.row_idx)
+        is_stop = (
+            pc.is_in(tb.terms, value_set=pa.array(sorted(self.stop))).to_numpy(
+                zero_copy_only=False
+            )
+            if n_tok
+            else np.zeros(0, bool)
+        )
+        stop_cnt = np.bincount(tb.row_idx[is_stop], minlength=n) if n_tok else np.zeros(n)
         tok_cnt = np.maximum(tb.n_tokens_per_row, 1)
         word_chars = np.zeros(n, np.int64)
-        lens = pc.utf8_length(tb.terms).to_numpy(zero_copy_only=False) if len(terms) else np.array([], np.int64)
+        lens = pc.utf8_length(tb.terms).to_numpy(zero_copy_only=False) if n_tok else np.array([], np.int64)
         np.add.at(word_chars, tb.row_idx, lens)
         total_chars = np.maximum(pc.utf8_length(col).to_numpy(zero_copy_only=False), 1)
         return pa.table(
@@ -97,10 +103,11 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         tb = self.wt.tokenize_column(batch.column(self.text_col).cast(pa.large_string()))
-        terms = tb.terms.to_pylist()
         scores = {lang: np.zeros(n) for lang in self.MARKERS}
         for lang, marks in self.MARKERS.items():
-            hit = np.fromiter((t in marks for t in terms), bool, len(terms))
+            hit = pc.is_in(tb.terms, value_set=pa.array(sorted(marks))).to_numpy(
+                zero_copy_only=False
+            ) if len(tb.row_idx) else np.zeros(0, bool)
             if hit.any():
                 np.add.at(scores[lang], tb.row_idx[hit], 1)
         langs = list(self.MARKERS)
@@ -125,16 +132,18 @@ class Fingerprint:
         tb = self.wt.tokenize_column(batch.column(self.text_col).cast(pa.large_string()))
         h = fnv1a(tb.terms)
         n = batch.num_rows
-        out = np.zeros(n, np.uint64)
-        # ordered fold per row: out = out*P ^ h  (sequential within row,
-        # rows independent; loop over max tokens/row would be O(max_dl) —
-        # use ufunc.at on a per-position basis instead)
-        order = np.lexsort((tb.positions, tb.row_idx))
-        r = tb.row_idx[order]
-        hh = h[order]
+        # order-sensitive polynomial fingerprint, fully vectorized:
+        # fp(row) = sum_i h_i * P^{pos_i}  (mod 2^64) — position-weighted,
+        # so permutations change the value (unlike SimHash)
         P = np.uint64(1099511628211)
-        for i in range(len(r)):  # per-token fold; acceptable off the hot path
-            out[r[i]] = out[r[i]] * P ^ hh[i]
+        max_pos = int(tb.positions.max()) + 1 if len(tb.positions) else 1
+        powers = np.empty(max_pos, np.uint64)
+        powers[0] = np.uint64(1)
+        for j in range(1, max_pos):  # O(max doc length), not O(total tokens)
+            powers[j] = powers[j - 1] * P
+        contrib = h * powers[tb.positions]
+        out = np.zeros(n, np.uint64)
+        np.add.at(out, tb.row_idx, contrib)
         return pa.table(
             {self.id_col: batch.column(self.id_col), "fingerprint": pa.array(out, pa.uint64())}
         )

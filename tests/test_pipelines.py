@@ -140,3 +140,18 @@ def test_ivf_ann(ray_session):
     assert recall >= 0.5
     assert 3 in approx.vec_id.tolist()
     assert (np.diff(approx.sim.to_numpy()) <= 1e-12).all()
+
+
+def test_fingerprint_order_sensitive():
+    from groonga_ray.pipelines.textstats import Fingerprint
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha beta gamma", "gamma beta alpha", "alpha beta gamma"]),
+        }
+    )
+    out = Fingerprint()(t).to_pandas()
+    f = out["fingerprint"].tolist()
+    assert f[0] == f[2]      # identical text, identical fingerprint
+    assert f[0] != f[1]      # permutation changes it

@@ -105,6 +105,28 @@ def cmd_load(args):
     print(json.dumps({"rows": table.num_rows, "columns": table.column_names}))
 
 
+def cmd_dump(args):
+    """The reference's `dump` (lib/proc.c:3492): emit the table as a
+    reloadable stream — a schema line followed by JSON-lines records
+    (feed the records back through `load --jsonl` to reload)."""
+    import pyarrow.parquet as pq
+
+    for f in sorted(args.files):
+        pf = pq.ParquetFile(f)
+        schema = {name: str(pf.schema_arrow.field(name).type) for name in pf.schema_arrow.names}
+        print(json.dumps({"cmd": "table_create", "source": f, "schema": schema}))
+        remaining = args.limit if args.limit >= 0 else None
+        for batch in pf.iter_batches(batch_size=1024):
+            rows = batch.to_pylist()
+            if remaining is not None:
+                rows = rows[:remaining]
+                remaining -= len(rows)
+            for r in rows:
+                print(json.dumps(r, ensure_ascii=False, default=str))
+            if remaining == 0:
+                break
+
+
 def cmd_status(args):
     import os
 
@@ -158,6 +180,11 @@ def main(argv=None):
     ld.add_argument("--jsonl", action="store_true")
     ld.add_argument("--sort-by", default=None, help="comma-separated key columns")
     ld.set_defaults(fn=cmd_load)
+
+    dp = sub.add_parser("dump")
+    dp.add_argument("files", nargs="+")
+    dp.add_argument("--limit", type=int, default=-1)
+    dp.set_defaults(fn=cmd_dump)
 
     st = sub.add_parser("status")
     st.add_argument("--index", required=True)

@@ -162,3 +162,27 @@ def test_cli_load_then_build(tmp_path):
 
     t = pq.read_table(out)
     assert t.column("path").to_pylist() == sorted(t.column("path").to_pylist())
+
+
+def test_cli_dump_load_roundtrip(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "groonga_ray.cli", "dump",
+         f"{SF}/region.parquet"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    lines = out.stdout.strip().splitlines()
+    header = json.loads(lines[0])
+    assert header["cmd"] == "table_create" and "r_name" in header["schema"]
+    body = tmp_path / "rows.jsonl"
+    body.write_text("\n".join(lines[1:]))
+    dst = tmp_path / "region2.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "groonga_ray.cli", "load", str(body), str(dst), "--jsonl"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert json.loads(r.stdout)["rows"] == 5
+    import pyarrow.parquet as pq
+
+    orig = pq.read_table(f"{SF}/region.parquet")
+    back = pq.read_table(dst)
+    assert orig.column("r_name").to_pylist() == back.column("r_name").to_pylist()

@@ -117,6 +117,16 @@ def run_bench() -> dict:
     timed("q_and", lambda: select(table, query="spark +window +fast", match_columns="text", limit=10))
     timed("q_phrase", lambda: select(table, query='"spark window"', match_columns="text", limit=10))
     timed("q_prefix", lambda: select(table, query="wi*", match_columns="text", limit=10))
+    timed("q_tfidf", lambda: select(table, query="batch", match_columns="text", scorer="tf_idf", limit=10))
+    from groonga_ray.search import near_match
+
+    timed(
+        "q_near",
+        lambda: near_match(
+            si, [("spark", 0), ("window", 1)], max_interval=3,
+            n_docs=reader.n_docs, avgdl=reader.avgdl(), doclens=dl,
+        ),
+    )
     timed(
         "q_wand",
         lambda: wand_topk(

@@ -311,6 +311,43 @@ def near_match(
         if len(cand) == 0:
             return MatchResult.empty()
 
+    if len(infos) == 2:
+        # vectorized prefilter: the min |p1-p2| between two sorted lists
+        # is attained by an adjacent pair of the merged stream, so docs
+        # whose adjacent cross-slot gap <= interval are exactly the
+        # match set; the exact window count then runs only on matches
+        docs_all, pos_all, slot_all = [], [], []
+        for slot, ti in enumerate(infos):
+            pl = ti.postings
+            keep = np.isin(pl.docids, cand)
+            idx = np.flatnonzero(keep)
+            tf = pl.tfs.astype(np.int64)
+            lens = tf[idx]
+            starts = pl.pos_offsets[idx]
+            out_off = np.zeros(len(idx) + 1, np.int64)
+            np.cumsum(lens, out=out_off[1:])
+            take = np.arange(int(out_off[-1]), dtype=np.int64)
+            take -= np.repeat(out_off[:-1], lens)
+            take += np.repeat(starts, lens)
+            off = (ti.offset - infos[0].offset) if use_offsets else 0
+            docs_all.append(np.repeat(pl.docids[idx], lens))
+            pos_all.append(pl.positions[take].astype(np.int64) - off)
+            slot_all.append(np.full(int(out_off[-1]), slot, np.int8))
+        D = np.concatenate(docs_all)
+        P_ = np.concatenate(pos_all)
+        S_ = np.concatenate(slot_all)
+        order = np.lexsort((S_, P_, D))
+        D, P_, S_ = D[order], P_[order], S_[order]
+        adj = (
+            (D[1:] == D[:-1])
+            & (S_[1:] != S_[:-1])
+            & ((P_[1:] - P_[:-1]) <= max_interval)
+            & (P_[1:] - P_[:-1] >= -max_interval)
+        )
+        cand = np.unique(D[:-1][adj]) if len(D) > 1 else np.empty(0, D.dtype)
+        if len(cand) == 0:
+            return MatchResult.empty()
+
     out_docs: list[int] = []
     out_n: list[int] = []
     # per-candidate-doc sliding window over k sorted position lists

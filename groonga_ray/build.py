@@ -80,6 +80,11 @@ from .utils import atomic_write_table, file_fingerprint, fnv1a, read_manifest, w
 
 RUN_EXTRA_FIELDS = [("bucket", pa.uint32()), ("shard", pa.uint32()), ("hot", pa.bool_())]
 
+# rows per row group in final posting files: small enough that a
+# single-term fetch touches ~1/NROWGROUPS of a bucket, large enough to
+# keep parquet metadata overhead negligible
+POSTING_ROW_GROUP = 256
+
 
 @dataclass
 class BuildConfig:
@@ -97,6 +102,7 @@ class BuildConfig:
     stage_b_concurrency: int = 8             # bucket-merge pool cap
     docid_column: str | None = None          # pre-assigned docids (e.g. documents.doc_id)
     docid_offset: int = 1                    # docids are 1-based when assigned by rank
+    layout_version: int = 2                  # bump on on-disk layout changes (cache invalidation)
 
     def fingerprint(self) -> dict:
         return {k: list(v) if isinstance(v, tuple) else v for k, v in self.__dict__.items()}
@@ -597,7 +603,15 @@ def _merge_bucket_table(
         final = codec.POSTING_SCHEMA.empty_table().append_column(
             "part", pa.array([], pa.uint32())
         )
-    atomic_write_table(final, os.path.join(out_dir, "part.parquet"))
+    # bounded row groups over the term-sorted rows: the query side reads
+    # a single term by binary-searching row-group term statistics and
+    # fetching only the covering groups (the skip machinery of
+    # grn_ii_cursor_open, lib/ii.c:4048-4141, realized as parquet
+    # row-group pushdown) — never the whole bucket
+    atomic_write_table(
+        final, os.path.join(out_dir, "part.parquet"),
+        row_group_size=POSTING_ROW_GROUP,
+    )
     manifest = {
         "bucket": bucket,
         "terms": final.num_rows,

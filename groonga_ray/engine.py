@@ -160,9 +160,10 @@ def _eval_node(node, reader, spec, table: "IndexedTable") -> MatchResult:
 
 
 def _all_docs(reader: IndexReader) -> MatchResult:
-    dl = reader.doclens()
-    docids = np.flatnonzero(dl > 0).astype(np.uint64)
-    # docs with zero tokens still exist; include all known docids
+    # every known docid, streamed shard-by-shard from the doclen files
+    # (docid column only) — inherently result-set == corpus, so only
+    # match-all / pure-negation queries pay it
+    docids = np.sort(reader.all_docids())
     return MatchResult(docids, np.zeros(len(docids), np.float64))
 
 

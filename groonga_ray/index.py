@@ -5,9 +5,16 @@ Stands in for the reference's mmap'd lexicon (patricia trie, lib/pat.c)
 + chunk reader (grn_ii_cursor_open, lib/ii.c:4048-4141): the lexicon is
 a sorted Arrow term column searched by binary search (exact) or offset
 range (prefix = range [t, t+0xFF...), mirroring grn_pat_prefix_search
-semantics, lib/pat.c:968), and posting rows are fetched from the bucket
-Parquet files recorded in the lexicon with predicate pushdown, cached
-per reader (per actor).
+semantics, lib/pat.c:968). Posting rows live in term-sorted bucket
+Parquet files written with bounded row groups; a term fetch binary-
+searches the per-row-group term statistics and reads ONLY the covering
+row groups (parquet pushdown = the reference's segment/chunk skip
+walk) — bytes read scale with the term's postings, not the bucket.
+
+Doc lengths are NOT materialized densely: :class:`DoclenStore` lazily
+loads per-shard (docid, dl) files on first touch and answers vectorized
+docid lookups — at 10^12 docs a dense array would be terabytes; the
+store's footprint is bounded by the shards a query actually touches.
 
 One IndexReader per worker/actor: construct once in ``__init__`` of a
 query actor (stateful actor-pool pattern), never per batch.
@@ -15,6 +22,7 @@ query actor (stateful actor-pool pattern), never per batch.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 from functools import lru_cache
@@ -25,6 +33,45 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from . import codec
+
+
+class _BucketFile:
+    """Per-bucket parquet handle + row-group term-range directory
+    (min/max term per row group, from column statistics — parsed once
+    per reader, metadata only)."""
+
+    def __init__(self, path: str):
+        self.pf = pq.ParquetFile(path)
+        meta = self.pf.metadata
+        tcol = [
+            i for i in range(meta.num_columns) if meta.schema.column(i).path == "term"
+        ][0]
+        mins, maxs, sizes = [], [], []
+        for i in range(meta.num_row_groups):
+            st = meta.row_group(i).column(tcol).statistics
+            mins.append(st.min if st is not None else "")
+            maxs.append(st.max if st is not None else "\U0010ffff")
+            sizes.append(meta.row_group(i).total_byte_size)
+        self.rg_min = mins
+        self.rg_max = maxs
+        self.rg_bytes = sizes
+
+    def groups_for_term(self, term: str) -> list[int]:
+        """Row groups that may contain ``term`` (terms are sorted across
+        the file, so the covering groups are a contiguous range)."""
+        import bisect
+
+        lo = bisect.bisect_left(self.rg_max, term)           # first group with max >= term
+        hi = bisect.bisect_right(self.rg_min, term)          # first group with min > term
+        return list(range(lo, hi))
+
+    def groups_for_range(self, lo_term: str, hi_term: str) -> list[int]:
+        """Row groups intersecting the term range [lo_term, hi_term]."""
+        import bisect
+
+        lo = bisect.bisect_left(self.rg_max, lo_term)
+        hi = bisect.bisect_right(self.rg_min, hi_term)
+        return list(range(lo, hi))
 
 
 class SectionIndex:
@@ -42,8 +89,10 @@ class SectionIndex:
         self._bucket_offsets = buckets.offsets.to_numpy().astype(np.int64)
         self._bucket_values = buckets.values.to_numpy().astype(np.int64)
         self.n_terms = len(self._terms)
-        self._file_cache: dict[int, pa.Table] = {}
-        self._term_index_cache: dict[int, dict[str, list[int]]] = {}
+        self._bucket_files: dict[int, _BucketFile] = {}
+        self._rg_cache: dict[tuple[int, int], pa.Table] = {}
+        self._row_cache: dict[int, list[dict]] = {}
+        self.bytes_read = 0          # posting bytes fetched (test/observability)
 
     # ---- lexicon -------------------------------------------------
     def term_id(self, term: str) -> int | None:
@@ -83,14 +132,24 @@ class SectionIndex:
     def term_at(self, tid: int) -> str:
         return self._terms[tid].as_py()
 
+    def matching_tids(self, pattern: str, mode: str = "substring") -> list[int]:
+        """tids of lexicon terms containing/regex-matching ``pattern``
+        — the TokenRegexp-index stand-in for REGEXP mode
+        (lib/ii.c:6049-6118): the vocabulary scan is vectorized over the
+        sorted term column (vocab ≪ corpus) and the resulting union of
+        postings is the index prefilter."""
+        if mode == "substring":
+            mask = pc.match_substring(self._terms, pattern)
+        else:
+            mask = pc.match_substring_regex(self._terms, pattern)
+        return np.flatnonzero(mask.to_numpy(zero_copy_only=False)).tolist()
+
     def suffix_tids(self, suffix: str) -> list[int]:
         """tids of terms ending with ``suffix`` — the patricia trie's
         SIS suffix links (GRN_OBJ_KEY_WITH_SIS, lib/pat.c:841-868)
         replaced by a reversed-term sorted index built lazily once per
         reader and binary-searched like the prefix path."""
         if not hasattr(self, "_rev"):
-            import pyarrow.compute as pc
-
             rev = pc.utf8_reverse(self._terms)
             order = pc.sort_indices(rev)
             self._rev_sorted = rev.take(order)
@@ -123,29 +182,61 @@ class SectionIndex:
         return 1 if d == 1 else d + 2
 
     # ---- postings ------------------------------------------------
-    def _bucket_table(self, bucket: int) -> pa.Table:
-        if bucket not in self._file_cache:
+    def _bucket_file(self, bucket: int) -> _BucketFile:
+        bf = self._bucket_files.get(bucket)
+        if bf is None:
             path = os.path.join(self.dir, "postings", f"bucket={bucket:04d}", "part.parquet")
-            self._file_cache[bucket] = pq.read_table(path)
-            terms = self._file_cache[bucket].column("term").to_pylist()
-            idx: dict[str, list[int]] = {}
-            for i, t in enumerate(terms):
-                idx.setdefault(t, []).append(i)
-            self._term_index_cache[bucket] = idx
-        return self._file_cache[bucket]
+            bf = self._bucket_files[bucket] = _BucketFile(path)
+        return bf
+
+    def _read_row_group(self, bucket: int, rg: int) -> pa.Table:
+        key = (bucket, rg)
+        tbl = self._rg_cache.get(key)
+        if tbl is None:
+            bf = self._bucket_file(bucket)
+            tbl = bf.pf.read_row_groups([rg])
+            self.bytes_read += bf.rg_bytes[rg]
+            if len(self._rg_cache) >= 64:
+                self._rg_cache.pop(next(iter(self._rg_cache)))
+            self._rg_cache[key] = tbl
+        return tbl
 
     def posting_rows(self, tid: int) -> list[dict]:
         """All part rows of a term, ordered by first docid (hot terms
-        have several salted parts; cold terms exactly one)."""
+        have several salted parts; cold terms exactly one). Reads only
+        the row groups whose term range covers the term."""
+        cached = self._row_cache.get(tid)
+        if cached is not None:
+            return cached
         term = self.term_at(tid)
         rows: list[dict] = []
         buckets = self._bucket_values[self._bucket_offsets[tid] : self._bucket_offsets[tid + 1]]
         for b in np.unique(buckets):
-            tbl = self._bucket_table(int(b))
-            for i in self._term_index_cache[int(b)].get(term, []):
-                rows.append({c: tbl.column(c)[i].as_py() for c in tbl.column_names})
+            bf = self._bucket_file(int(b))
+            for rg in bf.groups_for_term(term):
+                tbl = self._read_row_group(int(b), rg)
+                tcol = tbl.column("term")
+                if isinstance(tcol, pa.ChunkedArray):
+                    tcol = tcol.combine_chunks()
+                # rows are term-sorted: locate the term's row range
+                lo = _searchsorted_str(tcol, term, "left")
+                hi = _searchsorted_str(tcol, term, "right")
+                for i in range(lo, hi):
+                    rows.append({c: tbl.column(c)[i].as_py() for c in tbl.column_names})
         rows.sort(key=lambda r: r["cfirst"][0])
+        if len(self._row_cache) >= 512:
+            self._row_cache.pop(next(iter(self._row_cache)))
+        self._row_cache[tid] = rows
         return rows
+
+    def bulk_rows(self, tids: list[int]) -> dict[int, list[dict]]:
+        """Posting rows for MANY terms with shared row-group reads
+        (prefix/regexp expansion path: adjacent tids usually live in the
+        same row groups)."""
+        out: dict[int, list[dict]] = {}
+        for tid in tids:
+            out[tid] = self.posting_rows(tid)
+        return out
 
     def postings(self, tid: int, min_docid: int | None = None, with_positions: bool = False) -> codec.PostingList:
         rows = self.posting_rows(tid)
@@ -157,6 +248,81 @@ class SectionIndex:
         return codec.decode_postings(merged, min_docid=min_docid, with_positions=with_positions)
 
 
+def _searchsorted_str(arr: pa.Array, value: str, side: str) -> int:
+    lo, hi = 0, len(arr)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        v = arr[mid].as_py()
+        if v < value or (side == "right" and v == value):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+class DoclenStore:
+    """Lazy per-shard docid -> token-count lookup (BM25 ``dl``).
+
+    The build writes one (docid, dl) parquet per shard with contiguous,
+    sorted docid ranges. The store reads only file-level docid
+    statistics up front (metadata pass); shard arrays load on first
+    touch. ``store[docids]`` is a vectorized gather grouped by shard —
+    the dense-array replacement that stays bounded at 10^12 docs.
+    """
+
+    def __init__(self, files: list[str]):
+        self.files = files
+        lo, hi = [], []
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            col = [i for i in range(meta.num_columns) if meta.schema.column(i).path == "docid"][0]
+            lo.append(min(meta.row_group(i).column(col).statistics.min for i in range(meta.num_row_groups)))
+            hi.append(max(meta.row_group(i).column(col).statistics.max for i in range(meta.num_row_groups)))
+        order = np.argsort(lo)
+        self._lo = np.asarray(lo, np.uint64)[order]
+        self._hi = np.asarray(hi, np.uint64)[order]
+        self._files = [files[i] for i in order]
+        self._loaded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._total: int | None = None
+
+    def _shard(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        arr = self._loaded.get(i)
+        if arr is None:
+            tbl = pq.read_table(self._files[i])
+            arr = (
+                tbl.column("docid").to_numpy(zero_copy_only=False).astype(np.uint64),
+                tbl.column("dl").to_numpy(zero_copy_only=False).astype(np.uint32),
+            )
+            self._loaded[i] = arr
+        return arr
+
+    def __getitem__(self, docids) -> np.ndarray:
+        d = np.asarray(docids, np.uint64).ravel()
+        out = np.zeros(len(d), np.uint32)
+        if len(d) == 0:
+            return out
+        fi = np.searchsorted(self._lo, d, side="right") - 1
+        fi = np.clip(fi, 0, len(self._files) - 1)
+        for i in np.unique(fi):
+            m = fi == i
+            ids, dls = self._shard(int(i))
+            pos = np.searchsorted(ids, d[m])
+            pos = np.clip(pos, 0, len(ids) - 1)
+            hit = ids[pos] == d[m]
+            vals = np.where(hit, dls[pos], 0).astype(np.uint32)
+            out[m] = vals
+        return out
+
+    def all_docids(self) -> np.ndarray:
+        """Every docid, streamed shard-by-shard (docid column only) —
+        inherently corpus-sized; used by match-all queries only."""
+        parts = [
+            pq.read_table(f, columns=["docid"]).column("docid").to_numpy(zero_copy_only=False)
+            for f in self._files
+        ]
+        return np.concatenate(parts).astype(np.uint64) if parts else np.empty(0, np.uint64)
+
+
 class IndexReader:
     def __init__(self, index_dir: str):
         self.dir = index_dir
@@ -165,7 +331,7 @@ class IndexReader:
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         self.sections = {s: SectionIndex(index_dir, s) for s in self.meta["sections"]}
-        self._doclens: dict[str, np.ndarray] = {}
+        self._doclens: dict[str, DoclenStore] = {}
         self.n_docs = int(self.meta["n_docs"])
 
     def section(self, name: str | None = None) -> SectionIndex:
@@ -173,23 +339,17 @@ class IndexReader:
             name = self.meta["sections"][0]
         return self.sections[name]
 
-    def doclens(self, section: str | None = None) -> np.ndarray:
-        """dense docid -> token count array (index 0 unused; docids are
-        1-based via rank assignment, or whatever the docid column was)."""
+    def doclens(self, section: str | None = None) -> DoclenStore:
+        """Lazy docid -> token count store (index with a docid array)."""
         if section is None:
             section = self.meta["sections"][0]
         if section not in self._doclens:
-            import glob
-
             files = sorted(glob.glob(os.path.join(self.dir, "doclens", f"sec={section}", "*.parquet")))
-            tbl = pa.concat_tables(pq.read_table(f) for f in files)
-            docids = tbl.column("docid").to_numpy(zero_copy_only=False)
-            dls = tbl.column("dl").to_numpy(zero_copy_only=False)
-            size = int(docids.max()) + 1 if len(docids) else 1
-            arr = np.zeros(size, np.uint32)
-            arr[docids] = dls
-            self._doclens[section] = arr
+            self._doclens[section] = DoclenStore(files)
         return self._doclens[section]
+
+    def all_docids(self, section: str | None = None) -> np.ndarray:
+        return self.doclens(section).all_docids()
 
     def avgdl(self, section: str | None = None) -> float:
         if section is None:

@@ -100,6 +100,24 @@ def test_hot_terms_salted(built):
     assert all(lasts[i] < firsts[i + 1] for i in range(len(rows) - 1))
 
 
+def test_posting_reads_are_term_pruned(built):
+    """A single-term fetch must touch row groups covering that term, not
+    whole buckets (bytes read scale with the term, not the corpus)."""
+    import glob as _glob
+
+    _, index_dir, _, _ = built
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    total_unc = 0
+    for f in _glob.glob(os.path.join(index_dir, "sec=content", "postings", "bucket=*", "part.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        total_unc += sum(meta.row_group(i).total_byte_size for i in range(meta.num_row_groups))
+    tid = si.term_id("uniq_00000042_42")   # df=1 term
+    si.posting_rows(tid)
+    assert si.bytes_read > 0
+    assert si.bytes_read < total_unc * 0.2, (si.bytes_read, total_unc)
+
+
 def test_doclens_and_stats(built, oracle):
     _, index_dir, _, meta = built
     _, doclen = oracle

@@ -564,8 +564,9 @@ def _merge_bucket_table(
     if len(hot_idx):
         # concatenate each hot term's shard rows (this bucket holds one
         # salt group of them) into ONE part via lossless chunk-directory
-        # concat — no decode, and the final part count per term is the
-        # number of salt groups, not the number of shards
+        # concat — no decode, fully vectorized (the skew path is by
+        # construction the LARGEST data; per-row Python here would make
+        # it the slow path)
         hot_tbl = group.take(pa.array(hot_idx))
         shard_col = hot_tbl.column("shard").to_numpy(zero_copy_only=False)
         terms_col = hot_tbl.column("term")
@@ -573,23 +574,14 @@ def _merge_bucket_table(
             terms_col = terms_col.combine_chunks()
         rank, _ = _rank_terms(terms_col)
         order = np.lexsort((shard_col, rank))
-        rows_out = []
-        i = 0
-        while i < len(order):
-            j = i
-            while j < len(order) and rank[order[j]] == rank[order[i]]:
-                j += 1
-            rows = [
-                {c: hot_tbl.column(c)[int(order[k])].as_py() for c in hot_tbl.column_names}
-                for k in range(i, j)
-            ]
-            merged_row = rows[0] if len(rows) == 1 else codec.concat_posting_rows(rows)
-            merged_row["part"] = int(shard_col[order[i]]) + 1
-            rows_out.append(merged_row)
-            i = j
-        hot = pa.Table.from_pylist(
-            rows_out,
-            schema=codec.POSTING_SCHEMA.append(pa.field("part", pa.uint32())),
+        o_rank = rank[order]
+        group_start = np.empty(len(order), bool)
+        group_start[0] = True
+        group_start[1:] = o_rank[1:] != o_rank[:-1]
+        hot = codec.concat_posting_table_groups(hot_tbl, order, group_start)
+        first_shard = shard_col[order[np.flatnonzero(group_start)]]
+        hot = hot.append_column(
+            "part", pa.array((first_shard + 1).astype(np.uint32), pa.uint32())
         )
         pieces.append(hot)
 

@@ -453,6 +453,112 @@ def merge_posting_rows(rows: list[dict], chunk_postings: int = CHUNK_POSTINGS) -
     return {c: t.column(c)[0].as_py() for c in t.column_names}
 
 
+def concat_posting_table_groups(
+    table: pa.Table, order: np.ndarray, group_start_mask: np.ndarray
+) -> pa.Table:
+    """Vectorized grouped chunk-directory concatenation (no decode).
+
+    ``order`` arranges the input rows; consecutive rows where
+    ``group_start_mask`` is False merge into the preceding start row
+    (rows of one group must be docid-range-ascending — the salted-build
+    invariant). Semantically identical to calling
+    :func:`concat_posting_rows` per group, but with no per-row Python:
+    the skew path (hot terms are by construction the *largest* rows)
+    must be the vectorized path. Returns one POSTING_SCHEMA row per
+    group.
+    """
+    order = np.asarray(order, np.int64)
+    group_start_mask = np.asarray(group_start_mask, bool)
+    starts = np.flatnonzero(group_start_mask)           # positions in `order`
+    G = len(starts)
+    gid = np.cumsum(group_start_mask) - 1               # group of each ordered row
+
+    def _col(name):
+        c = table.column(name)
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    terms = _col("term").take(pa.array(order[starts]))
+    df_all = table.column("df").to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+    cf_all = table.column("cf").to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+    df = np.add.reduceat(df_all, starts)
+    cf = np.add.reduceat(cf_all, starts)
+
+    # per-row byte lengths of each binary stream (for offset rebasing)
+    bin_parts: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    row_buf_lens: dict[str, np.ndarray] = {}
+    for name in ("docs", "tfs", "poss"):
+        buf, lens = _gather_binary(_col(name), order)
+        bin_parts[name] = (buf, lens)
+        row_buf_lens[name] = lens.astype(np.int64)
+
+    # list columns: flatten in `order`, regroup with per-group offsets
+    out_arrays: dict[str, pa.Array] = {}
+    list_offsets_per_group: np.ndarray | None = None
+    for name, off_src in (
+        ("cn", None), ("cfirst", None), ("clast", None), ("cmaxtf", None),
+        ("cdoff", "docs"), ("ctoff", "tfs"), ("cpoff", "poss"),
+    ):
+        col = _col(name)
+        offs = col.offsets.to_numpy().astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        row_lens = np.diff(offs)[order]
+        total = int(row_lens.sum())
+        out_off = np.zeros(len(order) + 1, np.int64)
+        np.cumsum(row_lens, out=out_off[1:])
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_off[:-1], row_lens)
+            + np.repeat(offs[:-1][order], row_lens)
+        )
+        flat = vals[gather].astype(np.int64)
+        if off_src is not None:
+            # rebase: each row's offsets shift by the byte length of the
+            # prior rows of ITS group in the matching stream
+            lens = row_buf_lens[off_src]
+            excl = np.cumsum(lens) - lens                 # global exclusive cumsum
+            base_of_group = excl[starts][gid]             # group-start exclusive pos
+            row_base = excl - base_of_group               # within-group base per row
+            flat = flat + np.repeat(row_base, row_lens)
+        group_lens = np.add.reduceat(row_lens, starts) if G else np.empty(0, np.int64)
+        goff = np.zeros(G + 1, np.int32)
+        np.cumsum(group_lens, out=goff[1:])
+        typ = pa.uint64() if name in ("cfirst", "clast") else pa.uint32()
+        out_arrays[name] = pa.ListArray.from_arrays(
+            pa.array(goff, pa.int32()), pa.array(flat.astype(np.uint64), typ)
+        )
+        if list_offsets_per_group is None:
+            list_offsets_per_group = goff
+
+    # binary columns: group-concatenated buffers
+    for name in ("docs", "tfs", "poss"):
+        buf, lens = bin_parts[name]
+        group_lens = np.add.reduceat(lens.astype(np.int64), starts) if G else np.empty(0, np.int64)
+        goff = np.zeros(G + 1, np.int64)
+        np.cumsum(group_lens, out=goff[1:])
+        out_arrays[name] = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), G,
+            [None, pa.py_buffer(goff), pa.py_buffer(np.ascontiguousarray(buf))],
+        )
+
+    return pa.table(
+        {
+            "term": terms.cast(pa.large_string()),
+            "df": pa.array(df, pa.uint64()),
+            "cf": pa.array(cf, pa.uint64()),
+            "cn": out_arrays["cn"],
+            "cfirst": out_arrays["cfirst"],
+            "clast": out_arrays["clast"],
+            "cmaxtf": out_arrays["cmaxtf"],
+            "cdoff": out_arrays["cdoff"],
+            "ctoff": out_arrays["ctoff"],
+            "cpoff": out_arrays["cpoff"],
+            "docs": out_arrays["docs"],
+            "tfs": out_arrays["tfs"],
+            "poss": out_arrays["poss"],
+        }
+    )
+
+
 def concat_posting_rows(rows: list[dict]) -> dict:
     """Chunk-directory concatenation of docid-disjoint rows (no decode).
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import os
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -121,33 +122,237 @@ def _query_tokens(text: str) -> list[tuple[str, int]]:
     return [(t, i) for i, t in enumerate(_WT.tokenize_text(text))]
 
 
+@dataclass
+class DeferredPred:
+    """A scalar-column predicate NOT yet evaluated. The planner applies
+    it to an index-produced match set via docid-pruned fetches (the
+    reference's grn_table_select applying sequential scan_info units
+    against the current result set, lib/expr.c:5038/4673); only a
+    predicate with no index part anywhere above it pays a corpus scan
+    (and that scan streams — never a whole-corpus driver read)."""
+
+    ast: object                    # script-AST tuple
+    columns: tuple[str, ...]
+
+
+def _pred_columns(ast) -> tuple[str, ...]:
+    cols: set[str] = set()
+
+    def collect(n):
+        if isinstance(n, tuple):
+            if n[0] == "col":
+                cols.add(n[1])
+            for child in n[1:]:
+                if isinstance(child, tuple):
+                    collect(child)
+                elif isinstance(child, list):
+                    for c in child:
+                        collect(c)
+
+    collect(ast)
+    return tuple(sorted(cols))
+
+
+def _pred_of_range(node: RangeNode) -> DeferredPred:
+    try:
+        value: object = float(node.value)
+        if float(node.value).is_integer() and "." not in node.value:
+            value = int(node.value)
+        lit = ("num", value)
+    except ValueError:
+        lit = ("str", node.value)
+    return DeferredPred((node.op, ("col", node.column), lit), (node.column,))
+
+
+def _pred_and(a: DeferredPred, b: DeferredPred) -> DeferredPred:
+    return DeferredPred(("and", a.ast, b.ast), tuple(sorted(set(a.columns) | set(b.columns))))
+
+
+def _apply_pred_to(table: "IndexedTable", pred: DeferredPred, result: MatchResult) -> MatchResult:
+    """Filter a match set by the predicate: fetch ONLY the matched
+    docids' rows (docid-range-pruned read) and mask — bytes read scale
+    with the match, not the corpus."""
+    from .script import eval_filter
+
+    if result.nhits == 0:
+        return result
+    tbl = fetch_docs(table, result.docids, list(pred.columns))
+    mask = eval_filter(pred.ast, tbl)
+    if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+        mask = pc.fill_null(mask, False)
+        mask_np = np.asarray(mask.to_numpy(zero_copy_only=False), bool)
+    else:
+        mask_np = np.asarray(mask, bool)
+    return MatchResult(result.docids[mask_np], result.scores[mask_np])
+
+
+# corpora under this row count scan on the driver (streaming, per row
+# group); above it the scan fans out as a Ray Data job over the files
+SCAN_DISTRIBUTED_ROWS = 4_000_000
+
+
+def _scan_pred(table: "IndexedTable", pred: DeferredPred) -> MatchResult:
+    """Evaluate a predicate with no index support: a streaming, column-
+    pruned scan over the source files that returns ONLY matching docids
+    (grn_table_select_sequential analogue). Small corpora scan on the
+    driver row-group by row-group (bounded memory); large ones fan out
+    as a Ray Data map_batches over per-file tasks."""
+    import ray
+
+    files = sorted(table.source_files)
+    bases = []
+    base = 1
+    total = 0
+    for f in files:
+        n = pq.ParquetFile(f).metadata.num_rows
+        bases.append(base)
+        base += n
+        total += n
+
+    if total > SCAN_DISTRIBUTED_ROWS and ray.is_initialized():
+        import ray.data
+
+        items = [
+            {"file": f, "base": b, "docid_column": table.docid_column or "",
+             "ast": __import__("json").dumps(_ast_to_json(pred.ast)),
+             "columns": list(pred.columns)}
+            for f, b in zip(files, bases)
+        ]
+
+        def scan_file(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                ids = _scan_one_file(
+                    row["file"], int(row["base"]), row["docid_column"] or None,
+                    _ast_from_json(__import__("json").loads(row["ast"])), row["columns"],
+                )
+                out.append(ids)
+            all_ids = np.concatenate(out) if out else np.empty(0, np.uint64)
+            return pa.table({"docid": pa.array(all_ids, pa.uint64())})
+
+        ds = ray.data.from_items(items).map_batches(
+            scan_file, batch_size=1, batch_format="pyarrow"
+        )
+        docids = np.concatenate(
+            [b.column("docid").to_numpy(zero_copy_only=False) for b in ds.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.uint64)]
+        ).astype(np.uint64)
+    else:
+        parts = [
+            _scan_one_file(f, b, table.docid_column, pred.ast, list(pred.columns))
+            for f, b in zip(files, bases)
+        ]
+        docids = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    docids = np.sort(docids)
+    return MatchResult(docids, np.zeros(len(docids), np.float64))
+
+
+def _scan_one_file(path: str, base: int, docid_column: str | None, ast, columns: list[str]) -> np.ndarray:
+    """Row-group-streaming predicate scan of one file -> matching docids."""
+    from .script import eval_filter
+
+    need = sorted(set(columns) | ({docid_column} if docid_column else set()))
+    pf = pq.ParquetFile(path)
+    out = []
+    row_base = base
+    for rg in range(pf.metadata.num_row_groups):
+        tbl = pf.read_row_group(rg, columns=need)
+        mask = eval_filter(ast, tbl)
+        if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+            mask = pc.fill_null(mask, False)
+            m = np.asarray(mask.to_numpy(zero_copy_only=False), bool)
+        else:
+            m = np.asarray(mask, bool)
+        if docid_column:
+            ids = tbl.column(docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            ids = np.arange(row_base, row_base + tbl.num_rows, dtype=np.uint64)
+        out.append(ids[m])
+        row_base += tbl.num_rows
+    return np.concatenate(out) if out else np.empty(0, np.uint64)
+
+
+def _ast_to_json(n):
+    if isinstance(n, tuple):
+        return ["__t__"] + [_ast_to_json(c) for c in n]
+    if isinstance(n, list):
+        return ["__l__"] + [_ast_to_json(c) for c in n]
+    return n
+
+
+def _ast_from_json(n):
+    if isinstance(n, list):
+        if n and n[0] == "__t__":
+            return tuple(_ast_from_json(c) for c in n[1:])
+        if n and n[0] == "__l__":
+            return [_ast_from_json(c) for c in n[1:]]
+    return n
+
+
+def _as_match(x, table: "IndexedTable") -> MatchResult:
+    return _scan_pred(table, x) if isinstance(x, DeferredPred) else x
+
+
 def _eval_node(node, reader, spec, table: "IndexedTable") -> MatchResult:
+    return _as_match(_eval_node_lazy(node, reader, spec, table), table)
+
+
+def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
+    """Evaluate a query AST node to a MatchResult OR a DeferredPred.
+    Predicates stay deferred until an AND gives them a bounded match
+    set to filter; only a predicate that reaches the top (or an OR/
+    ADJUST operand) unbounded pays a scan."""
     if isinstance(node, (TermNode, PhraseNode)):
         sec = getattr(node, "section", None)
         if sec and sec not in reader.sections:
             # col:value on an unindexed scalar column = equality filter
             # (grn_table_select key search, lib/db.c:2641)
-            return _range_filter(RangeNode(sec, "==", node.text), reader, table)
+            return _pred_of_range(RangeNode(sec, "==", node.text))
         return _eval_match_node(node, reader, spec)
     if isinstance(node, AndNode):
-        parts = [_eval_node(c, reader, spec, table) for c in node.children]
-        parts.sort(key=lambda m: m.nhits)
-        acc = parts[0]
-        for m in parts[1:]:
+        parts = [_eval_node_lazy(c, reader, spec, table) for c in node.children]
+        matches = [p for p in parts if isinstance(p, MatchResult)]
+        preds = [p for p in parts if isinstance(p, DeferredPred)]
+        if not matches:
+            acc_p = preds[0]
+            for p in preds[1:]:
+                acc_p = _pred_and(acc_p, p)
+            return acc_p
+        matches.sort(key=lambda m: m.nhits)
+        acc = matches[0]
+        for m in matches[1:]:
             acc = op_and(acc, m)
+        for p in preds:
+            acc = _apply_pred_to(table, p, acc)
         return acc
     if isinstance(node, OrNode):
         acc = MatchResult.empty()
+        pred_or: DeferredPred | None = None
         for c in node.children:
-            acc = op_or(acc, _eval_node(c, reader, spec, table))
+            r = _eval_node_lazy(c, reader, spec, table)
+            if isinstance(r, DeferredPred):
+                pred_or = r if pred_or is None else DeferredPred(
+                    ("or", pred_or.ast, r.ast),
+                    tuple(sorted(set(pred_or.columns) | set(r.columns))),
+                )
+            else:
+                acc = op_or(acc, r)
+        if pred_or is not None:
+            acc = op_or(acc, _scan_pred(table, pred_or))
         return acc
     if isinstance(node, NotNode):
-        neg = _eval_node(node.negative, reader, spec, table)
-        if node.positive is None:
-            pos = _all_docs(reader)
-        else:
-            pos = _eval_node(node.positive, reader, spec, table)
-        return op_and_not(pos, neg)
+        neg = _eval_node_lazy(node.negative, reader, spec, table)
+        pos = (
+            _all_docs(reader)
+            if node.positive is None
+            else _eval_node_lazy(node.positive, reader, spec, table)
+        )
+        if isinstance(neg, DeferredPred):
+            inv = DeferredPred(("not", neg.ast), neg.columns)
+            if isinstance(pos, DeferredPred):
+                return _pred_and(pos, inv)
+            return _apply_pred_to(table, inv, pos)
+        return op_and_not(_as_match(pos, table), neg)
     if isinstance(node, AdjustNode):
         adj = _eval_node(node.adjust, reader, spec, table)
         if node.base is None:
@@ -155,7 +360,7 @@ def _eval_node(node, reader, spec, table: "IndexedTable") -> MatchResult:
         base = _eval_node(node.base, reader, spec, table)
         return op_adjust(base, adj)
     if isinstance(node, RangeNode):
-        return _range_filter(node, reader, table)
+        return _pred_of_range(node)
     raise TypeError(f"unknown node {node!r}")
 
 
@@ -167,62 +372,61 @@ def _all_docs(reader: IndexReader) -> MatchResult:
     return MatchResult(docids, np.zeros(len(docids), np.float64))
 
 
-def _range_filter(node: RangeNode, reader: IndexReader, table: "IndexedTable") -> MatchResult:
-    """Scalar-column predicate evaluated against the doc store
-    (sequential fallback, grn_table_select_sequential analogue)."""
-    tbl = _read_source(table, [c for c in (table.docid_column, node.column) if c])
-    col = tbl.column(node.column)
-    try:
-        value: object = float(node.value)
-        if float(node.value).is_integer() and "." not in node.value:
-            value = int(node.value)
-    except ValueError:
-        value = node.value
-    fn = {
-        "<": pc.less, ">": pc.greater, "<=": pc.less_equal,
-        ">=": pc.greater_equal, "==": pc.equal, "!=": pc.not_equal,
-    }[node.op]
-    mask = fn(col, pa.scalar(value)).to_numpy(zero_copy_only=False)
-    docids = _source_docids(table, tbl)[mask]
-    order = np.argsort(docids)
-    return MatchResult(docids[order].astype(np.uint64), np.zeros(int(mask.sum()), np.float64))
-
-
 # ------------------------------------------------------------- doc store
 
-def _read_source(table: IndexedTable, columns: list[str] | None = None) -> pa.Table:
-    cols = None
-    if columns:
-        cols = sorted(set(columns))
-    parts = [pq.read_table(f, columns=cols) for f in sorted(table.source_files)]
-    return pa.concat_tables(parts)
+# observability: posting-independent doc-store bytes fetched (tests
+# assert reads scale with the match, not the corpus)
+FETCH_BYTES = 0
 
 
-def _source_docids(table: IndexedTable, tbl: pa.Table) -> np.ndarray:
-    if table.docid_column:
-        return tbl.column(table.docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
-    return np.arange(1, tbl.num_rows + 1, dtype=np.uint64)
+@lru_cache(maxsize=4096)
+def _rowgroup_ranges(path: str, docid_column: str | None, base: int) -> tuple:
+    """Per-row-group (first_docid, last_docid, byte_size) of one file —
+    metadata only (column statistics for docid tables, prefix sums of
+    row-group row counts for rank tables)."""
+    meta = pq.ParquetFile(path).metadata
+    out = []
+    if docid_column:
+        col_idx = [
+            i for i in range(meta.num_columns)
+            if meta.schema.column(i).path == docid_column
+        ][0]
+        for i in range(meta.num_row_groups):
+            st = meta.row_group(i).column(col_idx).statistics
+            out.append((int(st.min), int(st.max), meta.row_group(i).total_byte_size))
+    else:
+        b = base
+        for i in range(meta.num_row_groups):
+            n = meta.row_group(i).num_rows
+            out.append((b, b + n - 1, meta.row_group(i).total_byte_size))
+            b += n
+    return tuple(out)
+
+
+@lru_cache(maxsize=4096)
+def _rg_col_bytes(path: str) -> tuple:
+    """Per-row-group {top-level column -> compressed bytes} (metadata)."""
+    meta = pq.ParquetFile(path).metadata
+    out = []
+    for i in range(meta.num_row_groups):
+        d: dict[str, int] = {}
+        for j in range(meta.num_columns):
+            c = meta.row_group(i).column(j)
+            name = c.path_in_schema.split(".")[0]
+            d[name] = d.get(name, 0) + c.total_compressed_size
+        out.append(d)
+    return tuple(out)
 
 
 def _file_docid_ranges(table: IndexedTable) -> list[tuple[str, int, int]]:
-    """Per-file [first_docid, last_docid] from metadata only.
-
-    docid-column tables rely on parquet column statistics; rank-based
-    tables on the sorted-files prefix sums — either way no data pass.
-    """
+    """Per-file [first_docid, last_docid] from metadata only."""
     ranges = []
     base = 1
     for f in sorted(table.source_files):
-        pf = pq.ParquetFile(f)
-        meta = pf.metadata
+        meta = pq.ParquetFile(f).metadata
         if table.docid_column:
-            col_idx = [
-                i for i in range(meta.num_columns)
-                if meta.schema.column(i).path == table.docid_column
-            ][0]
-            lo = min(meta.row_group(i).column(col_idx).statistics.min for i in range(meta.num_row_groups))
-            hi = max(meta.row_group(i).column(col_idx).statistics.max for i in range(meta.num_row_groups))
-            ranges.append((f, int(lo), int(hi)))
+            rgs = _rowgroup_ranges(f, table.docid_column, 0)
+            ranges.append((f, min(r[0] for r in rgs), max(r[1] for r in rgs)))
         else:
             ranges.append((f, base, base + meta.num_rows - 1))
             base += meta.num_rows
@@ -230,10 +434,11 @@ def _file_docid_ranges(table: IndexedTable) -> list[tuple[str, int, int]]:
 
 
 def fetch_docs(table: IndexedTable, docids: np.ndarray, columns: list[str]) -> pa.Table:
-    """Fetch document rows by docid, column-pruned AND file-pruned
-    (only files whose docid range intersects the request are read —
-    the doc store is the corpus; reading it whole per query would not
-    survive scale). Preserves the order of ``docids``."""
+    """Fetch document rows by docid — column-pruned, file-pruned AND
+    row-group-pruned: only row groups whose docid range contains a
+    requested docid are read (the doc store is the corpus; bytes read
+    must scale with the request). Preserves the order of ``docids``."""
+    global FETCH_BYTES
     need = [c for c in columns if c != "_id" and c != "_score"]
     if not need:
         return pa.table({})
@@ -241,22 +446,38 @@ def fetch_docs(table: IndexedTable, docids: np.ndarray, columns: list[str]) -> p
     if len(docids) == 0:
         tbl = pq.read_table(sorted(table.source_files)[0], columns=src_cols)
         return tbl.slice(0, 0).select(need)
-    lo, hi = int(docids.min()), int(docids.max())
+    sorted_ids = np.sort(np.asarray(docids, np.uint64))
+    lo, hi = int(sorted_ids[0]), int(sorted_ids[-1])
     parts = []
-    bases = []
+    part_ids = []
     for f, flo, fhi in _file_docid_ranges(table):
         if fhi < lo or flo > hi:
             continue
-        parts.append(pq.read_table(f, columns=src_cols))
-        bases.append(flo)
+        rgs = _rowgroup_ranges(f, table.docid_column, flo)
+        take = [
+            i for i, (rlo, rhi, _) in enumerate(rgs)
+            if np.searchsorted(sorted_ids, rlo, "left") < np.searchsorted(sorted_ids, rhi, "right")
+        ]
+        if not take:
+            continue
+        pf = pq.ParquetFile(f)
+        part = pf.read_row_groups(take, columns=src_cols)
+        col_bytes = _rg_col_bytes(f)
+        FETCH_BYTES += sum(col_bytes[i].get(c, 0) for i in take for c in src_cols)
+        parts.append(part)
+        if table.docid_column:
+            part_ids.append(
+                part.column(table.docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        else:
+            # rank docids: row groups are docid-contiguous ranges
+            part_ids.append(
+                np.concatenate(
+                    [np.arange(rgs[i][0], rgs[i][1] + 1, dtype=np.uint64) for i in take]
+                )
+            )
     tbl = pa.concat_tables(parts)
-    if table.docid_column:
-        all_ids = tbl.column(table.docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
-    else:
-        # rank docids: files are docid-contiguous, concatenation keeps order
-        all_ids = np.concatenate(
-            [np.arange(b, b + p.num_rows, dtype=np.uint64) for b, p in zip(bases, parts)]
-        )
+    all_ids = np.concatenate(part_ids)
     order = np.argsort(all_ids)
     pos = order[np.searchsorted(all_ids[order], docids)]
     return tbl.take(pa.array(pos)).select(need)
@@ -372,27 +593,15 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
         m = term_match(si, _query_tokens(text), spec.scorer, **kw)
         acc = m if acc is None else op_and(acc, m)
     if plan.predicate is not None:
-        cols = set()
-
-        def collect(n):
-            if n[0] == "col":
-                cols.add(n[1])
-            for child in n[1:]:
-                if isinstance(child, tuple):
-                    collect(child)
-                elif isinstance(child, list):
-                    for c in child:
-                        collect(c)
-
-        collect(plan.predicate)
-        need = sorted(cols | ({table.docid_column} if table.docid_column else set()))
-        tbl = _read_source(table, need)
-        mask = eval_filter(plan.predicate, tbl)
-        mask_np = np.asarray(mask.to_numpy(zero_copy_only=False), bool)
-        docids = _source_docids(table, tbl)[mask_np]
-        order = np.argsort(docids)
-        m = MatchResult(docids[order].astype(np.uint64), np.zeros(int(mask_np.sum()), np.float64))
-        acc = m if acc is None else op_and(acc, m)
+        pred = DeferredPred(plan.predicate, _pred_columns(plan.predicate))
+        if acc is None:
+            # no index part anywhere: streaming scan (never a whole-
+            # corpus driver materialization)
+            acc = _scan_pred(table, pred)
+        else:
+            # bounded by the index match: evaluate the residual ONLY
+            # over the matched docids (docid-pruned fetch)
+            acc = _apply_pred_to(table, pred, acc)
     return acc if acc is not None else MatchResult.empty()
 
 

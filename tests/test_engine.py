@@ -78,6 +78,53 @@ def test_select_range_filter_node(doc_table):
     assert all(v >= 400 for v in res["rows"].column("n_chars").to_pylist())
 
 
+def test_filter_reads_scale_with_match(doc_table):
+    """An index-bounded filter must evaluate its residual over the
+    match's docids only — doc-store bytes read scale with the match,
+    not the corpus — and never materialize the source on the driver."""
+    import duckdb
+    from groonga_ray import engine as eng
+
+    before = eng.FETCH_BYTES
+    res = select(
+        doc_table, query="spark", match_columns="text",
+        filter="between(n_chars, 150, 350)", limit=-1,
+        output_columns=("_id", "n_chars"),
+    )
+    delta = eng.FETCH_BYTES - before
+    want = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9_]+'), x -> x <> '')) AS term
+          FROM '{SF}/documents.parquet')
+        SELECT DISTINCT d.doc_id FROM '{SF}/documents.parquet' d
+        WHERE d.doc_id IN (SELECT doc_id FROM toks WHERE term = 'spark')
+          AND d.n_chars BETWEEN 150 AND 350 ORDER BY doc_id
+        """
+    ).df()
+    assert sorted(res["rows"].column("_id").to_pylist()) == want["doc_id"].tolist()
+    # residual fetch is column-pruned (n_chars only): a corpus-sized
+    # read of the text column would be orders of magnitude larger
+    import os as _os
+    corpus_bytes = _os.path.getsize(f"{SF}/documents.parquet")
+    assert 0 < delta < corpus_bytes, (delta, corpus_bytes)
+
+
+def test_pure_scan_filter_streams(doc_table):
+    """A filter with no index part scans streaming and matches SQL."""
+    import duckdb
+
+    res = select(
+        doc_table, filter="n_chars >= 400 && lang == 'en'", limit=-1,
+        output_columns=("_id", "n_chars"),
+    )
+    want = duckdb.sql(
+        f"SELECT doc_id FROM '{SF}/documents.parquet' WHERE n_chars >= 400 AND lang = 'en' ORDER BY doc_id"
+    ).df()
+    assert res["rows"].column("_id").to_pylist() == want["doc_id"].tolist()
+
+
 def test_dump_tokens_matches_sql(doc_table):
     import duckdb
 

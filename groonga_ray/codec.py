@@ -351,6 +351,30 @@ def decode_postings(
     return PostingList(docids, tfs, positions, pos_offsets)
 
 
+def decode_chunks(row: dict, c0: int, c1: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY chunks [c0, c1) of a posting row -> (docids, tfs).
+
+    The byte ranges come straight from the chunk directory's end
+    offsets — this is the lazy path block-max WAND uses to decode a
+    docid window without touching the rest of the term
+    (grn_ii_cursor_set_min analogue at chunk granularity)."""
+    cn = np.asarray(row["cn"], np.int64)[c0:c1]
+    cdoff = np.asarray(row["cdoff"], np.int64)
+    ctoff = np.asarray(row["ctoff"], np.int64)
+    dstart = int(cdoff[c0 - 1]) if c0 else 0
+    tstart = int(ctoff[c0 - 1]) if c0 else 0
+    docs_b = np.frombuffer(row["docs"], np.uint8)[dstart : int(cdoff[c1 - 1])]
+    tfs_b = np.frombuffer(row["tfs"], np.uint8)[tstart : int(ctoff[c1 - 1])]
+    gaps = vb_decode(docs_b)
+    starts_local = np.zeros(len(cn), np.int64)
+    np.cumsum(cn[:-1], out=starts_local[1:])
+    mask = np.zeros(len(gaps), bool)
+    mask[starts_local] = True
+    docids = _segmented_abs_from_gaps(gaps, mask)
+    tfs = vb_decode(tfs_b) + np.uint64(1)
+    return docids, tfs
+
+
 def _gather_binary(col: pa.Array, order: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Concatenate the given rows of a large_binary column in ``order``
     into one contiguous uint8 buffer. Returns (buffer, row_byte_lens)."""

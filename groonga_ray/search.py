@@ -311,86 +311,83 @@ def near_match(
         if len(cand) == 0:
             return MatchResult.empty()
 
-    if len(infos) == 2:
-        # vectorized prefilter: the min |p1-p2| between two sorted lists
-        # is attained by an adjacent pair of the merged stream, so docs
-        # whose adjacent cross-slot gap <= interval are exactly the
-        # match set; the exact window count then runs only on matches
-        docs_all, pos_all, slot_all = [], [], []
-        for slot, ti in enumerate(infos):
-            pl = ti.postings
-            keep = np.isin(pl.docids, cand)
-            idx = np.flatnonzero(keep)
-            tf = pl.tfs.astype(np.int64)
-            lens = tf[idx]
-            starts = pl.pos_offsets[idx]
-            out_off = np.zeros(len(idx) + 1, np.int64)
-            np.cumsum(lens, out=out_off[1:])
-            take = np.arange(int(out_off[-1]), dtype=np.int64)
-            take -= np.repeat(out_off[:-1], lens)
-            take += np.repeat(starts, lens)
-            off = (ti.offset - infos[0].offset) if use_offsets else 0
-            docs_all.append(np.repeat(pl.docids[idx], lens))
-            pos_all.append(pl.positions[take].astype(np.int64) - off)
-            slot_all.append(np.full(int(out_off[-1]), slot, np.int8))
-        D = np.concatenate(docs_all)
-        P_ = np.concatenate(pos_all)
-        S_ = np.concatenate(slot_all)
-        order = np.lexsort((S_, P_, D))
-        D, P_, S_ = D[order], P_[order], S_[order]
-        adj = (
-            (D[1:] == D[:-1])
-            & (S_[1:] != S_[:-1])
-            & ((P_[1:] - P_[:-1]) <= max_interval)
-            & (P_[1:] - P_[:-1] >= -max_interval)
-        )
-        cand = np.unique(D[:-1][adj]) if len(D) > 1 else np.empty(0, D.dtype)
-        if len(cand) == 0:
-            return MatchResult.empty()
-
-    out_docs: list[int] = []
-    out_n: list[int] = []
-    # per-candidate-doc sliding window over k sorted position lists
-    # (candidate sets are small after the intersection; the reference's
-    # btr walk is likewise per-record)
-    per_doc_pos = []
+    # flatten each slot's positions over the SAME candidate-doc order:
+    # the sliding min/max walk then runs LOCK-STEP across all candidate
+    # docs at once (vectorized over docs; iterations amortize to the
+    # total position count — the reference's per-record btr walk,
+    # executed k-way across the whole candidate set)
+    k = len(infos)
+    flat: list[np.ndarray] = []
+    offs: list[np.ndarray] = []
     for ti in infos:
         pl = ti.postings
-        idx = {int(d): j for j, d in enumerate(pl.docids.tolist())}
-        per_doc_pos.append((pl, idx, ti.offset - infos[0].offset if use_offsets else 0))
-    for d in cand.tolist():
-        lists = []
-        for pl, idx, off in per_doc_pos:
-            j = idx[int(d)]
-            p = pl.positions[pl.pos_offsets[j] : pl.pos_offsets[j + 1]].astype(np.int64) - off
-            lists.append(p)
-        ptr = [0] * len(lists)
-        noccur = 0
-        alive = True
-        while alive:
-            vals = [lists[i][ptr[i]] for i in range(len(lists))]
-            mn_i = int(np.argmin(vals))
-            mn, mx = int(vals[mn_i]), int(max(vals))
-            if mx - mn <= max_interval:
-                noccur += 1
-                target = mx + 1
-            else:
-                target = mx - max_interval
-            li = lists[mn_i]
-            k = int(np.searchsorted(li, target))
-            if k >= len(li):
-                alive = False
-            else:
-                ptr[mn_i] = k
-        if noccur:
-            out_docs.append(d)
-            out_n.append(noccur)
-    if not out_docs:
+        idx = np.flatnonzero(np.isin(pl.docids, cand))
+        tf = pl.tfs.astype(np.int64)[idx]
+        out_off = np.zeros(len(idx) + 1, np.int64)
+        np.cumsum(tf, out=out_off[1:])
+        take = np.arange(int(out_off[-1]), dtype=np.int64)
+        take -= np.repeat(out_off[:-1], tf)
+        take += np.repeat(pl.pos_offsets[idx], tf)
+        off_adj = (ti.offset - infos[0].offset) if use_offsets else 0
+        flat.append(pl.positions[take].astype(np.int64) - off_adj)
+        offs.append(out_off)
+    noccur = _near_count_lockstep(flat, offs, max_interval)
+    keep = noccur > 0
+    if not keep.any():
         return MatchResult.empty()
-    docids = np.array(out_docs, np.uint64)
-    noccur = np.array(out_n, np.int64)
+    docids = cand[keep].astype(np.uint64)
+    noccur = noccur[keep]
     scores = _apply_scorer(scorer, docids, noccur, infos, n_docs, avgdl, doclens, weight)
     return MatchResult(docids, scores)
+
+
+def _near_count_lockstep(
+    flat: list[np.ndarray], offs: list[np.ndarray], interval: int
+) -> np.ndarray:
+    """Count NEAR windows per doc with the reference's sliding min/max
+    walk (lib/ii.c:6481-6497), run lock-step across all docs: per
+    iteration the (min, max) of the k heads is computed for every live
+    doc at once; the min pointer advances to ``max+1`` on a hit or
+    ``max-interval`` on a miss. Pointer advances amortize to the total
+    number of positions, each step fully vectorized."""
+    k = len(flat)
+    n = len(offs[0]) - 1
+    counts = np.zeros(n, np.int64)
+    if n == 0:
+        return counts
+    ptr = np.stack([o[:-1].copy() for o in offs])     # (k, n)
+    end = np.stack([o[1:] for o in offs])             # (k, n)
+    alive = np.ones(n, bool)
+    heads = np.zeros((k, n), np.int64)
+    while alive.any():
+        for s in range(k):
+            heads[s][alive] = flat[s][ptr[s][alive]]
+        mn = heads.min(axis=0)
+        mx = heads.max(axis=0)
+        match = alive & (mx - mn <= interval)
+        counts[match] += 1
+        target = np.where(match, mx + 1, mx - interval)
+        mn_slot = np.argmin(heads, axis=0)            # first-min tie rule
+        for s in range(k):
+            adv = alive & (mn_slot == s)
+            if not adv.any():
+                continue
+            p = ptr[s]
+            while True:
+                can = adv & (p < end[s])
+                if not can.any():
+                    break
+                idx = np.flatnonzero(can)
+                idx = idx[flat[s][p[idx]] < target[idx]]
+                if len(idx) == 0:
+                    break
+                p[idx] += 1
+                adv = np.zeros(n, bool)
+                adv[idx] = True
+            # recompute which docs this slot exhausted
+            dead = alive & (mn_slot == s) & (p >= end[s])
+            alive[dead] = False
+    return counts
 
 
 def similar_match(
@@ -558,19 +555,57 @@ def wand_topk(
             return score_mod.tf_idf_upper_bound(maxtf, df + 2 if df > 1 else 1, 1, n_docs)
         return score_mod.default_upper_bound(maxtf)
 
-    # chunk directories
+    # chunk directories + per-term lazy chunk cursors: a chunk is
+    # decoded at most once, and ONLY when a window overlapping it beats
+    # the current θ (windows advance monotonically in docid, so decoded
+    # chunks before the window are dropped — bounded memory)
     dirs = []
+    cursors: list[dict[int, tuple[np.ndarray, np.ndarray]]] = []
     for t, tid, row, df in term_rows:
         cfirst = np.asarray(row["cfirst"], np.uint64)
         clast = np.asarray(row["clast"], np.uint64)
         cub = np.array([chunk_ub(m, df) for m in row["cmaxtf"]], np.float64)
         dirs.append((cfirst, clast, cub))
+        cursors.append({})
+
+    def window_postings(i: int, lo: np.uint64, hi: np.uint64):
+        """(docids, tfs) of term i within [lo, hi] — chunk-lazy."""
+        cfirst, clast, _ = dirs[i]
+        c0 = int(np.searchsorted(clast, lo, side="left"))
+        c1 = int(np.searchsorted(cfirst, hi, side="right"))
+        if c0 >= c1:
+            return None
+        cur = cursors[i]
+        for c in list(cur):
+            if c < c0:
+                del cur[c]
+        parts = []
+        run_start = None
+        for c in range(c0, c1):
+            if c in cur:
+                if run_start is not None:
+                    d, tf = codec.decode_chunks(term_rows[i][2], run_start, c)
+                    for cc, (dd, tt) in _split_chunks(term_rows[i][2], run_start, c, d, tf):
+                        cur[cc] = (dd, tt)
+                    run_start = None
+            elif run_start is None:
+                run_start = c
+        if run_start is not None:
+            d, tf = codec.decode_chunks(term_rows[i][2], run_start, c1)
+            for cc, (dd, tt) in _split_chunks(term_rows[i][2], run_start, c1, d, tf):
+                cur[cc] = (dd, tt)
+        d = np.concatenate([cur[c][0] for c in range(c0, c1)])
+        tf = np.concatenate([cur[c][1] for c in range(c0, c1)])
+        a = np.searchsorted(d, lo, side="left")
+        b = np.searchsorted(d, hi, side="right")
+        if a == b:
+            return None
+        return d[a:b], tf[a:b]
 
     # windows = consecutive pairs over union of all chunk boundaries
     edges = np.unique(np.concatenate([d[1] for d in dirs]))  # window ends = clasts
     heap: list[tuple[float, int]] = []   # (score, -docid) min-heap of k best
     theta = -np.inf
-    decoded: list[PostingList | None] = [None] * len(term_rows)
 
     lo = np.uint64(0)
     for hi in edges:
@@ -589,41 +624,50 @@ def wand_topk(
         if len(heap) >= k and ub <= theta:
             lo = hi + np.uint64(1)
             continue
-        # decode lazily (whole term once; chunk-level laziness via min_docid)
-        window_scores: dict[int, float] = {}
-        present_count: dict[int, int] = {}
+        # decode + score the window fully vectorized (no per-doc dicts)
+        d_parts, s_parts = [], []
         for i in active:
-            if decoded[i] is None:
-                decoded[i] = codec.decode_postings(term_rows[i][2])
-            pl = decoded[i]
-            a = np.searchsorted(pl.docids, lo, side="left")
-            b = np.searchsorted(pl.docids, hi, side="right")
-            if a == b:
+            got = window_postings(i, lo, hi)
+            if got is None:
                 continue
-            d = pl.docids[a:b]
-            tf = pl.tfs[a:b].astype(np.int64)
+            d, tf64 = got
+            tf = tf64.astype(np.int64)
             if scorer == "bm25":
-                dl = doclens[d.astype(np.int64)] if doclens is not None else np.full(len(d), avgdl)
+                dl = doclens[d] if doclens is not None else np.full(len(d), avgdl)
                 s = score_mod.bm25(tf, term_rows[i][3], dl, n_docs, avgdl)
             elif scorer == "tf_idf":
                 df = term_rows[i][3]
                 s = score_mod.tf_idf(tf, df + 2 if df > 1 else 1, 1, n_docs)
             else:
                 s = score_mod.default_score(tf.astype(np.float64))
-            for dd, ss in zip(d.tolist(), s.tolist()):
-                window_scores[dd] = window_scores.get(dd, 0.0) + ss
-                present_count[dd] = present_count.get(dd, 0) + 1
-        for dd, ss in window_scores.items():
-            if mode == "and" and present_count[dd] < len(term_rows):
-                continue
-            item = (ss, -dd)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-                if len(heap) == k:
+            d_parts.append(d)
+            s_parts.append(s)
+        if d_parts:
+            all_d = np.concatenate(d_parts)
+            all_s = np.concatenate(s_parts)
+            order = np.argsort(all_d, kind="stable")
+            d_s = all_d[order]
+            s_s = all_s[order]
+            bstarts = np.flatnonzero(np.concatenate([[True], d_s[1:] != d_s[:-1]]))
+            doc = d_s[bstarts]
+            score = np.add.reduceat(s_s, bstarts)
+            if mode == "and":
+                cnt = np.diff(np.append(bstarts, len(d_s)))
+                keepm = cnt == len(term_rows)
+                doc, score = doc[keepm], score[keepm]
+            # heap updates only for docs that can enter the top-k
+            if len(heap) >= k:
+                cm = score >= theta
+                doc, score = doc[cm], score[cm]
+            for dd, ss in zip(doc.tolist(), score.tolist()):
+                item = (ss, -dd)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                    if len(heap) == k:
+                        theta = heap[0][0]
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
                     theta = heap[0][0]
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-                theta = heap[0][0]
         lo = hi + np.uint64(1)
 
     out = sorted(heap, key=lambda x: (-x[0], -x[1]))
@@ -631,3 +675,13 @@ def wand_topk(
         np.array([-d for _, d in out], np.uint64),
         np.array([s for s, _ in out], np.float64),
     )
+
+
+def _split_chunks(row: dict, c0: int, c1: int, d: np.ndarray, tf: np.ndarray):
+    """Split a decoded chunk-range back into per-chunk arrays."""
+    cn = np.asarray(row["cn"], np.int64)[c0:c1]
+    pos = 0
+    for j, c in enumerate(range(c0, c1)):
+        n = int(cn[j])
+        yield c, (d[pos : pos + n], tf[pos : pos + n])
+        pos += n

@@ -269,6 +269,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ft_script_ops(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, query="spark", match_columns="text",
+            filter="(n_chars >> 2) % 3 == 1 && lang in ['en', 'de']", limit=-1,
+            output_columns=("_id", "n_chars"),
+        )
+        return pa.table(
+            {
+                "doc_id": res["rows"].column("_id").cast(pa.int64()),
+                "n_chars": res["rows"].column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    def ft_scorer_ternary(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, query="spark", match_columns="text",
+            scorer_expr="_score = n_chars > 300 ? _score * 10 : _score", limit=-1,
+        )
+        return pa.table(
+            {
+                "doc_id": res["rows"].column("_id").cast(pa.int64()),
+                "score": res["rows"].column("_score").cast(pa.float64()),
+            }
+        )
+
     def edit_dist(sf_dir):
         import pyarrow.parquet as pq
         from groonga_ray.functions import edit_distance_batch
@@ -601,6 +632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_adjuster": ft_adjuster,
         "drill_calc": drill_calc,
         "ft_filter": ft_filter,
+        "ft_script_ops": ft_script_ops,
+        "ft_scorer_ternary": ft_scorer_ternary,
         "edit_dist": edit_dist,
         "ft_doclen": ft_doclen,
         "ft_sections_weighted": ft_sections_weighted,
@@ -737,6 +770,19 @@ GROUP BY lang
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
   AND d.n_chars BETWEEN 150 AND 350
+""",
+        "ft_script_ops": f"""
+{_TOKS}
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+  AND (d.n_chars // 4) % 3 = 1 AND d.lang IN ('en', 'de')
+""",
+        "ft_scorer_ternary": f"""
+{_TOKS}
+SELECT d.doc_id,
+       (CASE WHEN d.n_chars > 300 THEN t.tf * 10 ELSE t.tf END)::DOUBLE AS score
+FROM documents d JOIN tf t USING (doc_id)
+WHERE t.term = 'spark'
 """,
         "edit_dist": "SELECT doc_id, levenshtein(source, 'src1')::BIGINT AS dist FROM documents",
         "ft_col_eq": f"""

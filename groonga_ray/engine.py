@@ -501,47 +501,38 @@ def _expand_query_ast(node, expander: dict):
 
 def _eval_scorer_expr(expr: str, docids, scores, table: IndexedTable) -> np.ndarray:
     """--scorer per-record expression (lib/proc.c:1126-1150), e.g.
-    ``_score = -n_chars`` or ``_score = _score * 2 + n_chars``.
-    Vectorized over the result set via a restricted AST evaluator."""
-    import ast as pyast
+    ``_score = -n_chars``, ``_score *= 2``, or a full script expression
+    (``_score = n_chars > 300 ? _score * 2 : _score``). Parsed and
+    evaluated by the script-syntax engine, vectorized over the matched
+    rows only (docid-pruned fetch)."""
+    from .script import eval_filter, parse_assignment
 
-    lhs, rhs = expr.split("=", 1)
-    if lhs.strip() != "_score":
+    target, op, rhs = parse_assignment(expr)
+    if target != "_score":
         raise ValueError(f"scorer expression must assign _score: {expr!r}")
-    tree = pyast.parse(rhs.strip(), mode="eval")
-    names = sorted(
-        {n.id for n in pyast.walk(tree) if isinstance(n, pyast.Name) and n.id != "_score"}
-    )
-    cols = fetch_docs(table, docids, names) if names else None
-    env = {"_score": scores}
-    for c in names:
-        env[c] = cols.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
-
-    def ev(n):
-        if isinstance(n, pyast.Expression):
-            return ev(n.body)
-        if isinstance(n, pyast.BinOp):
-            a, b = ev(n.left), ev(n.right)
-            if isinstance(n.op, pyast.Add):
-                return a + b
-            if isinstance(n.op, pyast.Sub):
-                return a - b
-            if isinstance(n.op, pyast.Mult):
-                return a * b
-            if isinstance(n.op, pyast.Div):
-                return a / b
-            if isinstance(n.op, pyast.Mod):
-                return a % b
-            raise ValueError(f"unsupported operator in scorer: {n.op}")
-        if isinstance(n, pyast.UnaryOp) and isinstance(n.op, pyast.USub):
-            return -ev(n.operand)
-        if isinstance(n, pyast.Name):
-            return env[n.id]
-        if isinstance(n, pyast.Constant) and isinstance(n.value, (int, float)):
-            return float(n.value)
-        raise ValueError(f"unsupported scorer expression node: {n!r}")
-
-    return np.asarray(ev(tree), np.float64)
+    names = [c for c in _pred_columns(rhs) if c != "_score"]
+    cols: dict[str, pa.Array] = {"_score": pa.array(scores, pa.float64())}
+    if names:
+        fetched = fetch_docs(table, docids, names)
+        for c in names:
+            cols[c] = fetched.column(c)
+    tbl = pa.table(cols)
+    out = eval_filter(rhs, tbl)
+    if isinstance(out, pa.Scalar):
+        out_np = np.full(len(docids), out.as_py(), np.float64)
+    else:
+        out_np = np.asarray(
+            (out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out)
+            .to_numpy(zero_copy_only=False),
+            np.float64,
+        )
+    if op == "=":
+        return out_np
+    base = np.asarray(scores, np.float64)
+    return {
+        "+=": base + out_np, "-=": base - out_np,
+        "*=": base * out_np, "/=": base / out_np,
+    }[op]
 
 
 _ADJUSTER_RE = None

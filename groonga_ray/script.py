@@ -56,11 +56,27 @@ class _P:
         return False
 
     def parse(self):
-        node = self.parse_or()
+        node = self.parse_ternary()
         self.ws()
         if self.i < len(self.s):
             raise ValueError(f"trailing filter input: {self.s[self.i:]!r}")
         return node
+
+    # precedence (low -> high), mirroring the reference grammar
+    # (grn_ecmascript.lemon:96-386): ?: < || < &&/&! < | < ^ < & <
+    # ==/!= < relational/@-matches/in < <</>> < +- < */% < unary < atom
+    def parse_ternary(self):
+        cond = self.parse_or()
+        self.ws()
+        if self.peek() == "?":
+            self.i += 1
+            a = self.parse_ternary()
+            self.ws()
+            if not self.eat(":"):
+                raise ValueError("ternary missing ':'")
+            b = self.parse_ternary()
+            return ("?:", cond, a, b)
+        return cond
 
     def parse_or(self):
         left = self.parse_and()
@@ -69,32 +85,101 @@ class _P:
         return left
 
     def parse_and(self):
-        left = self.parse_not()
+        left = self.parse_bitor()
         while True:
             self.ws()
             if self.peek(2) == "&&":
                 self.i += 2
-                left = ("and", left, self.parse_not())
+                left = ("and", left, self.parse_bitor())
             elif self.peek(2) == "&!":
                 self.i += 2
-                left = ("and_not", left, self.parse_not())
+                left = ("and_not", left, self.parse_bitor())
+            else:
+                return left
+
+    def parse_bitor(self):
+        left = self.parse_bitxor()
+        while True:
+            self.ws()
+            if self.peek() == "|" and self.peek(2) != "||":
+                self.i += 1
+                left = ("bitor", left, self.parse_bitxor())
+            else:
+                return left
+
+    def parse_bitxor(self):
+        left = self.parse_bitand()
+        while True:
+            self.ws()
+            if self.peek() == "^":
+                self.i += 1
+                left = ("bitxor", left, self.parse_bitand())
+            else:
+                return left
+
+    def parse_bitand(self):
+        left = self.parse_not()
+        while True:
+            self.ws()
+            if self.peek() == "&" and self.peek(2) not in ("&&", "&!"):
+                self.i += 1
+                left = ("bitand", left, self.parse_not())
             else:
                 return left
 
     def parse_not(self):
         self.ws()
-        if self.eat("!"):
+        if self.peek(2) != "!=" and self.eat("!"):
             return ("not", self.parse_not())
-        return self.parse_cmp()
+        return self.parse_eq()
+
+    def parse_eq(self):
+        left = self.parse_cmp()
+        while True:
+            self.ws()
+            if self.peek(2) == "==":
+                self.i += 2
+                left = ("==", left, self.parse_cmp())
+            elif self.peek(2) == "!=":
+                self.i += 2
+                left = ("!=", left, self.parse_cmp())
+            else:
+                return left
 
     def parse_cmp(self):
-        left = self.parse_add()
+        left = self.parse_shift()
         self.ws()
-        for op in ("==", "!=", "<=", ">=", "@^", "@$", "@", "<", ">"):
+        for op in ("<=", ">=", "@^", "@$", "@~", "@"):
             if self.eat(op):
-                right = self.parse_add()
-                return (op, left, right)
+                return (op, left, self.parse_shift())
+        # single-char < > must not swallow << >>
+        if self.peek() and self.peek() in "<>" and self.peek(2) not in ("<<", ">>"):
+            op = self.s[self.i]
+            self.i += 1
+            return (op, left, self.parse_shift())
+        save = self.i
+        self.ws()
+        if (
+            self.s[self.i : self.i + 2] == "in"
+            and (self.i + 2 >= len(self.s) or not (self.s[self.i + 2].isalnum() or self.s[self.i + 2] == "_"))
+        ):
+            self.i += 2
+            return ("in", left, self.parse_shift())
+        self.i = save
         return left
+
+    def parse_shift(self):
+        left = self.parse_add()
+        while True:
+            self.ws()
+            if self.peek(2) == "<<":
+                self.i += 2
+                left = ("<<", left, self.parse_add())
+            elif self.peek(2) == ">>":
+                self.i += 2
+                left = (">>", left, self.parse_add())
+            else:
+                return left
 
     def parse_add(self):
         left = self.parse_mul()
@@ -136,10 +221,21 @@ class _P:
         c = self.peek()
         if c == "(":
             self.i += 1
-            node = self.parse_or()
+            node = self.parse_ternary()
             if not self.eat(")"):
                 raise ValueError("unbalanced ( in filter")
             return node
+        if c == "[":
+            self.i += 1
+            items = []
+            while True:
+                self.ws()
+                if self.eat("]"):
+                    break
+                items.append(self.parse_ternary())
+                self.ws()
+                self.eat(",")
+            return ("list", items)
         if c in "\"'":
             quote = c
             self.i += 1
@@ -168,7 +264,7 @@ class _P:
                 self.ws()
                 if self.eat(")"):
                     break
-                args.append(self.parse_or())
+                args.append(self.parse_ternary())
                 self.ws()
                 self.eat(",")
             return ("call", word, args)
@@ -181,6 +277,31 @@ class _P:
 
 def parse_filter(s: str):
     return _P(s).parse()
+
+
+def parse_assignment(s: str) -> tuple[str, str, object]:
+    """Parse an assignment expression ``target op rhs`` (op one of
+    ``= += -= *= /=``) — the reference VM's GRN_OP_ASSIGN family
+    (lib/expr.c:2330-2780) as used by ``--scorer``. Returns
+    ``(target, op, rhs_ast)``."""
+    p = _P(s)
+    p.ws()
+    start = p.i
+    while p.i < len(p.s) and (p.s[p.i].isalnum() or p.s[p.i] in "._"):
+        p.i += 1
+    target = p.s[start : p.i]
+    if not target:
+        raise ValueError(f"assignment needs a target: {s!r}")
+    p.ws()
+    for op in ("+=", "-=", "*=", "/=", "="):
+        if p.s[p.i : p.i + len(op)] == op and p.s[p.i : p.i + 2] != "==":
+            p.i += len(op)
+            rhs = p.parse_ternary()
+            p.ws()
+            if p.i < len(p.s):
+                raise ValueError(f"trailing input after assignment: {p.s[p.i:]!r}")
+            return target, op, rhs
+    raise ValueError(f"not an assignment: {s!r}")
 
 
 def split_filter(ast) -> FilterPlan:
@@ -246,6 +367,27 @@ def eval_filter(ast, batch: pa.Table):
                 "/": pc.divide, "%": lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b)),
             }[kind]
             return fn(ev(n[1]), ev(n[2]))
+        if kind == "?:":
+            return pc.if_else(ev(n[1]), ev(n[2]), ev(n[3]))
+        if kind in ("bitand", "bitor", "bitxor"):
+            fn = {
+                "bitand": pc.bit_wise_and, "bitor": pc.bit_wise_or,
+                "bitxor": pc.bit_wise_xor,
+            }[kind]
+            return fn(ev(n[1]), ev(n[2]))
+        if kind in ("<<", ">>"):
+            fn = pc.shift_left if kind == "<<" else pc.shift_right
+            return fn(ev(n[1]), ev(n[2]))
+        if kind == "in":
+            vals = n[2]
+            if vals[0] != "list":
+                raise ValueError("`in` expects a [list] literal on the right")
+            return pc.is_in(ev(n[1]), value_set=pa.array([v[1] for v in vals[1]]))
+        if kind == "@~":
+            # sequential regexp scan fallback (REGEXP mode's index-
+            # assisted path lives in the engine; reference
+            # lib/ii.c:6049-6118)
+            return pc.match_substring_regex(ev(n[1]), n[2][1])
         if kind == "@":
             # unindexed substring match fallback (sequential scan,
             # grn_table_select_sequential analogue)

@@ -24,6 +24,56 @@ def doc_table(ray_session, tmp_path_factory):
     return IndexedTable(index_dir, files, "doc_id")
 
 
+def test_script_extended_ops_match_sql():
+    """ternary / bit / shift / in / @~ vs DuckDB on the real table."""
+    import duckdb
+
+    import pyarrow.parquet as pq
+    from groonga_ray.script import eval_filter, parse_filter
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars", "lang", "text"])
+    cases = [
+        ("(n_chars >> 2) % 3 == 1 && lang in ['en', 'de']",
+         "(n_chars // 4) % 3 = 1 AND lang IN ('en', 'de')"),
+        ("(doc_id & 7) == 1 || (doc_id | 8) == doc_id",
+         "(doc_id & 7) = 1 OR (doc_id | 8) = doc_id"),
+        ("(doc_id ^ 5) % 4 == 0", "xor(doc_id, 5) % 4 = 0"),
+        ("(doc_id << 1) > 900", "(doc_id * 2) > 900"),
+        ("(n_chars > 300 ? 1 : 0) == 1", "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END = 1"),
+        ("text @~ 'sp[ae]rk'", "regexp_matches(text, 'sp[ae]rk')"),
+        ("!(lang == 'en') && n_chars != 200", "NOT lang = 'en' AND n_chars <> 200"),
+    ]
+    for ours, sql in cases:
+        mask = eval_filter(parse_filter(ours), tbl)
+        got = tbl.filter(mask).column("doc_id").to_pylist()
+        want = duckdb.sql(
+            f"SELECT doc_id FROM '{SF}/documents.parquet' WHERE {sql} ORDER BY doc_id"
+        ).df()["doc_id"].tolist()
+        assert sorted(got) == want, ours
+
+
+def test_scorer_assignment_ops(doc_table):
+    res0 = select(doc_table, query="spark", match_columns="text", limit=-1)
+    base = dict(zip(res0["rows"].column("_id").to_pylist(), res0["rows"].column("_score").to_pylist()))
+    res = select(
+        doc_table, query="spark", match_columns="text",
+        scorer_expr="_score = n_chars > 300 ? _score * 10 + n_chars : -1", limit=-1,
+        output_columns=("_id", "_score", "n_chars"),
+    )
+    ids = res["rows"].column("_id").to_pylist()
+    scores = res["rows"].column("_score").to_pylist()
+    ncs = res["rows"].column("n_chars").to_pylist()
+    for i, s, nc in zip(ids, scores, ncs):
+        want = base[i] * 10 + nc if nc > 300 else -1.0
+        assert s == want
+    res2 = select(
+        doc_table, query="spark", match_columns="text",
+        scorer_expr="_score *= 3", limit=-1,
+    )
+    got2 = dict(zip(res2["rows"].column("_id").to_pylist(), res2["rows"].column("_score").to_pylist()))
+    assert got2 == {i: v * 3 for i, v in base.items()}
+
+
 def test_filter_parse_and_eval():
     from groonga_ray.script import eval_filter, parse_filter
 

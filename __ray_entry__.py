@@ -50,7 +50,7 @@ def _files(sf_dir: str, name: str) -> list[str]:
     return [os.path.join(sf_dir, f"{name}.parquet")]
 
 
-def _index_for(sf_dir: str, sections: tuple[str, ...] = ("text",)) -> "Any":
+def _index_for(sf_dir: str, sections: tuple[str, ...] = ("text",), **cfg_kw) -> "Any":
     """Build (once, cached+resumable) the documents index for sf_dir."""
     from groonga_ray.build import BuildConfig, build_index
     from groonga_ray.engine import IndexedTable
@@ -63,6 +63,7 @@ def _index_for(sf_dir: str, sections: tuple[str, ...] = ("text",)) -> "Any":
         target_rows_per_shard=2048,
         hot_local_df=1024,
         salt_group=2,
+        **cfg_kw,
     )
     key = hashlib.md5(
         json.dumps([sf_dir, cfg.fingerprint(), [os.path.getsize(f) for f in files]]).encode()
@@ -253,6 +254,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _round(out, "avg_chars", 6)
 
+    def drill_multi(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, query="spark", match_columns="text",
+            drilldown="lang,source", drilldown_limit=1000,
+        )
+        dd = res["drilldown"]
+        return pa.table(
+            {
+                "lang": dd.column("lang"),
+                "source": dd.column("source"),
+                "n": dd.column("_nsubrecs").cast(pa.int64()),
+            }
+        )
+
+    def drill_labeled(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, query="spark", match_columns="text",
+            drilldowns={
+                "by_lang": {"keys": "lang", "limit": 1000, "sortby": "-_sum",
+                            "calc_types": ("SUM",), "calc_target": "n_chars"},
+            },
+        )
+        dd = res["drilldowns"]["by_lang"]
+        return pa.table(
+            {
+                "lang": dd.column("lang"),
+                "n": dd.column("_nsubrecs").cast(pa.int64()),
+                "sum_chars": dd.column("_sum").cast(pa.int64()),
+            }
+        )
+
+    def sort_mixed(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, query="spark", match_columns="text",
+            sortby="lang,-_score", limit=25,
+            output_columns=("_id", "_score", "lang"),
+        )
+        return pa.table(
+            {
+                "doc_id": res["rows"].column("_id").cast(pa.int64()),
+                "score": res["rows"].column("_score").cast(pa.float64()),
+                "lang": res["rows"].column("lang"),
+            }
+        )
+
+    def ft_tf_at_most(sf_dir):
+        t = _index_for(sf_dir)
+        return _ft(t, query="spark", match_columns="scorer_tf_at_most(text, 2)", limit=-1)
+
     def ft_filter(sf_dir):
         from groonga_ray.engine import select
 
@@ -268,6 +327,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n_chars": res["rows"].column("n_chars").cast(pa.int64()),
             }
         )
+
+    def ft_stopword(sf_dir):
+        # stop words are INDEXED but dropped from the query token list
+        # (GET-mode TokenFilterStopWord): "the spark" matches like
+        # "spark" even though "the" is in almost every doc
+        t = _index_for(
+            sf_dir,
+            token_filters=("TokenFilterStopWord",),
+            stop_words=("the", "a"),
+        )
+        return _ft(t, query='"the spark"', match_columns="text", limit=-1)
+
+    def ft_stem(sf_dir):
+        # TokenFilterStem (ADD+GET): query "queries" stems to "queri",
+        # matching indexed "query" (also stemmed)
+        t = _index_for(sf_dir, token_filters=("TokenFilterStem",))
+        return _ft(t, query="queries", match_columns="text", limit=-1)
 
     def ft_script_ops(sf_dir):
         from groonga_ray.engine import select
@@ -631,9 +707,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_scorer_expr": ft_scorer_expr,
         "ft_adjuster": ft_adjuster,
         "drill_calc": drill_calc,
+        "drill_multi": drill_multi,
+        "drill_labeled": drill_labeled,
+        "sort_mixed": sort_mixed,
+        "ft_tf_at_most": ft_tf_at_most,
         "ft_filter": ft_filter,
         "ft_script_ops": ft_script_ops,
         "ft_scorer_ternary": ft_scorer_ternary,
+        "ft_stopword": ft_stopword,
+        "ft_stem": ft_stem,
         "edit_dist": edit_dist,
         "ft_doclen": ft_doclen,
         "ft_sections_weighted": ft_sections_weighted,
@@ -770,6 +852,38 @@ GROUP BY lang
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
   AND d.n_chars BETWEEN 150 AND 350
+""",
+        "drill_multi": f"""
+{_TOKS}
+SELECT lang, source, count(*)::BIGINT AS n FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+GROUP BY lang, source
+""",
+        "drill_labeled": f"""
+{_TOKS}
+SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+GROUP BY lang
+""",
+        "sort_mixed": f"""
+{_TOKS}
+SELECT doc_id, score, lang FROM (
+  SELECT d.doc_id, t.tf::DOUBLE AS score, d.lang
+  FROM documents d JOIN tf t USING (doc_id) WHERE t.term = 'spark')
+ORDER BY lang, score DESC, doc_id LIMIT 25
+""",
+        "ft_tf_at_most": f"""
+{_TOKS}
+SELECT doc_id, least(tf, 2)::DOUBLE AS score FROM tf WHERE term = 'spark'
+""",
+        "ft_stopword": f"""
+{_TOKS}
+SELECT doc_id, tf::DOUBLE AS score FROM tf WHERE term = 'spark'
+""",
+        "ft_stem": f"""
+{_TOKS}
+SELECT doc_id, tf::DOUBLE AS score FROM tf WHERE term = 'query'
 """,
         "ft_script_ops": f"""
 {_TOKS}

@@ -97,6 +97,8 @@ class BuildConfig:
     hot_df_ratio: float = 0.25               # ...or above this fraction of the shard's rows
     tokenize_rows_per_batch: int = 512       # stage-A sub-slice (bounds peak memory)
     hot_terms: tuple[str, ...] = ()          # static hot set (broadcast)
+    token_filters: tuple[str, ...] = ()      # chain, e.g. ("TokenFilterStem",)
+    stop_words: tuple[str, ...] = ()         # TokenFilterStopWord set (GET-mode drop)
     salt_group: int = 4                      # shards per hot-term salt part
     target_rows_per_shard: int = 200_000
     stage_b_concurrency: int = 8             # bucket-merge pool cap
@@ -110,10 +112,15 @@ class BuildConfig:
 
 # ------------------------------------------------------------------ stage A
 
-def _tokenize_column(cfg: BuildConfig, col: pa.Array, wt: WordTokenizer):
+def _tokenize_column(cfg: BuildConfig, col: pa.Array, wt: WordTokenizer, chain: list | None = None):
     """Returns (terms, row_idx, positions, n_tokens_per_row)."""
+    from .tokenfilters import apply_chain, apply_chain_stream
+
     if cfg.tokenizer == "TokenCodeWord":
         tb = wt.tokenize_column(col)
+        if chain:
+            terms, kidx = apply_chain(chain, tb.terms, "add")
+            return terms, tb.row_idx[kidx], tb.positions[kidx], tb.n_tokens_per_row
         return tb.terms, tb.row_idx, tb.positions, tb.n_tokens_per_row
     # ngram family: per-row state machine (conformance path, not the
     # 100TB hot path — document the cost; still batched per shard)
@@ -126,6 +133,8 @@ def _tokenize_column(cfg: BuildConfig, col: pa.Array, wt: WordTokenizer):
         if not text:
             continue
         stream = tokenize(text, cfg.tokenizer, mode="add")
+        if chain:
+            stream = apply_chain_stream(chain, stream, "add")
         for t in stream.tokens:
             terms.append(t.term)
             row_idx.append(i)
@@ -180,7 +189,10 @@ def _group_tokens_strings(terms, row_idx, positions, docid_of_row):
     return sorted_terms, term_offsets, g_docid, tf, pos_offsets, s_pos
 
 
-def _tokenize_group_word(cfg: BuildConfig, col: pa.Array, docid_of_row: np.ndarray, wt: WordTokenizer):
+def _tokenize_group_word(
+    cfg: BuildConfig, col: pa.Array, docid_of_row: np.ndarray, wt: WordTokenizer,
+    chain: list | None = None,
+):
     """Scale-path tokenize+group: the column is processed in small row
     slices (bounded peak footprint — decisive where first-touch page
     faults are slow), tokens are grouped per slice by (term-hash,
@@ -205,14 +217,22 @@ def _tokenize_group_word(cfg: BuildConfig, col: pa.Array, docid_of_row: np.ndarr
         tb = wt.tokenize_column(sub)
         n_truncated += tb.n_truncated_rows
         n_tokens[a : a + len(sub)] = tb.n_tokens_per_row
-        if len(tb.row_idx) == 0:
+        b_terms, b_rows, b_pos = tb.terms, tb.row_idx, tb.positions
+        if chain:
+            from .tokenfilters import apply_chain
+
+            b_terms, kidx = apply_chain(chain, tb.terms, "add")
+            if len(kidx) != len(tb.row_idx):
+                b_rows = tb.row_idx[kidx]
+                b_pos = tb.positions[kidx]
+        if len(b_rows) == 0:
             continue
-        th = fnv1a(tb.terms)
-        docs = docid_of_row[a + tb.row_idx]
-        order = np.lexsort((tb.positions, docs, th))
+        th = fnv1a(b_terms)
+        docs = docid_of_row[a + b_rows]
+        order = np.lexsort((b_pos, docs, th))
         h_s = th[order]
         d_s = docs[order]
-        p_s = tb.positions[order].astype(np.uint64)
+        p_s = b_pos[order].astype(np.uint64)
         gs = np.empty(len(order), bool)
         gs[0] = True
         gs[1:] = (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])
@@ -226,7 +246,7 @@ def _tokenize_group_word(cfg: BuildConfig, col: pa.Array, docid_of_row: np.ndarr
         for hsh, idx in zip(uh.tolist(), ui.tolist()):
             if hsh not in term_of_hash:
                 if terms_py is None:
-                    terms_py = tb.terms
+                    terms_py = b_terms
                 term_of_hash[hsh] = terms_py[idx].as_py()
     if not pair_hash:
         return None
@@ -292,6 +312,11 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
         col = col.combine_chunks()
     col = col.cast(pa.large_string())
     wt = WordTokenizer()
+    chain = None
+    if cfg.token_filters:
+        from .tokenfilters import build_chain
+
+        chain = build_chain(cfg.fingerprint())
 
     if cfg.docid_column:
         docid_of_row = data.column(cfg.docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -304,12 +329,12 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
     grouped = None
     n_truncated = 0
     if cfg.tokenizer == "TokenCodeWord":
-        res = _tokenize_group_word(cfg, col, docid_of_row, wt)
+        res = _tokenize_group_word(cfg, col, docid_of_row, wt, chain)
         if res is not None:
             terms_arr, term_offsets, g_docid, tf, pos_offsets, s_pos, n_tokens, n_truncated = res
             grouped = True
     if grouped is None:
-        terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col, wt)
+        terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col, wt, chain)
         if len(terms) == 0:
             grouped = False
         else:

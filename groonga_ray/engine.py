@@ -77,7 +77,7 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
             weight=weight,
         )
         if isinstance(node, TermNode):
-            tokens = _query_tokens(node.text)
+            tokens = _query_tokens(node.text, reader.query_chain)
             if not tokens:
                 continue
             m = term_match(
@@ -85,7 +85,7 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
                 prefix_last=(node.mode == "prefix"), **kw,
             )
         else:  # PhraseNode
-            tokens = _query_tokens(node.text)
+            tokens = _query_tokens(node.text, reader.query_chain)
             if not tokens:
                 continue
             m = term_match(reader.section(col), tokens, spec.scorer, **kw)
@@ -99,7 +99,7 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
                 n_docs=reader.n_docs, avgdl=reader.avgdl(sec),
                 doclens=reader.doclens(sec), weight=1.0,
             )
-            tokens = _query_tokens(node.text)
+            tokens = _query_tokens(node.text, reader.query_chain)
             m = term_match(
                 si, tokens, spec.scorer,
                 prefix_last=(isinstance(node, TermNode) and node.mode == "prefix"),
@@ -117,9 +117,17 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
 _WT = WordTokenizer()
 
 
-def _query_tokens(text: str) -> list[tuple[str, int]]:
-    """GET-mode tokenization of query text (word tokenizer)."""
-    return [(t, i) for i, t in enumerate(_WT.tokenize_text(text))]
+def _query_tokens(text: str, chain: list = ()) -> list[tuple[str, int]]:
+    """GET-mode tokenization of query text (word tokenizer + the
+    index's token-filter chain: stop words drop, stems map; surviving
+    tokens keep their original ordinals so phrase offsets hold)."""
+    toks = _WT.tokenize_text(text)
+    if not chain or not toks:
+        return [(t, i) for i, t in enumerate(toks)]
+    from .tokenfilters import apply_chain
+
+    terms, idx = apply_chain(chain, pa.array(toks, type=pa.large_string()), "get")
+    return list(zip(terms.to_pylist(), idx.tolist()))
 
 
 @dataclass
@@ -581,7 +589,7 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
             n_docs=reader.n_docs, avgdl=reader.avgdl(col),
             doclens=reader.doclens(col), weight=1.0,
         )
-        m = term_match(si, _query_tokens(text), spec.scorer, **kw)
+        m = term_match(si, _query_tokens(text, reader.query_chain), spec.scorer, **kw)
         acc = m if acc is None else op_and(acc, m)
     if plan.predicate is not None:
         pred = DeferredPred(plan.predicate, _pred_columns(plan.predicate))
@@ -613,13 +621,20 @@ def select(
     drilldown_limit: int = 10,
     drilldown_calc_types: tuple[str, ...] = (),
     drilldown_calc_target: str | None = None,
+    drilldown_sortby: str = "-_nsubrecs",
+    drilldowns: dict | None = None,
 ) -> dict:
-    """Returns {"hits": int, "rows": pa.Table, "drilldown": pa.Table?}.
+    """Returns {"hits": int, "rows": pa.Table, "drilldown": pa.Table?,
+    "drilldowns": {label: pa.Table}?}.
 
     Mirrors grn_select's parameter surface and stage order
     (lib/proc.c:876-1195): match -> adjuster -> scorer expr -> sort ->
     projection -> drilldown. ``limit=-1`` returns all rows (negative
-    offset/limit wrap, lib/util.c:37-80).
+    offset/limit wrap, lib/util.c:37-80). ``drilldown`` takes one or
+    more comma-separated keys (multi-key packing, lib/db.c:3555-3811);
+    ``drilldowns`` is the labeled form (--drilldowns[label].keys ...,
+    lib/proc.c:783-874): ``{label: {"keys": [...], "limit": int,
+    "sortby": str, "calc_types": (...), "calc_target": str}}``.
     """
     reader = table.reader()
     spec = parse_match_columns(match_columns) if match_columns else MatchSpec(
@@ -651,7 +666,8 @@ def select(
     nhits = result.nhits
     if limit < 0:
         limit = nhits
-    # ---- sort
+    # ---- sort (grn_table_sort, lib/db.c:10371-10530; key-spec parser
+    # db.c:11327-11387 — mixed pseudo (_score/_id) and column keys)
     if sortby in ("-_score", ""):
         docids, scores = top_k(result, limit, offset)
     elif sortby == "_id":
@@ -661,15 +677,28 @@ def select(
         order = np.argsort(result.docids)[::-1][offset : offset + limit]
         docids, scores = result.docids[order], result.scores[order]
     else:
-        # column sort spec "-col, col2" — fetch keys then lexsort
         keys = [k.strip() for k in sortby.split(",")]
         cols = [k.lstrip("+-") for k in keys]
-        doc_tbl = fetch_docs(table, result.docids, cols)
+        doc_cols = [c for c in cols if c not in ("_score", "_id")]
+        doc_tbl = fetch_docs(table, result.docids, doc_cols) if doc_cols else None
+        sort_cols: dict[str, pa.Array] = {}
+        for c in cols:
+            if c == "_score":
+                sort_cols[c] = pa.array(result.scores, pa.float64())
+            elif c == "_id":
+                sort_cols[c] = pa.array(result.docids, pa.uint64())
+            else:
+                sort_cols[c] = doc_tbl.column(c)
+        # docid asc is the implicit final tiebreak (deterministic order)
+        if "_id" not in sort_cols:
+            sort_cols["_id"] = pa.array(result.docids, pa.uint64())
+            keys.append("_id")
+            cols.append("_id")
         sort_keys = [
             (c, "descending" if k.startswith("-") else "ascending")
             for k, c in zip(keys, cols)
         ]
-        order = pc.sort_indices(doc_tbl, sort_keys=sort_keys).to_numpy()[
+        order = pc.sort_indices(pa.table(sort_cols), sort_keys=sort_keys).to_numpy()[
             offset : offset + limit
         ]
         docids, scores = result.docids[order], result.scores[order]
@@ -698,31 +727,72 @@ def select(
 
     result_dict = {"hits": nhits, "rows": rows}
     if drilldown:
-        # group the FULL result set by a doc column (grn_table_group,
-        # lib/db.c:3812-3895) with optional MAX/MIN/SUM/AVG calc types
-        # on a calc target (drilldown_calc_types, lib/rset.c:19-200)
-        need = [drilldown] + ([drilldown_calc_target] if drilldown_calc_target else [])
-        dd_tbl = fetch_docs(table, result.docids, need)
-        aggs = [("_one", "sum")]
-        dd_tbl = dd_tbl.append_column("_one", pa.array(np.ones(dd_tbl.num_rows, np.int64)))
-        names = [drilldown, "_nsubrecs"]
-        calc_map = {"MAX": "max", "MIN": "min", "SUM": "sum", "AVG": "mean"}
-        for ct in drilldown_calc_types:
-            aggs.append((drilldown_calc_target, calc_map[ct.upper()]))
-            names.append(f"_{ct.lower()}" if ct.upper() != "AVG" else "_avg")
-        grouped = dd_tbl.group_by(drilldown).aggregate(aggs)
-        # arrow names aggregates "<col>_<agg>"; map to _nsubrecs/_max/...
-        out_cols = {drilldown: grouped.column(drilldown), "_nsubrecs": grouped.column("_one_sum")}
-        for ct in drilldown_calc_types:
-            src = f"{drilldown_calc_target}_{calc_map[ct.upper()]}"
-            dst = "_avg" if ct.upper() == "AVG" else f"_{ct.lower()}"
-            out_cols[dst] = grouped.column(src)
-        grouped = pa.table(out_cols)
-        order = pc.sort_indices(
-            grouped, sort_keys=[("_nsubrecs", "descending"), (drilldown, "ascending")]
+        result_dict["drilldown"] = _run_drilldown(
+            table, result, [k.strip() for k in drilldown.split(",")],
+            drilldown_limit, drilldown_sortby, drilldown_calc_types,
+            drilldown_calc_target,
         )
-        result_dict["drilldown"] = grouped.take(order).slice(0, drilldown_limit)
+    if drilldowns:
+        out: dict[str, pa.Table] = {}
+        for label, spec in drilldowns.items():
+            keys = spec["keys"]
+            if isinstance(keys, str):
+                keys = [k.strip() for k in keys.split(",")]
+            out[label] = _run_drilldown(
+                table, result, list(keys),
+                spec.get("limit", 10), spec.get("sortby", "-_nsubrecs"),
+                tuple(spec.get("calc_types", ())), spec.get("calc_target"),
+            )
+        result_dict["drilldowns"] = out
     return result_dict
+
+
+def _run_drilldown(
+    table: IndexedTable,
+    result: MatchResult,
+    keys: list[str],
+    limit: int,
+    sortby: str,
+    calc_types: tuple[str, ...],
+    calc_target: str | None,
+) -> pa.Table:
+    """Group the FULL result set by one or more doc columns
+    (grn_table_group, lib/db.c:3812-3895; multi-key packing
+    lib/db.c:3555-3811) with optional MAX/MIN/SUM/AVG calc types on a
+    calc target (lib/rset.c:19-200), then sort by the drilldown sort
+    spec (drilldown_sortby, lib/proc.c:705-780: _nsubrecs, _key or any
+    output column, +/- prefixed)."""
+    need = list(keys) + ([calc_target] if calc_target else [])
+    dd_tbl = fetch_docs(table, result.docids, need)
+    aggs = [("_one", "sum")]
+    dd_tbl = dd_tbl.append_column("_one", pa.array(np.ones(dd_tbl.num_rows, np.int64)))
+    calc_map = {"MAX": "max", "MIN": "min", "SUM": "sum", "AVG": "mean"}
+    for ct in calc_types:
+        aggs.append((calc_target, calc_map[ct.upper()]))
+    grouped = dd_tbl.group_by(keys).aggregate(aggs)
+    # arrow names aggregates "<col>_<agg>"; map to _nsubrecs/_max/...
+    out_cols = {k: grouped.column(k) for k in keys}
+    out_cols["_nsubrecs"] = grouped.column("_one_sum")
+    for ct in calc_types:
+        src = f"{calc_target}_{calc_map[ct.upper()]}"
+        dst = "_avg" if ct.upper() == "AVG" else f"_{ct.lower()}"
+        out_cols[dst] = grouped.column(src)
+    grouped = pa.table(out_cols)
+    # sort: user spec first, group keys ascending as the tiebreak
+    sort_keys = []
+    for part in sortby.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        direction = "descending" if part.startswith("-") else "ascending"
+        name = part.lstrip("+-")
+        if name == "_key":
+            sort_keys.extend((k, direction) for k in keys)
+        else:
+            sort_keys.append((name, direction))
+    sort_keys.extend((k, "ascending") for k in keys if k not in [n for n, _ in sort_keys])
+    order = pc.sort_indices(grouped, sort_keys=sort_keys)
+    return grouped.take(order).slice(0, limit)
 
 
 # ------------------------------------------------------- batch queries

@@ -351,6 +351,17 @@ class IndexReader:
     def all_docids(self, section: str | None = None) -> np.ndarray:
         return self.doclens(section).all_docids()
 
+    @property
+    def query_chain(self) -> list:
+        """GET-mode token-filter chain from the build config (stop-word
+        drop + stemming applied to query tokens, token_cursor
+        lib/token_cursor.c:123-178)."""
+        if not hasattr(self, "_qchain"):
+            from .tokenfilters import build_chain
+
+            self._qchain = build_chain(self.meta.get("config", {}))
+        return self._qchain
+
     def avgdl(self, section: str | None = None) -> float:
         if section is None:
             section = self.meta["sections"][0]

@@ -204,6 +204,12 @@ class MatchSpec:
 def parse_match_columns(spec: str) -> MatchSpec:
     spec = spec.strip()
     scorer = "default"
+    if spec.startswith("scorer_tf_at_most(") and spec.endswith(")"):
+        # scorer_tf_at_most(col, max) — lib/scorers.c:54-88
+        inner = spec[len("scorer_tf_at_most(") : -1]
+        cols, mx = inner.rsplit(",", 1)
+        scorer = f"tf_at_most:{float(mx)}"
+        spec = cols
     for name in ("scorer_tf_idf", "scorer_bm25", "bm25"):
         if spec.startswith(name + "(") and spec.endswith(")"):
             scorer = "tf_idf" if name == "scorer_tf_idf" else "bm25"

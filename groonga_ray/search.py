@@ -264,6 +264,11 @@ def register_scorer(name: str, fn) -> None:
 
 
 def _apply_scorer(scorer, docids, noccur, infos, n_docs, avgdl, doclens, weight):
+    if isinstance(scorer, str) and scorer.startswith("tf_at_most:"):
+        # scorer_tf_at_most(max): score = min(tf, max)
+        # (lib/scorers.c:54-88)
+        mx = float(scorer.split(":", 1)[1])
+        return np.minimum(noccur.astype(np.float64), mx) * weight
     if scorer in CUSTOM_SCORERS:
         dl = doclens[docids.astype(np.int64)] if doclens is not None else np.full(len(docids), avgdl)
         df = min(ti.df for ti in infos)

@@ -202,3 +202,65 @@ def test_word_tokenizer_sliced_input():
     tb = WordTokenizer().tokenize_column(col.slice(1, 2))
     assert tb.terms.to_pylist() == ["cc", "dd", "ee", "ff"]
     assert tb.row_idx.tolist() == [0, 0, 1, 1]
+
+
+# ---------------------------------------------------------------- filters
+
+def test_token_filter_chain():
+    import numpy as np
+    import pyarrow as pa
+
+    from groonga_ray.tokenfilters import (
+        TokenFilterStem, TokenFilterStopWord, apply_chain, build_chain, porter_stem,
+    )
+
+    terms = pa.array(["the", "queries", "spark", "a", "running"], type=pa.large_string())
+    chain = build_chain(
+        {"token_filters": ["TokenFilterStem", "TokenFilterStopWord"],
+         "stop_words": ["the", "a"]}
+    )
+    # ADD mode: stems map, stop words stay (they are indexed)
+    out, idx = apply_chain(chain, terms, "add")
+    assert out.to_pylist() == ["the", "queri", "spark", "a", "run"]
+    assert idx.tolist() == [0, 1, 2, 3, 4]
+    # GET mode: stop words drop, ordinals of survivors preserved
+    out, idx = apply_chain(chain, terms, "get")
+    assert out.to_pylist() == ["queri", "spark", "run"]
+    assert idx.tolist() == [1, 2, 4]
+    assert porter_stem("query") == porter_stem("queries") == "queri"
+
+
+def test_stemmed_build_matches_manual(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from groonga_ray.build import BuildConfig, build_index
+    from groonga_ray.index import IndexReader
+    from groonga_ray.tokenfilters import porter_stem
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": ["running queries fast", "the query runs", "spark sparks sparked"],
+    }
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table(rows), src)
+    idx_dir = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        text_columns=("text",), docid_column="doc_id", n_buckets=4,
+        target_rows_per_shard=10, token_filters=("TokenFilterStem",),
+    )
+    build_index([src], idx_dir, cfg)
+    r = IndexReader(idx_dir)
+    si = r.section("text")
+    # manual oracle: stem every token, count (term, doc) postings
+    want: dict[str, dict[int, int]] = {}
+    for d, text in zip(rows["doc_id"], rows["text"]):
+        for w in text.split():
+            s = porter_stem(w)
+            want.setdefault(s, {})[d] = want.setdefault(s, {}).get(d, 0) + 1
+    lex_terms = [si.term_at(t) for t in range(si.n_terms)]
+    assert sorted(lex_terms) == sorted(want)
+    for term, docs in want.items():
+        tid = si.term_id(term)
+        pl = si.postings(tid)
+        assert dict(zip(pl.docids.tolist(), pl.tfs.astype(int).tolist())) == docs, term

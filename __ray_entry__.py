@@ -328,6 +328,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ft_regexp(sf_dir):
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(t, query=r"text:~spark\s+window", match_columns="text", limit=-1)
+        return pa.table({"doc_id": res["rows"].column("_id").cast(pa.int64())})
+
+    def ft_regexp_seq(sf_dir):
+        # no extractable literal (alternation): exercises the streaming
+        # sequential-regexp path
+        from groonga_ray.engine import select
+
+        t = _index_for(sf_dir)
+        res = select(
+            t, filter="text @~ 'sp[ae]rk|windoww'", limit=-1,
+        )
+        return pa.table({"doc_id": res["rows"].column("_id").cast(pa.int64())})
+
     def ft_stopword(sf_dir):
         # stop words are INDEXED but dropped from the query token list
         # (GET-mode TokenFilterStopWord): "the spark" matches like
@@ -716,6 +734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_scorer_ternary": ft_scorer_ternary,
         "ft_stopword": ft_stopword,
         "ft_stem": ft_stem,
+        "ft_regexp": ft_regexp,
+        "ft_regexp_seq": ft_regexp_seq,
         "edit_dist": edit_dist,
         "ft_doclen": ft_doclen,
         "ft_sections_weighted": ft_sections_weighted,
@@ -852,6 +872,12 @@ GROUP BY lang
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
   AND d.n_chars BETWEEN 150 AND 350
+""",
+        "ft_regexp": r"""
+SELECT doc_id FROM documents WHERE regexp_matches(text, 'spark\s+window')
+""",
+        "ft_regexp_seq": r"""
+SELECT doc_id FROM documents WHERE regexp_matches(text, 'sp[ae]rk|windoww')
 """,
         "drill_multi": f"""
 {_TOKS}

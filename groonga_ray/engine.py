@@ -130,6 +130,117 @@ def _query_tokens(text: str, chain: list = ()) -> list[tuple[str, int]]:
     return list(zip(terms.to_pylist(), idx.tolist()))
 
 
+def _regex_literals(pattern: str) -> list[str]:
+    """Extract word-char literal runs a regex REQUIRES in every match
+    (conservative: alternation disables extraction; a char under a
+    quantifier is dropped; classes/escapes/metachars break runs). Each
+    literal must appear as a substring of some index token, which is
+    what makes the lexicon-scan prefilter exact-superset."""
+    lits: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+    in_class = False
+    group_marks: list[int] = []            # lits length at each open paren
+
+    def flush(drop_last: bool = False):
+        nonlocal cur
+        s = "".join(cur[:-1] if drop_last else cur)
+        if len(s) >= 2:
+            lits.append(s.lower())
+        cur = []
+
+    while i < n:
+        c = pattern[i]
+        if in_class:
+            if c == "\\":
+                i += 1
+            elif c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "|":
+            return []                      # alternation: nothing is required
+        if c == "\\":
+            flush()
+            i += 2
+            continue
+        if c == "[":
+            flush()
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            flush()
+            group_marks.append(len(lits))
+            i += 1
+            continue
+        if c == ")":
+            flush()
+            mark = group_marks.pop() if group_marks else 0
+            if i + 1 < n and pattern[i + 1] in "?*{":
+                del lits[mark:]            # quantified group: contents optional
+            i += 1
+            continue
+        if c in "?*{":
+            flush(drop_last=True)          # preceding atom is optional/repeated
+            if c == "{":
+                while i < n and pattern[i] != "}":
+                    i += 1
+            i += 1
+            continue
+        if c == "+":
+            # one-or-more: the atom itself IS required; keep the run
+            i += 1
+            flush()
+            continue
+        if c.isalnum() or c == "_":
+            cur.append(c)
+            i += 1
+            continue
+        flush()
+        i += 1
+    flush()
+    return lits
+
+
+def _regexp_match(
+    pattern: str, col: str, reader: IndexReader, table: "IndexedTable"
+) -> "MatchResult | DeferredPred":
+    """REGEXP mode (grn_ii_select GRN_OP_REGEXP, lib/ii.c:6049-6118):
+    required literals prefilter through the index — lexicon terms
+    containing each literal (vectorized vocabulary scan, the TokenRegexp
+    bigram-index stand-in), postings unioned per literal, AND across
+    literals — then candidates are verified with the real regex over a
+    docid-pruned fetch. With no usable literal the match degrades to the
+    streaming sequential scan (returned as a deferred predicate)."""
+    from .search import union_postings
+
+    lits = _regex_literals(pattern)
+    pred = DeferredPred(("@~", ("col", col), ("str", pattern)), (col,))
+    if not lits or col not in reader.sections:
+        return pred
+    si = reader.section(col)
+    acc: MatchResult | None = None
+    for lit in lits:
+        tids = si.matching_tids(lit, "substring")
+        if not tids:
+            return MatchResult.empty()
+        pls = [si.postings(t) for t in tids]
+        pl = union_postings(pls)
+        m = MatchResult(pl.docids.copy(), np.zeros(len(pl.docids), np.float64))
+        acc = m if acc is None else op_and(acc, m)
+        if acc.nhits == 0:
+            return MatchResult.empty()
+    # verify candidates with the actual regex (RE2 semantics via Arrow)
+    verified = _apply_pred_to(table, pred, acc)
+    if verified.nhits == 0:
+        return verified
+    # score = occurrence count (noccur), like a normal match
+    tbl = fetch_docs(table, verified.docids, [col])
+    counts = pc.count_substring_regex(tbl.column(col), pattern).to_numpy(zero_copy_only=False)
+    return MatchResult(verified.docids, counts.astype(np.float64))
+
+
 @dataclass
 class DeferredPred:
     """A scalar-column predicate NOT yet evaluated. The planner applies
@@ -312,6 +423,8 @@ def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
     ADJUST operand) unbounded pays a scan."""
     if isinstance(node, (TermNode, PhraseNode)):
         sec = getattr(node, "section", None)
+        if isinstance(node, TermNode) and node.mode == "regexp":
+            return _regexp_match(node.text, sec or spec.sections[0][0], reader, table)
         if sec and sec not in reader.sections:
             # col:value on an unindexed scalar column = equality filter
             # (grn_table_select key search, lib/db.c:2641)
@@ -591,8 +704,16 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
         )
         m = term_match(si, _query_tokens(text, reader.query_chain), spec.scorer, **kw)
         acc = m if acc is None else op_and(acc, m)
+    pending_preds: list[DeferredPred] = []
+    for col, pat in plan.regexps:
+        r = _regexp_match(pat, col, reader, table)
+        if isinstance(r, DeferredPred):
+            pending_preds.append(r)
+        else:
+            acc = r if acc is None else op_and(acc, r)
     if plan.predicate is not None:
-        pred = DeferredPred(plan.predicate, _pred_columns(plan.predicate))
+        pending_preds.append(DeferredPred(plan.predicate, _pred_columns(plan.predicate)))
+    for pred in pending_preds:
         if acc is None:
             # no index part anywhere: streaming scan (never a whole-
             # corpus driver materialization)

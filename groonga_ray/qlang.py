@@ -179,6 +179,9 @@ class _Parser:
                 return TermNode(rest[1:], "match", col)
             if rest.startswith("^"):
                 return TermNode(rest[1:], "prefix", col)
+            if rest.startswith("~"):
+                # col:~pattern — REGEXP mode (lib/ii.c:6049-6118)
+                return TermNode(rest[1:], "regexp", col)
             for op_s, op in (("<=", "<="), (">=", ">="), ("<", "<"), (">", ">"), ("!", "!=")):
                 if rest.startswith(op_s):
                     return RangeNode(col, op, rest[len(op_s) :])

@@ -29,11 +29,14 @@ class FilterPlan:
     matches: list[tuple[str, str]]          # (column, query_text) from `col @ "text"`
     predicate: object | None                # AST for columnar evaluation
     subqueries: list[tuple[str, str]] = None  # query("cols","q") units (lib/proc.c:5138)
+    regexps: list[tuple[str, str]] = None   # (column, pattern) from `col @~ "pat"`
     conjunctive: bool = True
 
     def __post_init__(self):
         if self.subqueries is None:
             self.subqueries = []
+        if self.regexps is None:
+            self.regexps = []
 
 
 class _P:
@@ -310,6 +313,7 @@ def split_filter(ast) -> FilterPlan:
     Non-AND shapes fall back entirely to the columnar scan."""
     matches: list[tuple[str, str]] = []
     subqueries: list[tuple[str, str]] = []
+    regexps: list[tuple[str, str]] = []
 
     def walk(n):
         if n[0] == "and":
@@ -323,6 +327,9 @@ def split_filter(ast) -> FilterPlan:
         if n[0] == "@" and n[1][0] == "col" and n[2][0] == "str":
             matches.append((n[1][1], n[2][1]))
             return None
+        if n[0] == "@~" and n[1][0] == "col" and n[2][0] == "str":
+            regexps.append((n[1][1], n[2][1]))
+            return None
         if (
             n[0] == "call" and n[1] == "query" and len(n[2]) == 2
             and n[2][0][0] == "str" and n[2][1][0] == "str"
@@ -332,7 +339,7 @@ def split_filter(ast) -> FilterPlan:
         return n
 
     residual = walk(ast)
-    return FilterPlan(matches, residual, subqueries)
+    return FilterPlan(matches, residual, subqueries, regexps)
 
 
 def eval_filter(ast, batch: pa.Table):

@@ -229,3 +229,19 @@ def test_plugin_registry(doc_table):
     pl = si.postings(si.term_id("spark"))
     want = pl.tfs.astype(float) / np.maximum(dl[pl.docids.astype(np.int64)], 1)
     np.testing.assert_allclose(m.scores, want)
+
+
+def test_regex_literal_extraction():
+    from groonga_ray.engine import _regex_literals
+
+    cases = [
+        (r"spark\s+window", ["spark", "window"]),
+        (r"(spark)*window", ["window"]),
+        (r"(spark)window", ["spark", "window"]),
+        (r"colou?r", ["colo"]),
+        (r"a|b", []),
+        (r"x{2,3}yz", ["yz"]),
+        (r"sp[ae]rk", ["sp", "rk"]),
+    ]
+    for pat, want in cases:
+        assert _regex_literals(pat) == want, pat

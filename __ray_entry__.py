@@ -689,14 +689,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = _index_for(sf_dir)
         return _ft(t, query="spark +lang:en", match_columns="text", limit=-1)
 
+    def _ivf_index_dir(sf_dir, n_centroids):
+        f = _files(sf_dir, "embeddings")[0]
+        key = hashlib.md5(
+            json.dumps([sf_dir, n_centroids, os.path.getsize(f)]).encode()
+        ).hexdigest()[:12]
+        return os.path.join(CACHE_ROOT, f"ivf_{key}")
+
     def ann_ivf(sf_dir):
+        # full probe (n_probe == n_lists) through the PERSISTED IVF
+        # index == exact -> oracle-checkable; the approximate path is
+        # covered by the recall test + ann_ivf_probe (rows-only)
         import pyarrow.parquet as pq
         from groonga_ray.pipelines.ann import ivf_cosine_topk
 
         emb = pq.read_table(_files(sf_dir, "embeddings")[0])
         q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
         ds = ray.data.read_parquet(_files(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-        out = _round(ivf_cosine_topk(ds, q, k=10, n_centroids=8, n_probe=4), "sim", 4)
+        out = _round(
+            ivf_cosine_topk(ds, q, k=10, n_centroids=8, n_probe=8,
+                            index_dir=_ivf_index_dir(sf_dir, 8)),
+            "sim", 4,
+        )
+        return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
+
+    def ann_ivf_probe(sf_dir):
+        import pyarrow.parquet as pq
+        from groonga_ray.pipelines.ann import ivf_cosine_topk
+
+        emb = pq.read_table(_files(sf_dir, "embeddings")[0])
+        q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+        ds = ray.data.read_parquet(_files(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        out = _round(
+            ivf_cosine_topk(ds, q, k=10, n_centroids=8, n_probe=3,
+                            index_dir=_ivf_index_dir(sf_dir, 8)),
+            "sim", 4,
+        )
         return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
 
     def media_decode(sf_dir):
@@ -756,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_ivf_probe": ann_ivf_probe,
         "ft_col_eq": ft_col_eq,
         "media_decode": media_decode,
     }
@@ -1012,7 +1041,22 @@ qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q)
 SELECT vec_id, round(dot / (sqrt(n2) * qnorm), 4) AS sim
 FROM dots, qn ORDER BY sim DESC, vec_id LIMIT 10
 """,
+        # full-probe IVF == exact cosine top-k: same oracle as brute
+        "ann_ivf": """
+WITH q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+                  unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              unnest(generate_series(1, len(embedding))) AS i
+       FROM embeddings),
+dots AS (SELECT ev.vec_id, sum(ev.v * q.qv) AS dot, sum(ev.v * ev.v) AS n2
+         FROM ev JOIN q USING (i) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q)
+SELECT vec_id, round(dot / (sqrt(n2) * qnorm), 4) AS sim
+FROM dots, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
         "media_decode": "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes FROM documents",
-        # minhash_bands / simhash / langid / ann_lsh: deterministic but not
-        # SQL-expressible (hash permutations, heuristic model) -> rows-only
+        # minhash_bands / simhash / langid / ann_lsh / ann_ivf_probe:
+        # deterministic but not SQL-expressible (hash permutations,
+        # heuristic model, probe subsetting) -> rows-only
     }

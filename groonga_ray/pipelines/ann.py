@@ -114,16 +114,28 @@ def brute_cosine_topk(
     )
 
 
-def train_ivf_centroids(
-    ds: ray.data.Dataset, n_centroids: int = 16, iters: int = 8,
-    vec_col: str = "embedding", seed: int = 42, sample_limit: int = 50_000,
-) -> np.ndarray:
-    """Mini k-means on a bounded sample (deterministic seed): the IVF
-    coarse quantizer. At scale the sample is a `random_sample` of the
-    Dataset; iterations run driver-side on the small sample."""
-    sample = ds.limit(sample_limit).to_pandas()
-    m = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+def _hash_sample(ds: ray.data.Dataset, id_col: str, vec_col: str, cap: int, mod: int) -> np.ndarray:
+    """Deterministic UNBIASED sample: rows whose Knuth-hashed id falls
+    in 1/mod of the space (not first-N — a limit() sample is ordered and
+    biased). One column-pruned streaming pass."""
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return batch.filter(pa.array(h % np.uint64(mod) == 0))
+
+    rows = []
+    total = 0
+    for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        rows.append(_to_matrix(b.column(vec_col)))
+        total += b.num_rows
+        if total >= cap:
+            break
+    m = np.concatenate(rows)[:cap] if rows else np.empty((0, 1))
+    return m
+
+
+def _kmeans(m: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
     for _ in range(iters):
@@ -136,30 +148,104 @@ def train_ivf_centroids(
     return cent
 
 
+class IvfIndex:
+    """Persisted IVF index: built ONCE — centroids trained on a
+    hash-sampled subset, every vector assigned via broadcast centroids
+    inside map_batches, postings written as one Parquet partition per
+    list (``ivf_list=N/``). Queries read ONLY the ``n_probe`` probed
+    list partitions (partition-pruned read), never re-assign the
+    corpus. This is the scale path: build cost amortizes over queries,
+    query I/O ~ n_probe/n_lists of the corpus."""
+
+    def __init__(self, index_dir: str):
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        self.dir = index_dir
+        import pyarrow.parquet as pq
+
+        cent = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+        self.centroids = _to_matrix(cent.column("centroid"))
+
+    @staticmethod
+    def build(
+        ds: ray.data.Dataset, index_dir: str, n_lists: int = 16,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+        seed: int = 42, sample_cap: int = 50_000,
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        n_rows = ds.count()
+        mod = max(1, n_rows // sample_cap) if n_rows else 1
+        sample = _hash_sample(ds, id_col, vec_col, sample_cap, mod)
+        cent = _kmeans(sample, n_lists, seed=seed)
+        cent_ref = ray.put(cent)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _to_matrix(batch.column(vec_col))
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            lists = (mn @ c.T).argmax(axis=1).astype(np.int32)
+            return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            os.path.join(index_dir, "lists"), partition_cols=["ivf_list"]
+        )
+        import pyarrow.parquet as pq
+
+        dim = cent.shape[1]
+        pq.write_table(
+            pa.table({"centroid": pa.array(list(cent), pa.list_(pa.float64()))}),
+            os.path.join(index_dir, "centroids.parquet"),
+        )
+        with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+            json.dump({"n_lists": int(len(cent)), "dim": int(dim),
+                       "vec_col": vec_col, "id_col": id_col, "seed": seed}, fh)
+        return IvfIndex(index_dir)
+
+    def query(self, query: np.ndarray, k: int = 10, n_probe: int = 4) -> pa.Table:
+        import glob
+        import os
+
+        q = np.asarray(query, np.float64).reshape(1, -1)
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        order = np.argsort(-(self.centroids @ qn.ravel()))
+        probes = order[: min(n_probe, len(order))].tolist()
+        files = [
+            f for p in probes
+            for f in glob.glob(os.path.join(self.dir, "lists", f"ivf_list={p}", "*.parquet"))
+        ]
+        if not files:
+            return brute_cosine_topk(ray.data.from_items([]), q, k)
+        cand = ray.data.read_parquet(
+            files, columns=[self.meta["id_col"], self.meta["vec_col"]]
+        )
+        return brute_cosine_topk(cand, q, k, self.meta["id_col"], self.meta["vec_col"])
+
+
 def ivf_cosine_topk(
     ds: ray.data.Dataset, query: np.ndarray, k: int = 10, n_centroids: int = 16,
     n_probe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
+    index_dir: str | None = None,
 ) -> pa.Table:
-    """IVF ANN: assign every vector to its nearest centroid inside
-    map_batches (centroids broadcast once), scan only the query's
-    ``n_probe`` nearest lists. Same output schema as brute_cosine_topk;
-    recall < 1 by design (n_probe/n_centroids trades recall for scan)."""
-    q = np.asarray(query, np.float64).reshape(1, -1)
-    cent = train_ivf_centroids(ds, n_centroids, vec_col=vec_col, seed=seed)
-    cent_ref = ray.put(cent)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probes = set(np.argsort(-(cent @ qn.ravel()))[:n_probe].tolist())
+    """IVF ANN through the persisted index (built once per
+    ``index_dir``+config, reused across queries)."""
+    import hashlib
+    import json
+    import os
 
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        m = _to_matrix(batch.column(vec_col))
-        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        lists = (mn @ c.T).argmax(axis=1).astype(np.int32)
-        return batch.append_column("ivf_list", pa.array(lists, pa.int32()))
-
-    probe_expr = " or ".join(f"ivf_list == {p}" for p in sorted(probes))
-    candidates = ds.map_batches(assign, batch_format="pyarrow").filter(expr=f"({probe_expr})")
-    return brute_cosine_topk(candidates, q, k, id_col, vec_col)
+    if index_dir is None:
+        key = hashlib.md5(
+            json.dumps([n_centroids, vec_col, id_col, seed]).encode()
+        ).hexdigest()[:12]
+        index_dir = f"/tmp/groonga_ray_cache/ivf_{key}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        IvfIndex.build(ds, index_dir, n_centroids, vec_col, id_col, seed)
+    return IvfIndex(index_dir).query(query, k, n_probe)
 
 
 class LshBucketer:
@@ -186,13 +272,26 @@ class LshBucketer:
 def lsh_cosine_topk(
     ds: ray.data.Dataset, query: np.ndarray, k: int = 10, bits: int = 8,
     vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
+    n_flip: int = 1,
 ) -> pa.Table:
-    """Approximate top-k: scan only vectors whose signature equals the
-    query's (single-probe). Same output schema as brute_cosine_topk."""
+    """Approximate top-k with MULTI-PROBE: scan the query's signature
+    bucket plus every bucket within Hamming distance ``n_flip``
+    (bits+1 buckets at n_flip=1) — bounds the recall loss of
+    single-probe LSH while still scanning ~(bits+1)/2^bits of the
+    corpus. Same output schema as brute_cosine_topk."""
     q = np.asarray(query, np.float64).reshape(1, -1)
     bucketer = LshBucketer(q.shape[1], bits, seed, vec_col, id_col)
     target = int(bucketer.signature(q)[0])
+    probes = {target}
+    if n_flip >= 1:
+        probes |= {target ^ (1 << j) for j in range(bits)}
+    if n_flip >= 2:
+        probes |= {
+            target ^ (1 << i) ^ (1 << j)
+            for i in range(bits) for j in range(i + 1, bits)
+        }
+    expr = " or ".join(f"bucket == {p}" for p in sorted(probes))
     bucketed = ds.map_batches(
         LshBucketer(q.shape[1], bits, seed, vec_col, id_col), batch_format="pyarrow"
-    ).filter(expr=f"bucket == {target}")
+    ).filter(expr=f"({expr})")
     return brute_cosine_topk(bucketed, q, k, id_col, vec_col)

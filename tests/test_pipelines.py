@@ -155,3 +155,51 @@ def test_fingerprint_order_sensitive():
     f = out["fingerprint"].tolist()
     assert f[0] == f[2]      # identical text, identical fingerprint
     assert f[0] != f[1]      # permutation changes it
+
+
+def test_ivf_persisted_and_recall(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from groonga_ray.pipelines.ann import IvfIndex, brute_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    ds = ray.data.read_parquet([f"{sf}/embeddings.parquet"], columns=["vec_id", "embedding"])
+    idx_dir = str(tmp_path / "ivf")
+    idx = IvfIndex.build(ds, idx_dir, n_lists=8, seed=42)
+    # persisted: a second open re-reads the SAME lists, no rebuild
+    import os
+    lists = sorted(os.listdir(os.path.join(idx_dir, "lists")))
+    assert any(d.startswith("ivf_list=") for d in lists)
+    q = np.asarray(emb.column("embedding")[3].as_py(), np.float64)
+    exact = brute_cosine_topk(ds, q[None, :], k=10).column("vec_id").to_pylist()
+    # full probe == exact
+    full = IvfIndex(idx_dir).query(q, k=10, n_probe=8).column("vec_id").to_pylist()
+    assert full == exact
+    # partial probe: recall@10 >= 0.9
+    part = IvfIndex(idx_dir).query(q, k=10, n_probe=4).column("vec_id").to_pylist()
+    recall = len(set(part) & set(exact)) / 10
+    assert recall >= 0.9, recall
+
+
+def test_lsh_multiprobe_recall(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from groonga_ray.pipelines.ann import brute_cosine_topk, lsh_cosine_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = pq.read_table(f"{sf}/embeddings.parquet")
+    q = np.asarray(emb.column("embedding")[3].as_py(), np.float64)
+    ds = ray.data.read_parquet([f"{sf}/embeddings.parquet"], columns=["vec_id", "embedding"])
+    exact = set(brute_cosine_topk(ds, q[None, :], k=10).column("vec_id").to_pylist())
+    single = set(lsh_cosine_topk(ds, q, k=10, bits=6, n_flip=0).column("vec_id").to_pylist())
+    multi1 = set(lsh_cosine_topk(ds, q, k=10, bits=6, n_flip=1).column("vec_id").to_pylist())
+    multi2 = set(lsh_cosine_topk(ds, q, k=10, bits=6, n_flip=2).column("vec_id").to_pylist())
+    # each probe ring strictly improves recall on this fixture
+    assert len(multi1 & exact) >= len(single & exact)
+    assert len(multi2 & exact) >= len(multi1 & exact)
+    assert len(multi2 & exact) >= 6

@@ -99,6 +99,79 @@ def _round(tbl: pa.Table, col: str, digits: int) -> pa.Table:
     )
 
 
+def _doc_cfg(**cfg_kw):
+    from groonga_ray.build import BuildConfig
+
+    return BuildConfig(
+        text_columns=("text",),
+        docid_column="doc_id",
+        n_buckets=16,
+        target_rows_per_shard=2048,
+        hot_local_df=1024,
+        salt_group=2,
+        **cfg_kw,
+    )
+
+
+def _delta_index_for(sf_dir: str) -> "Any":
+    """Base index over the lowest 80% of doc_ids + the rest added as an
+    LSM delta segment (add_documents); queries over the combined
+    segments must equal a full-corpus build."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from groonga_ray.build import add_documents, build_index, read_manifest
+    from groonga_ray.engine import IndexedTable
+
+    files = _files(sf_dir, "documents")
+    key = hashlib.md5(
+        json.dumps([sf_dir, "delta", [os.path.getsize(f) for f in files]]).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(CACHE_ROOT, f"delta_{key}")
+    base_f = os.path.join(root, "base.parquet")
+    delta_f = os.path.join(root, "delta.parquet")
+    index_dir = os.path.join(root, "index")
+    meta_path = os.path.join(index_dir, "meta.json")
+    if not (os.path.exists(meta_path) and read_manifest(meta_path).get("deltas")):
+        os.makedirs(root, exist_ok=True)
+        full = pq.read_table(files[0])
+        ids = full.column("doc_id").to_numpy(zero_copy_only=False)
+        cut = int(np.quantile(ids, 0.8))
+        pq.write_table(full.filter(pc.less_equal(full.column("doc_id"), cut)), base_f)
+        pq.write_table(full.filter(pc.greater(full.column("doc_id"), cut)), delta_f)
+        build_index([base_f], index_dir, _doc_cfg())
+        add_documents(index_dir, [delta_f])
+    return IndexedTable(index_dir, [base_f, delta_f], "doc_id")
+
+
+def _tomb_index_for(sf_dir: str, compact: bool) -> "Any":
+    """Full-corpus index with every doc_id % 7 == 0 deleted — as live
+    tombstones (compact=False) or folded into rewritten postings
+    (compact=True)."""
+    import pyarrow.parquet as pq
+
+    from groonga_ray.build import build_index, compact_index, delete_documents
+    from groonga_ray.engine import IndexedTable
+
+    files = _files(sf_dir, "documents")
+    key = hashlib.md5(
+        json.dumps([sf_dir, compact, [os.path.getsize(f) for f in files]]).encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"tomb_{key}")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_index(files, index_dir, _doc_cfg())
+    done = os.path.join(index_dir, "deletes.done")
+    if not os.path.exists(done):
+        ids = pq.read_table(files[0], columns=["doc_id"]).column("doc_id").to_numpy(
+            zero_copy_only=False
+        )
+        delete_documents(index_dir, ids[ids % 7 == 0])
+        if compact:
+            compact_index(index_dir)
+        open(done, "w").close()
+    return IndexedTable(index_dir, files, "doc_id")
+
+
 # ------------------------------------------------------------------ entry
 
 def entry() -> Any:
@@ -727,6 +800,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
 
+    def ft_delta(sf_dir):
+        # incremental add: 80% base build + 20% delta segment; BM25 over
+        # the merged segments (df/avgdl/n_docs combine) == full corpus
+        return _round(
+            _ft(_delta_index_for(sf_dir), query="fast OR batch",
+                match_columns="text", scorer="bm25", limit=10),
+            "score", 6,
+        )
+
+    def ft_delete(sf_dir):
+        # tombstoned docids drop from matches immediately (postings
+        # untouched); tf scoring is corpus-stat-free so values match
+        return _ft(_tomb_index_for(sf_dir, compact=False),
+                   query="spark", match_columns="text", limit=-1)
+
+    def ft_compact(sf_dir):
+        # same result after tombstones are folded into the postings
+        return _ft(_tomb_index_for(sf_dir, compact=True),
+                   query="spark", match_columns="text", limit=-1)
+
     def media_decode(sf_dir):
         from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
 
@@ -786,6 +879,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "ann_ivf_probe": ann_ivf_probe,
         "ft_col_eq": ft_col_eq,
+        "ft_delta": ft_delta,
+        "ft_delete": ft_delete,
+        "ft_compact": ft_compact,
         "media_decode": media_decode,
     }
 
@@ -959,6 +1055,27 @@ WHERE t.term = 'spark'
 SELECT d.doc_id, t.tf::DOUBLE AS score
 FROM documents d JOIN tf t USING (doc_id)
 WHERE t.term = 'spark' AND d.lang = 'en'
+""",
+        "ft_delta": f"""
+{_TOKS}
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+              * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN doclen dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('fast', 'batch')
+  GROUP BY tf.doc_id
+) ORDER BY score DESC, doc_id LIMIT 10
+""",
+        "ft_delete": f"""
+{_TOKS}
+SELECT doc_id, tf::DOUBLE AS score FROM tf
+WHERE term = 'spark' AND doc_id % 7 <> 0
+""",
+        "ft_compact": f"""
+{_TOKS}
+SELECT doc_id, tf::DOUBLE AS score FROM tf
+WHERE term = 'spark' AND doc_id % 7 <> 0
 """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "drill_lang": f"""

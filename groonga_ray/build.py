@@ -109,6 +109,13 @@ class BuildConfig:
     def fingerprint(self) -> dict:
         return {k: list(v) if isinstance(v, tuple) else v for k, v in self.__dict__.items()}
 
+    @staticmethod
+    def from_fingerprint(d: dict) -> "BuildConfig":
+        kw = {}
+        for k, v in d.items():
+            kw[k] = tuple(v) if isinstance(v, list) else v
+        return BuildConfig(**kw)
+
 
 # ------------------------------------------------------------------ stage A
 
@@ -815,3 +822,167 @@ def build_index(
         json.dump(stats, fh, indent=1)
     write_manifest(os.path.join(index_dir, "meta.json"), meta)
     return meta
+
+
+# ------------------------------------------------------- incremental
+
+def add_documents(index_dir: str, new_files: list[str], cfg: BuildConfig | None = None) -> dict:
+    """Incremental update as an LSM delta segment.
+
+    The reference inserts postings into live buffers
+    (grn_ii_column_update, lib/ii.c:5120-5338) and splits/flushes when
+    full; in an immutable-artifact design the increment becomes a NEW
+    mini-index under ``delta=NNN/`` built by the same resumable
+    two-stage pipeline and merged at READ time (docid ranges are
+    disjoint and ascending, so per-term postings concatenate — see
+    MultiSectionIndex). Compaction (``compact_index``) folds deltas and
+    tombstones back into a clean base when read amplification grows.
+
+    New docids: for rank-based tables, ranks continue after the base
+    (docid_offset); for docid-column tables the new files' docids must
+    all exceed the base's (asserted from metadata).
+    """
+    from .index import open_index
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    meta = read_manifest(meta_path)
+    base_cfg = BuildConfig.from_fingerprint(meta["config"])
+    cfg = cfg or base_cfg
+    if cfg.fingerprint() != base_cfg.fingerprint():
+        # tokenization/layout must match the base or terms won't align
+        raise ValueError("delta config must equal the base build config")
+    deltas = list(meta.get("deltas", []))
+    if "next_docid" in meta:
+        next_docid = int(meta["next_docid"])
+    else:
+        # actual max existing docid + 1, from doclen file statistics
+        # (metadata only — docid columns need not be dense)
+        hi = 0
+        for f in glob.glob(os.path.join(index_dir, "doclens", "sec=*", "*.parquet")):
+            m = pq.ParquetFile(f).metadata
+            col = [i for i in range(m.num_columns) if m.schema.column(i).path == "docid"][0]
+            hi = max(hi, max(m.row_group(i).column(col).statistics.max for i in range(m.num_row_groups)))
+        next_docid = hi + 1
+    delta_name = f"delta={len(deltas):03d}"
+    delta_dir = os.path.join(index_dir, delta_name)
+
+    import dataclasses
+
+    delta_cfg = dataclasses.replace(cfg)
+    if cfg.docid_column is None:
+        delta_cfg.docid_offset = next_docid
+    delta_meta = build_index(new_files, delta_dir, delta_cfg)
+
+    if cfg.docid_column is not None:
+        # delta docids must sit above every existing docid
+        lo = min(
+            int(pq.ParquetFile(f).metadata.row_group(0).column(
+                [i for i in range(pq.ParquetFile(f).metadata.num_columns)
+                 if pq.ParquetFile(f).metadata.schema.column(i).path == cfg.docid_column][0]
+            ).statistics.min)
+            for f in new_files
+        )
+        if lo < next_docid:
+            raise ValueError(f"delta docids must start at >= {next_docid}, got {lo}")
+    meta["deltas"] = deltas + [delta_name]
+    meta["next_docid"] = next_docid + int(delta_meta["n_docs"])
+    write_manifest(meta_path, meta)
+    open_index.cache_clear()          # cached readers are stale now
+    return delta_meta
+
+
+def delete_documents(index_dir: str, docids) -> int:
+    """Logical delete via tombstones (grn_ii delete, lib/ii.c:3880-3994,
+    realized as read-time filtering): matches drop deleted docs
+    immediately; postings/stats stay until compaction."""
+    from .index import open_index
+    from .utils import atomic_write_table
+
+    path = os.path.join(index_dir, "tombstones.parquet")
+    new = np.asarray(sorted(set(int(d) for d in docids)), np.uint64)
+    if os.path.exists(path):
+        old = pq.read_table(path).column("docid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        new = np.unique(np.concatenate([old, new]))
+    atomic_write_table(pa.table({"docid": pa.array(new, pa.uint64())}), path)
+    open_index.cache_clear()
+    return int(len(new))
+
+
+def compact_index(index_dir: str) -> dict:
+    """Fold tombstones out of every posting partition (decode → filter
+    → re-encode, one distributed task per bucket) and drop the
+    tombstone file. Delta segments stay separate partitions (their
+    postings are already optimal; only deletes require rewriting).
+    Returns per-section rewrite counts."""
+    from .index import open_index
+
+    ts_path = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(ts_path):
+        return {"rewritten": 0}
+    dead = np.sort(
+        pq.read_table(ts_path).column("docid").to_numpy(zero_copy_only=False).astype(np.uint64)
+    )
+    meta = read_manifest(os.path.join(index_dir, "meta.json"))
+    dirs = [index_dir] + [os.path.join(index_dir, d) for d in meta.get("deltas", [])]
+    rewritten = 0
+    for d in dirs:
+        sub_meta = read_manifest(os.path.join(d, "meta.json"))
+        for section in sub_meta["sections"]:
+            for part in sorted(
+                glob.glob(os.path.join(d, f"sec={section}", "postings", "bucket=*", "part.parquet"))
+            ):
+                tbl = pq.read_table(part)
+                if tbl.num_rows == 0:
+                    continue
+                order = np.arange(tbl.num_rows)
+                docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
+                    tbl, order, with_positions=True
+                )
+                pos_idx = np.searchsorted(dead, docids)
+                pos_idx = np.clip(pos_idx, 0, len(dead) - 1)
+                keep = dead[pos_idx] != docids
+                if keep.all():
+                    continue
+                # re-encode surviving postings, preserving term rows
+                terms = tbl.column("term")
+                if isinstance(terms, pa.ChunkedArray):
+                    terms = terms.combine_chunks()
+                df_per_row = np.diff(row_offsets)
+                row_of_posting = np.repeat(np.arange(tbl.num_rows), df_per_row)
+                k_rows = row_of_posting[keep]
+                new_df = np.bincount(k_rows, minlength=tbl.num_rows)
+                live_rows = np.flatnonzero(new_df > 0)
+                term_offsets = np.zeros(len(live_rows) + 1, np.int64)
+                np.cumsum(new_df[live_rows], out=term_offsets[1:])
+                if positions is not None:
+                    tf64 = tfs.astype(np.int64)
+                    pos_starts = np.cumsum(tf64) - tf64
+                    keep_tf = tf64[keep]
+                    out_off = np.zeros(len(keep_tf) + 1, np.int64)
+                    np.cumsum(keep_tf, out=out_off[1:])
+                    gather = (
+                        np.arange(int(out_off[-1]), dtype=np.int64)
+                        - np.repeat(out_off[:-1], keep_tf)
+                        + np.repeat(pos_starts[keep], keep_tf)
+                    )
+                    new_pos = positions[gather]
+                    new_pos_off = out_off
+                else:
+                    new_pos = new_pos_off = None
+                new_tbl = codec.encode_posting_table(
+                    terms.take(pa.array(live_rows)),
+                    term_offsets,
+                    docids[keep],
+                    tfs[keep],
+                    new_pos_off,
+                    new_pos,
+                )
+                # single 'part' per term post-compaction
+                new_tbl = new_tbl.append_column(
+                    "part", pa.array(np.zeros(new_tbl.num_rows, np.uint32), pa.uint32())
+                )
+                atomic_write_table(new_tbl, part, row_group_size=POSTING_ROW_GROUP)
+                rewritten += 1
+    os.unlink(ts_path)
+    open_index.cache_clear()
+    return {"rewritten": rewritten}

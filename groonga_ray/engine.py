@@ -776,6 +776,9 @@ def select(
         fres = _eval_filter(filter, reader, table, spec)
         result = op_and(result, fres) if query else fres
 
+    if reader.tombstones is not None:
+        result = reader.filter_alive(result)
+
     if adjuster and result.nhits:
         result = _apply_adjuster(adjuster, result, reader)
     if scorer_expr and result.nhits:

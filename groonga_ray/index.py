@@ -260,6 +260,91 @@ def _searchsorted_str(arr: pa.Array, value: str, side: str) -> int:
     return lo
 
 
+class _MultiDf:
+    """dict-like df view over composite tids (sum across segments)."""
+
+    def __init__(self, multi: "MultiSectionIndex"):
+        self.multi = multi
+
+    def __getitem__(self, ctid) -> int:
+        return sum(int(self.multi.subs[i].df[t]) for i, t in ctid)
+
+
+class MultiSectionIndex:
+    """One section across the base index + LSM delta segments.
+
+    The reference updates posting buffers in place
+    (grn_ii_column_update, lib/ii.c:5120-5338); here increments land as
+    immutable delta segments (each a full mini-index) whose docid
+    ranges are strictly ABOVE the base's, so per-term postings across
+    segments concatenate in docid order with no merge compare — the
+    same invariant the salted hot-term parts rely on. A composite term
+    id is the tuple of (segment, local_tid) pairs holding the term.
+    """
+
+    def __init__(self, subs: list[SectionIndex]):
+        self.subs = subs
+        self.df = _MultiDf(self)
+
+    @property
+    def bytes_read(self) -> int:
+        return sum(s.bytes_read for s in self.subs)
+
+    def term_id(self, term: str):
+        parts = [
+            (i, t) for i, si in enumerate(self.subs)
+            if (t := si.term_id(term)) is not None
+        ]
+        return tuple(parts) if parts else None
+
+    def term_at(self, ctid) -> str:
+        i, t = ctid[0]
+        return self.subs[i].term_at(t)
+
+    def df_estimate(self, ctid) -> int:
+        return sum(self.subs[i].df_estimate(t) for i, t in ctid)
+
+    def _group_across(self, per_sub_tids) -> list:
+        by_term: dict[str, list] = {}
+        for i, tids in enumerate(per_sub_tids):
+            for t in tids:
+                by_term.setdefault(self.subs[i].term_at(t), []).append((i, t))
+        return [tuple(v) for _, v in sorted(by_term.items())]
+
+    def prefix_range(self, prefix: str) -> list:
+        return self._group_across([si.prefix_range(prefix) for si in self.subs])
+
+    def suffix_tids(self, suffix: str) -> list:
+        return self._group_across([si.suffix_tids(suffix) for si in self.subs])
+
+    def matching_tids(self, pattern: str, mode: str = "substring") -> list:
+        return self._group_across([si.matching_tids(pattern, mode) for si in self.subs])
+
+    def posting_rows(self, ctid) -> list[dict]:
+        rows = [r for i, t in ctid for r in self.subs[i].posting_rows(t)]
+        rows.sort(key=lambda r: r["cfirst"][0])
+        return rows
+
+    def postings(self, ctid, min_docid: int | None = None, with_positions: bool = False) -> codec.PostingList:
+        pls = [
+            self.subs[i].postings(t, min_docid=min_docid, with_positions=with_positions)
+            for i, t in ctid
+        ]
+        pls = [p for p in pls if len(p)]
+        if not pls:
+            return codec.PostingList(np.empty(0, np.uint64), np.empty(0, np.uint64))
+        if len(pls) == 1:
+            return pls[0]
+        docids = np.concatenate([p.docids for p in pls])
+        tfs = np.concatenate([p.tfs for p in pls])
+        positions = pos_offsets = None
+        if with_positions and pls[0].positions is not None:
+            positions = np.concatenate([p.positions for p in pls])
+            pos_offsets = np.zeros(len(docids) + 1, np.int64)
+            np.cumsum(tfs.astype(np.int64), out=pos_offsets[1:])
+        return codec.PostingList(docids, tfs, positions, pos_offsets)
+
+
 class DoclenStore:
     """Lazy per-shard docid -> token-count lookup (BM25 ``dl``).
 
@@ -330,9 +415,45 @@ class IndexReader:
             self.meta = json.load(fh)
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
-        self.sections = {s: SectionIndex(index_dir, s) for s in self.meta["sections"]}
+        self._delta_dirs = [
+            os.path.join(index_dir, d) for d in self.meta.get("deltas", [])
+        ]
+        self._delta_metas = []
+        for d in self._delta_dirs:
+            with open(os.path.join(d, "meta.json")) as fh:
+                self._delta_metas.append(json.load(fh))
+        self.sections = {}
+        for s in self.meta["sections"]:
+            base = SectionIndex(index_dir, s)
+            if self._delta_dirs:
+                self.sections[s] = MultiSectionIndex(
+                    [base] + [SectionIndex(d, s) for d in self._delta_dirs]
+                )
+            else:
+                self.sections[s] = base
         self._doclens: dict[str, DoclenStore] = {}
-        self.n_docs = int(self.meta["n_docs"])
+        self.n_docs = int(self.meta["n_docs"]) + sum(
+            int(m["n_docs"]) for m in self._delta_metas
+        )
+        # tombstones: docids logically deleted (delete_documents) —
+        # postings/stats stay until compaction, matches are filtered
+        ts_path = os.path.join(index_dir, "tombstones.parquet")
+        self.tombstones: np.ndarray | None = None
+        if os.path.exists(ts_path):
+            t = pq.read_table(ts_path).column("docid").to_numpy(zero_copy_only=False)
+            self.tombstones = np.sort(t.astype(np.uint64))
+
+    def filter_alive(self, result):
+        """Drop tombstoned docids from a MatchResult (grn_ii delete
+        semantics realized as read-time filtering, lib/ii.c:3880)."""
+        if self.tombstones is None or getattr(result, "nhits", 0) == 0:
+            return result
+        from .search import MatchResult
+
+        pos = np.searchsorted(self.tombstones, result.docids)
+        pos = np.clip(pos, 0, len(self.tombstones) - 1)
+        dead = self.tombstones[pos] == result.docids
+        return MatchResult(result.docids[~dead], result.scores[~dead])
 
     def section(self, name: str | None = None) -> SectionIndex:
         if name is None:
@@ -344,7 +465,11 @@ class IndexReader:
         if section is None:
             section = self.meta["sections"][0]
         if section not in self._doclens:
-            files = sorted(glob.glob(os.path.join(self.dir, "doclens", f"sec={section}", "*.parquet")))
+            files = []
+            for d in [self.dir] + self._delta_dirs:
+                files.extend(
+                    sorted(glob.glob(os.path.join(d, "doclens", f"sec={section}", "*.parquet")))
+                )
             self._doclens[section] = DoclenStore(files)
         return self._doclens[section]
 
@@ -365,7 +490,10 @@ class IndexReader:
     def avgdl(self, section: str | None = None) -> float:
         if section is None:
             section = self.meta["sections"][0]
-        return float(self.meta["stats"]["sections"][section]["avgdl"])
+        metas = [self.meta] + self._delta_metas
+        tokens = sum(int(m["stats"]["sections"][section]["total_tokens"]) for m in metas)
+        docs = sum(int(m["stats"]["sections"][section]["n_docs"]) for m in metas)
+        return tokens / docs if docs else 0.0
 
 
 @lru_cache(maxsize=8)

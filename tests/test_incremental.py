@@ -1,0 +1,116 @@
+"""Incremental update (LSM delta segments) + tombstone delete + compaction."""
+
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from groonga_ray.build import (
+    BuildConfig, add_documents, build_index, compact_index, delete_documents,
+)
+from groonga_ray.engine import IndexedTable, select
+from groonga_ray.index import IndexReader
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def split_docs(ray_session, tmp_path_factory):
+    """documents.parquet split into base (doc_id <= 250) + delta rest."""
+    root = tmp_path_factory.mktemp("incr")
+    full = pq.read_table(f"{SF}/documents.parquet")
+    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
+    base_t = full.filter(pa.array(ids <= 250))
+    delta_t = full.filter(pa.array(ids > 250))
+    base_f = str(root / "base.parquet")
+    delta_f = str(root / "delta.parquet")
+    pq.write_table(base_t, base_f)
+    pq.write_table(delta_t, delta_f)
+    idx = str(root / "idx")
+    cfg = BuildConfig(
+        text_columns=("text",), docid_column="doc_id",
+        n_buckets=4, target_rows_per_shard=100,
+    )
+    build_index([base_f], idx, cfg)
+    return idx, base_f, delta_f, cfg
+
+
+def test_delta_add_matches_full_corpus(split_docs):
+    idx, base_f, delta_f, cfg = split_docs
+    # before the delta: only base docs match
+    t = IndexedTable(idx, [base_f, delta_f], "doc_id")
+    res0 = select(t, query="spark", match_columns="text", limit=-1)
+    assert max(res0["rows"].column("_id").to_pylist()) <= 250
+
+    add_documents(idx, [delta_f])
+    r = IndexReader(idx)
+    assert r.n_docs == 500
+    res = select(t, query="spark", match_columns="text", limit=-1)
+    want = duckdb.sql(
+        f"""
+        WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+             FROM '{SF}/documents.parquet')
+        SELECT doc_id, count(*)::BIGINT AS tf FROM toks
+        WHERE term = 'spark' GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df()
+    got = dict(zip(res["rows"].column("_id").to_pylist(),
+                   res["rows"].column("_score").to_pylist()))
+    assert got == dict(zip(want["doc_id"].astype(int), want["tf"].astype(float)))
+    # avgdl/n_docs combine across segments
+    full_dl = duckdb.sql(
+        f"""SELECT avg(len(list_filter(regexp_split_to_array(lower(text),
+            '[^a-z0-9_]+'), x -> x <> '')))::DOUBLE
+            FROM '{SF}/documents.parquet'"""
+    ).fetchone()[0]
+    assert abs(r.avgdl("text") - full_dl) < 1e-9
+
+
+def test_phrase_and_prefix_across_segments(split_docs):
+    idx, base_f, delta_f, _ = split_docs
+    t = IndexedTable(idx, [base_f, delta_f], "doc_id")
+    res = select(t, query='"spark window"', match_columns="text", limit=-1)
+    want = duckdb.sql(
+        f"""
+        WITH toks AS (SELECT doc_id, unnest(arr) AS term,
+               unnest(generate_series(1, len(arr))) AS pos
+          FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9_]+'), x -> x <> '') AS arr FROM '{SF}/documents.parquet'))
+        SELECT DISTINCT a.doc_id FROM
+          (SELECT doc_id, pos FROM toks WHERE term = 'spark') a
+          JOIN (SELECT doc_id, pos FROM toks WHERE term = 'window') b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 ORDER BY a.doc_id
+        """
+    ).df()
+    assert sorted(res["rows"].column("_id").to_pylist()) == want["doc_id"].tolist()
+    res2 = select(t, query="wi*", match_columns="text", limit=-1)
+    want2 = duckdb.sql(
+        f"""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+            lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+            FROM '{SF}/documents.parquet')
+           SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'wi%' ORDER BY doc_id"""
+    ).df()
+    assert sorted(res2["rows"].column("_id").to_pylist()) == want2["doc_id"].tolist()
+
+
+def test_delete_and_compact(split_docs):
+    idx, base_f, delta_f, _ = split_docs
+    t = IndexedTable(idx, [base_f, delta_f], "doc_id")
+    before = select(t, query="spark", match_columns="text", limit=-1)
+    victims = [d for d in before["rows"].column("_id").to_pylist() if d % 7 == 0]
+    delete_documents(idx, victims)
+    after = select(t, query="spark", match_columns="text", limit=-1)
+    assert set(after["rows"].column("_id").to_pylist()) == (
+        set(before["rows"].column("_id").to_pylist()) - set(victims)
+    )
+    # compaction folds tombstones into the postings and drops the file
+    stats = compact_index(idx)
+    assert stats["rewritten"] > 0
+    assert not os.path.exists(os.path.join(idx, "tombstones.parquet"))
+    after2 = select(t, query="spark", match_columns="text", limit=-1)
+    assert after2["rows"].column("_id").to_pylist() == after["rows"].column("_id").to_pylist()
+    assert after2["rows"].column("_score").to_pylist() == after["rows"].column("_score").to_pylist()

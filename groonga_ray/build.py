@@ -104,7 +104,7 @@ class BuildConfig:
     stage_b_concurrency: int = 8             # bucket-merge pool cap
     docid_column: str | None = None          # pre-assigned docids (e.g. documents.doc_id)
     docid_offset: int = 1                    # docids are 1-based when assigned by rank
-    layout_version: int = 2                  # bump on on-disk layout changes (cache invalidation)
+    layout_version: int = 3                  # bump on on-disk layout changes (cache invalidation)
 
     def fingerprint(self) -> dict:
         return {k: list(v) if isinstance(v, tuple) else v for k, v in self.__dict__.items()}
@@ -153,6 +153,38 @@ def _tokenize_column(cfg: BuildConfig, col: pa.Array, wt: WordTokenizer, chain: 
         np.array(positions, np.uint32),
         n_per_row,
     )
+
+
+def _marker_rows(terms: pa.Array, buckets: np.ndarray, shard_id: int) -> pa.Table:
+    """df=0 POSTING_SCHEMA rows + bucket/shard/hot columns: hot-shard
+    announcements consumed (and dropped) by the bucket merge."""
+    n = len(terms)
+    zeros64 = pa.array(np.zeros(n, np.uint64))
+    empty_u32 = pa.array([[]] * n, pa.list_(pa.uint32()))
+    empty_u64 = pa.array([[]] * n, pa.list_(pa.uint64()))
+    empty_bin = pa.array([b""] * n, pa.large_binary())
+    tbl = pa.table(
+        {
+            "term": terms.cast(pa.large_string()),
+            "df": zeros64,
+            "cf": zeros64,
+            "cn": empty_u32,
+            "cfirst": empty_u64,
+            "clast": empty_u64,
+            "cmaxtf": empty_u32,
+            "cdoff": empty_u32,
+            "ctoff": empty_u32,
+            "cpoff": empty_u32,
+            "docs": empty_bin,
+            "tfs": empty_bin,
+            "poss": empty_bin,
+        },
+        schema=codec.POSTING_SCHEMA,
+    )
+    tbl = tbl.append_column("bucket", pa.array(buckets, pa.uint32()))
+    tbl = tbl.append_column("shard", pa.array(np.full(n, shard_id, np.uint32)))
+    tbl = tbl.append_column("hot", pa.array(np.ones(n, bool)))
+    return tbl
 
 
 def _rank_terms(terms: pa.Array) -> tuple[np.ndarray, pa.Array]:
@@ -378,23 +410,39 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
                 zero_copy_only=False
             )
         bucket = (h % np.uint64(cfg.n_buckets)).astype(np.uint32)
+        marker_tbl = None
         if hot.any():
             salt = np.uint64(shard.shard_id // cfg.salt_group)
+            hot_terms_arr = sorted_terms.filter(pa.array(hot))
             h_hot = fnv1a(
                 pa.array(
-                    [f"{t}#{salt}" for t in sorted_terms.filter(pa.array(hot)).to_pylist()],
+                    [f"{t}#{salt}" for t in hot_terms_arr.to_pylist()],
                     type=pa.large_string(),
                 )
             )
             bucket[hot] = (h_hot % np.uint64(cfg.n_buckets)).astype(np.uint32)
+            # marker rows (df=0, empty postings) announce "term t is hot
+            # in this shard" to the term's UNSALTED bucket, so the cold
+            # merge can split a mixed term's cold rows around its hot
+            # shards and keep every part's docid range disjoint (the
+            # salted-parts invariant). Dropped at merge; never written
+            # to part.parquet.
+            marker_tbl = _marker_rows(
+                hot_terms_arr,
+                (h[hot] % np.uint64(cfg.n_buckets)).astype(np.uint32),
+                shard.shard_id,
+            )
         run_table = run_table.append_column("bucket", pa.array(bucket, pa.uint32()))
         run_table = run_table.append_column(
             "shard", pa.array(np.full(run_table.num_rows, shard.shard_id, np.uint32))
         )
         run_table = run_table.append_column("hot", pa.array(hot))
+        if marker_tbl is not None:
+            run_table = pa.concat_tables([run_table, marker_tbl]).combine_chunks()
         # sort by bucket so the writer can emit one row group per bucket
-        # (terms stay sorted within a bucket: stable sort)
-        order = np.argsort(bucket, kind="stable")
+        order = np.argsort(
+            run_table.column("bucket").to_numpy(zero_copy_only=False), kind="stable"
+        )
         run_table = run_table.take(pa.array(order))
 
     _write_run_bucket_rowgroups(run_table, os.path.join(run_dir, "run.parquet"))
@@ -550,9 +598,22 @@ def _merge_bucket_table(
     man_path = os.path.join(out_dir, "manifest.json")
 
     hot_mask = np.asarray(group.column("hot").to_numpy(zero_copy_only=False), bool)
+    df_all = group.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+    shard_all = group.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
     terms_all = group.column("term")
     if isinstance(terms_all, pa.ChunkedArray):
         terms_all = terms_all.combine_chunks()
+
+    # hot-shard markers (df=0 announcements from stage A): shards where a
+    # term went hot; its cold rows here must split around them so every
+    # part of the term covers a docid range disjoint from the hot parts
+    marker_mask = hot_mask & (df_all == 0)
+    markers: dict[str, np.ndarray] = {}
+    if marker_mask.any():
+        m_idx = np.flatnonzero(marker_mask)
+        for i in m_idx:
+            markers.setdefault(terms_all[int(i)].as_py(), []).append(int(shard_all[i]))
+        markers = {t: np.unique(v) for t, v in markers.items()}
 
     pieces = []
     cold_idx = np.flatnonzero(~hot_mask)
@@ -564,22 +625,40 @@ def _merge_bucket_table(
         rank, sorted_terms = _rank_terms(terms)
         cfirst0 = np.array([c[0] for c in cold.column("cfirst").to_pylist()], np.uint64)
         order = np.lexsort((cfirst0, rank))
-        docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
-            cold, order, with_positions=cfg.with_positions
-        )
-        # term boundaries over ordered rows
+        # group boundaries over ordered rows: term changes, plus — for
+        # terms hot in some other shard — any gap containing a hot shard
         o_rank = rank[order]
+        o_shard = shard_all[cold_idx][order]
         row_term_start = np.empty(len(order), bool)
         row_term_start[0] = True
         row_term_start[1:] = o_rank[1:] != o_rank[:-1]
+        marked_group_terms = None
+        if markers:
+            m_terms = pa.array(sorted(markers), type=sorted_terms.type)
+            m_rank = pc.index_in(m_terms, value_set=sorted_terms)
+            for t, r in zip(m_terms.to_pylist(), m_rank.to_pylist()):
+                if r is None:
+                    continue
+                lo = int(np.searchsorted(o_rank, r, side="left"))
+                hi = int(np.searchsorted(o_rank, r, side="right"))
+                if hi - lo > 1:
+                    sh = o_shard[lo:hi]
+                    ms = markers[t]
+                    a = np.searchsorted(ms, sh[:-1], side="right")
+                    b = np.searchsorted(ms, sh[1:], side="left")
+                    row_term_start[lo + 1 : hi][a != b] = True
         term_row_idx = np.flatnonzero(row_term_start)
+        docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
+            cold, order, with_positions=cfg.with_positions
+        )
         term_offsets = np.append(row_offsets[term_row_idx], row_offsets[-1]).astype(np.int64)
+        group_terms = terms.take(pa.array(order[term_row_idx]))
         pos_offsets = None
         if positions is not None:
             pos_offsets = np.zeros(len(docids) + 1, np.int64)
             np.cumsum(tfs.astype(np.int64), out=pos_offsets[1:])
         merged = codec.encode_posting_table(
-            sorted_terms,
+            group_terms,
             term_offsets,
             docids,
             tfs,
@@ -587,29 +666,44 @@ def _merge_bucket_table(
             positions,
             chunk_postings=cfg.chunk_postings,
         )
-        merged = merged.append_column(
-            "part", pa.array(np.zeros(merged.num_rows, np.uint32), pa.uint32())
-        )
+        part_vals = np.zeros(merged.num_rows, np.uint32)
+        if markers:
+            # marked terms get shard-anchored part ids (unique + docid-
+            # ascending across this term's cold AND hot parts)
+            marked = pc.is_in(
+                group_terms, value_set=pa.array(sorted(markers), type=group_terms.type)
+            ).to_numpy(zero_copy_only=False)
+            part_vals[marked] = (o_shard[term_row_idx][marked] + 1).astype(np.uint32)
+        merged = merged.append_column("part", pa.array(part_vals, pa.uint32()))
         pieces.append(merged)
 
-    hot_idx = np.flatnonzero(hot_mask)
+    hot_idx = np.flatnonzero(hot_mask & (df_all > 0))
     if len(hot_idx):
-        # concatenate each hot term's shard rows (this bucket holds one
-        # salt group of them) into ONE part via lossless chunk-directory
-        # concat — no decode, fully vectorized (the skew path is by
-        # construction the LARGEST data; per-row Python here would make
-        # it the slow path)
+        # concatenate each hot term's shard rows into one part PER SALT
+        # GROUP (different salt groups can hash into the same bucket and
+        # interleave with the term's parts elsewhere) and split at shard
+        # discontinuities (a gap may hold the term's cold rows) — every
+        # part must cover a contiguous run of shards, i.e. a contiguous
+        # docid range. Lossless chunk-directory concat — no decode,
+        # fully vectorized (the skew path is by construction the LARGEST
+        # data; per-row Python here would make it the slow path).
         hot_tbl = group.take(pa.array(hot_idx))
-        shard_col = hot_tbl.column("shard").to_numpy(zero_copy_only=False)
+        shard_col = shard_all[hot_idx]
         terms_col = hot_tbl.column("term")
         if isinstance(terms_col, pa.ChunkedArray):
             terms_col = terms_col.combine_chunks()
         rank, _ = _rank_terms(terms_col)
         order = np.lexsort((shard_col, rank))
         o_rank = rank[order]
+        o_shard = shard_col[order]
+        o_salt = o_shard // cfg.salt_group
         group_start = np.empty(len(order), bool)
         group_start[0] = True
-        group_start[1:] = o_rank[1:] != o_rank[:-1]
+        group_start[1:] = (
+            (o_rank[1:] != o_rank[:-1])
+            | (o_salt[1:] != o_salt[:-1])
+            | (o_shard[1:] != o_shard[:-1] + 1)
+        )
         hot = codec.concat_posting_table_groups(hot_tbl, order, group_start)
         first_shard = shard_col[order[np.flatnonzero(group_start)]]
         hot = hot.append_column(

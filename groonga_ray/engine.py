@@ -100,12 +100,13 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
                 doclens=reader.doclens(sec), weight=1.0,
             )
             tokens = _query_tokens(node.text, reader.query_chain)
-            m = term_match(
-                si, tokens, spec.scorer,
-                prefix_last=(isinstance(node, TermNode) and node.mode == "prefix"),
-                **kw,
-            )
-            results.append(m)
+            if tokens:
+                m = term_match(
+                    si, tokens, spec.scorer,
+                    prefix_last=(isinstance(node, TermNode) and node.mode == "prefix"),
+                    **kw,
+                )
+                results.append(m)
     if not results:
         return MatchResult.empty()
     acc = results[0]

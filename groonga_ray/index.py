@@ -119,7 +119,9 @@ class SectionIndex:
             else:
                 hi = mid
         start = lo
-        upper = prefix + "￿"
+        upper = _prefix_upper(prefix)
+        if upper is None:
+            return range(start, self.n_terms)
         hi = self.n_terms
         while lo < hi:
             mid = (lo + hi) // 2
@@ -164,14 +166,17 @@ class SectionIndex:
             else:
                 hi = mid
         start = lo
-        upper = target + "￿"
+        upper = _prefix_upper(target)
         hi = len(self._rev_sorted)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if self._rev_sorted[mid].as_py() < upper:
-                lo = mid + 1
-            else:
-                hi = mid
+        if upper is not None:
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if self._rev_sorted[mid].as_py() < upper:
+                    lo = mid + 1
+                else:
+                    hi = mid
+        else:
+            lo = hi
         return self._rev_tid[start:lo].tolist()
 
     def df_estimate(self, tid: int) -> int:
@@ -246,6 +251,20 @@ class SectionIndex:
             return codec.decode_postings(rows[0], min_docid=min_docid, with_positions=with_positions)
         merged = codec.concat_posting_rows(rows)
         return codec.decode_postings(merged, min_docid=min_docid, with_positions=with_positions)
+
+
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string greater than EVERY string starting with
+    ``prefix`` (covers supplementary-plane continuations that
+    ``prefix + '\\uffff'`` misses); None if no such string exists."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:     # skip the surrogate gap
+                nxt = 0xE000
+            return prefix[:i] + chr(nxt)
+    return None
 
 
 def _searchsorted_str(arr: pa.Array, value: str, side: str) -> int:

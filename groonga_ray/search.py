@@ -626,7 +626,9 @@ def wand_topk(
         if (mode == "and" and len(active) < len(term_rows)) or not active:
             lo = hi + np.uint64(1)
             continue
-        if len(heap) >= k and ub <= theta:
+        # ub == theta must still be scored: a doc scoring exactly theta
+        # with a smaller docid wins the docid-asc tiebreak
+        if len(heap) >= k and ub < theta:
             lo = hi + np.uint64(1)
             continue
         # decode + score the window fully vectorized (no per-doc dicts)

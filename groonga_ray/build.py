@@ -53,7 +53,7 @@ Layout::
       meta.json
       sec=<col>/runs/shard=NNNNN/run.parquet + manifest.json
       sec=<col>/postings/bucket=NNNN/part.parquet + manifest.json
-      sec=<col>/lexicon.parquet
+      sec=<col>/lexicon/bucket=NNNN.parquet   (hash-partitioned vocab)
       doclens/shard=NNNNN.parquet      (docid, dl per section)
       stats.json                        (N, avgdl/section, totals)
 """
@@ -155,19 +155,25 @@ def _tokenize_column(cfg: BuildConfig, col: pa.Array, wt: WordTokenizer, chain: 
     )
 
 
-def _marker_rows(terms: pa.Array, buckets: np.ndarray, shard_id: int) -> pa.Table:
-    """df=0 POSTING_SCHEMA rows + bucket/shard/hot columns: hot-shard
-    announcements consumed (and dropped) by the bucket merge."""
+def _marker_rows(
+    terms: pa.Array, buckets: np.ndarray, shard_id: int,
+    dfs: np.ndarray, cfs: np.ndarray,
+) -> pa.Table:
+    """Chunk-less POSTING_SCHEMA rows + bucket/shard/hot columns:
+    hot-shard announcements consumed (and dropped) by the bucket merge.
+    They carry the hot rows' real df/cf so the OWNING (unsalted) bucket
+    can build the term's full lexicon entry — totals plus the routing
+    of every salted part — without any cross-bucket exchange. A marker
+    is recognized by its empty chunk directory (``cn`` == [])."""
     n = len(terms)
-    zeros64 = pa.array(np.zeros(n, np.uint64))
     empty_u32 = pa.array([[]] * n, pa.list_(pa.uint32()))
     empty_u64 = pa.array([[]] * n, pa.list_(pa.uint64()))
     empty_bin = pa.array([b""] * n, pa.large_binary())
     tbl = pa.table(
         {
             "term": terms.cast(pa.large_string()),
-            "df": zeros64,
-            "cf": zeros64,
+            "df": pa.array(dfs.astype(np.uint64), pa.uint64()),
+            "cf": pa.array(cfs.astype(np.uint64), pa.uint64()),
             "cn": empty_u32,
             "cfirst": empty_u64,
             "clast": empty_u64,
@@ -421,16 +427,19 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
                 )
             )
             bucket[hot] = (h_hot % np.uint64(cfg.n_buckets)).astype(np.uint32)
-            # marker rows (df=0, empty postings) announce "term t is hot
-            # in this shard" to the term's UNSALTED bucket, so the cold
-            # merge can split a mixed term's cold rows around its hot
-            # shards and keep every part's docid range disjoint (the
-            # salted-parts invariant). Dropped at merge; never written
-            # to part.parquet.
+            # marker rows (empty postings, real df/cf) announce "term t
+            # is hot in this shard" to the term's UNSALTED bucket, so
+            # (a) the cold merge splits a mixed term's cold rows around
+            # its hot shards, keeping every part's docid range disjoint
+            # (the salted-parts invariant), and (b) the owning bucket
+            # reconstructs the term's full lexicon entry. Dropped at
+            # merge; never written to part.parquet.
             marker_tbl = _marker_rows(
                 hot_terms_arr,
                 (h[hot] % np.uint64(cfg.n_buckets)).astype(np.uint32),
                 shard.shard_id,
+                run_table.column("df").to_numpy(zero_copy_only=False)[hot],
+                run_table.column("cf").to_numpy(zero_copy_only=False)[hot],
             )
         run_table = run_table.append_column("bucket", pa.array(bucket, pa.uint32()))
         run_table = run_table.append_column(
@@ -604,16 +613,30 @@ def _merge_bucket_table(
     if isinstance(terms_all, pa.ChunkedArray):
         terms_all = terms_all.combine_chunks()
 
-    # hot-shard markers (df=0 announcements from stage A): shards where a
-    # term went hot; its cold rows here must split around them so every
-    # part of the term covers a docid range disjoint from the hot parts
-    marker_mask = hot_mask & (df_all == 0)
+    # hot-shard markers (empty-chunk announcements from stage A): shards
+    # where a term went hot; its cold rows here must split around them
+    # so every part of the term covers a docid range disjoint from the
+    # hot parts, and the lexicon entry (this bucket owns every marked
+    # term) needs their df/cf + reconstructed salted routing
+    cn_col = group.column("cn")
+    if isinstance(cn_col, pa.ChunkedArray):
+        cn_col = cn_col.combine_chunks()
+    cn_len = pc.list_value_length(cn_col).to_numpy(zero_copy_only=False)
+    marker_mask = hot_mask & (cn_len == 0)
+    cf_all = group.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
     markers: dict[str, np.ndarray] = {}
+    marker_stats: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     if marker_mask.any():
-        m_idx = np.flatnonzero(marker_mask)
-        for i in m_idx:
-            markers.setdefault(terms_all[int(i)].as_py(), []).append(int(shard_all[i]))
-        markers = {t: np.unique(v) for t, v in markers.items()}
+        by_term: dict[str, list] = {}
+        for i in np.flatnonzero(marker_mask):
+            by_term.setdefault(terms_all[int(i)].as_py(), []).append(
+                (int(shard_all[i]), int(df_all[i]), int(cf_all[i]))
+            )
+        for t, triples in by_term.items():
+            triples.sort()
+            sh, dfv, cfv = (np.asarray(x, np.int64) for x in zip(*triples))
+            markers[t] = sh
+            marker_stats[t] = (sh, dfv, cfv)
 
     pieces = []
     cold_idx = np.flatnonzero(~hot_mask)
@@ -676,8 +699,11 @@ def _merge_bucket_table(
             part_vals[marked] = (o_shard[term_row_idx][marked] + 1).astype(np.uint32)
         merged = merged.append_column("part", pa.array(part_vals, pa.uint32()))
         pieces.append(merged)
+        cold_lex_tbl = merged.select(["term", "df", "cf", "part"])
+    else:
+        cold_lex_tbl = None
 
-    hot_idx = np.flatnonzero(hot_mask & (df_all > 0))
+    hot_idx = np.flatnonzero(hot_mask & (cn_len > 0))
     if len(hot_idx):
         # concatenate each hot term's shard rows into one part PER SALT
         # GROUP (different salt groups can hash into the same bucket and
@@ -730,14 +756,139 @@ def _merge_bucket_table(
         final, os.path.join(out_dir, "part.parquet"),
         row_group_size=POSTING_ROW_GROUP,
     )
+    lex = _write_bucket_lexicon(
+        cfg, section, index_dir, bucket, cold_lex_tbl, marker_stats
+    )
     manifest = {
         "bucket": bucket,
         "terms": final.num_rows,
+        "lexicon_terms": lex.num_rows,
         "input_rows": group.num_rows,
         "config": cfg.fingerprint(),
     }
     write_manifest(man_path, manifest)
     return manifest
+
+
+LEXICON_ROW_GROUP = 4096
+
+
+def _write_bucket_lexicon(
+    cfg: BuildConfig,
+    section: str,
+    index_dir: str,
+    bucket: int,
+    cold_lex_tbl: pa.Table | None,
+    marker_stats: dict,
+) -> pa.Table:
+    """The lexicon shard OWNED by this bucket: one row per term whose
+    UNSALTED hash lands here, carrying total df/cf and the routing of
+    every posting part — cold parts live in this bucket; hot (salted)
+    parts are reconstructed from the stage-A markers (same shard-run
+    split rule as the salted merge, so the routing matches what those
+    buckets actually wrote). Hash-partitioned replacement for the
+    reference's single shared lexicon (grn_pat, lib/pat.c): no global
+    sort, no driver aggregation, build AND query touch one shard per
+    term lookup.
+    """
+    # marker-derived (hot) entries: FEW terms by construction, so the
+    # per-term loop is off the hot path; cold entries stay columnar
+    m_terms: list[str] = []
+    m_dfs: list[int] = []
+    m_cfs: list[int] = []
+    m_buckets: list[int] = []
+    m_parts: list[int] = []
+    for t, (sh, dfv, cfv) in marker_stats.items():
+        salt = sh // cfg.salt_group
+        cut = np.flatnonzero((np.diff(sh) != 1) | (np.diff(salt) != 0)) + 1
+        starts_ = np.concatenate([[0], cut]).astype(np.int64)
+        ends_ = np.concatenate([cut, [len(sh)]]).astype(np.int64)
+        for s, e in zip(starts_, ends_):
+            b = int(
+                fnv1a(pa.array([f"{t}#{int(salt[s])}"], pa.large_string()))[0]
+                % np.uint64(cfg.n_buckets)
+            )
+            m_terms.append(t)
+            m_dfs.append(int(dfv[s:e].sum()))
+            m_cfs.append(int(cfv[s:e].sum()))
+            m_buckets.append(b)
+            m_parts.append(int(sh[s]) + 1)
+
+    chunks_term: list[pa.Array] = []
+    chunks_df: list[np.ndarray] = []
+    chunks_cf: list[np.ndarray] = []
+    chunks_bucket: list[np.ndarray] = []
+    chunks_part: list[np.ndarray] = []
+    if cold_lex_tbl is not None and cold_lex_tbl.num_rows:
+        tcol = cold_lex_tbl.column("term")
+        chunks_term.append(
+            tcol.combine_chunks() if isinstance(tcol, pa.ChunkedArray) else tcol
+        )
+        chunks_df.append(cold_lex_tbl.column("df").to_numpy(zero_copy_only=False))
+        chunks_cf.append(cold_lex_tbl.column("cf").to_numpy(zero_copy_only=False))
+        chunks_bucket.append(np.full(cold_lex_tbl.num_rows, bucket, np.int64))
+        chunks_part.append(
+            cold_lex_tbl.column("part").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    if m_terms:
+        chunks_term.append(pa.array(m_terms, pa.large_string()))
+        chunks_df.append(np.asarray(m_dfs, np.uint64))
+        chunks_cf.append(np.asarray(m_cfs, np.uint64))
+        chunks_bucket.append(np.asarray(m_buckets, np.int64))
+        chunks_part.append(np.asarray(m_parts, np.int64))
+
+    path = os.path.join(index_dir, f"sec={section}", "lexicon", f"bucket={bucket:04d}.parquet")
+    if not chunks_term:
+        lex = pa.table(
+            {
+                "term": pa.array([], pa.large_string()),
+                "df": pa.array([], pa.uint64()),
+                "cf": pa.array([], pa.uint64()),
+                "n_parts": pa.array([], pa.uint32()),
+                "buckets": pa.array([], pa.list_(pa.uint32())),
+                "parts": pa.array([], pa.list_(pa.uint32())),
+            }
+        )
+        atomic_write_table(lex, path, row_group_size=LEXICON_ROW_GROUP)
+        return lex
+
+    term_arr = (
+        chunks_term[0]
+        if len(chunks_term) == 1
+        else pa.concat_arrays([a.cast(pa.large_string()) for a in chunks_term])
+    )
+    part_np = np.concatenate(chunks_part)
+    rank, sorted_terms = _rank_terms(term_arr)
+    order = np.lexsort((part_np, rank))
+    o_rank = rank[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], o_rank[1:] != o_rank[:-1]])
+    )
+    n_parts = np.diff(np.append(starts, len(order)))
+    df_np = np.concatenate(chunks_df).astype(np.uint64)[order]
+    cf_np = np.concatenate(chunks_cf).astype(np.uint64)[order]
+    lex_offsets = np.zeros(len(starts) + 1, np.int32)
+    np.cumsum(n_parts, out=lex_offsets[1:])
+    lex = pa.table(
+        {
+            "term": sorted_terms,
+            "df": pa.array(np.add.reduceat(df_np, starts), pa.uint64()),
+            "cf": pa.array(np.add.reduceat(cf_np, starts), pa.uint64()),
+            "n_parts": pa.array(n_parts.astype(np.uint32), pa.uint32()),
+            "buckets": pa.ListArray.from_arrays(
+                pa.array(lex_offsets, pa.int32()),
+                pa.array(
+                    np.concatenate(chunks_bucket)[order].astype(np.uint32), pa.uint32()
+                ),
+            ),
+            "parts": pa.ListArray.from_arrays(
+                pa.array(lex_offsets, pa.int32()),
+                pa.array(part_np[order].astype(np.uint32), pa.uint32()),
+            ),
+        }
+    )
+    atomic_write_table(lex, path, row_group_size=LEXICON_ROW_GROUP)
+    return lex
 
 
 # ------------------------------------------------------------------ driver
@@ -824,71 +975,26 @@ def build_index(
             ).take_all()
     stage_b_sec = time.time() - t1
 
-    # ---- stage C: lexicon per section + stats
+    # ---- stage C: stats only. The lexicon is hash-partitioned and was
+    # written per bucket inside stage B (_write_bucket_lexicon) — no
+    # driver-side vocabulary aggregation (the previous global concat
+    # was the driver-OOM point at web-scale vocab); doc counts/token
+    # totals come from the O(n_shards) stage-A manifests, term counts
+    # from O(n_buckets) parquet footers.
     t2 = time.time()
     stats: dict = {"sections": {}, "n_docs": 0}
     for section in sections:
-        posting_files = sorted(
-            glob.glob(os.path.join(index_dir, f"sec={section}", "postings", "bucket=*", "part.parquet"))
-        )
-        metas = [
-            pq.read_table(f, columns=["term", "df", "cf", "part"]).append_column(
-                "bucket",
-                pa.array(
-                    np.full(
-                        pq.ParquetFile(f).metadata.num_rows,
-                        int(os.path.basename(os.path.dirname(f)).split("=")[1]),
-                        np.uint32,
-                    )
-                ),
+        sec_manifests = [m for m in manifests if m["section"] == section]
+        n_docs = sum(int(m["rows"]) for m in sec_manifests)
+        total_dl = sum(int(m["tokens"]) for m in sec_manifests)
+        n_terms = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(
+                os.path.join(index_dir, f"sec={section}", "lexicon", "bucket=*.parquet")
             )
-            for f in posting_files
-        ]
-        meta_tbl = pa.concat_tables(metas).combine_chunks()
-        # aggregate parts per term into lexicon rows (vectorized groupby)
-        terms = meta_tbl.column("term")
-        if isinstance(terms, pa.ChunkedArray):
-            terms = terms.combine_chunks()
-        rank, sorted_terms = _rank_terms(terms)
-        order = np.argsort(rank, kind="stable")
-        o_rank = rank[order]
-        row_start = np.empty(len(order), bool)
-        if len(order):
-            row_start[0] = True
-            row_start[1:] = o_rank[1:] != o_rank[:-1]
-        starts = np.flatnonzero(row_start)
-        seg = np.append(starts, len(order))
-        df_np = meta_tbl.column("df").to_numpy(zero_copy_only=False)[order]
-        cf_np = meta_tbl.column("cf").to_numpy(zero_copy_only=False)[order]
-        df_sum = np.add.reduceat(df_np, starts) if len(starts) else np.empty(0, np.uint64)
-        cf_sum = np.add.reduceat(cf_np, starts) if len(starts) else np.empty(0, np.uint64)
-        n_parts = np.diff(seg)
-        bucket_np = meta_tbl.column("bucket").to_numpy(zero_copy_only=False)[order]
-        part_np = meta_tbl.column("part").to_numpy(zero_copy_only=False)[order]
-        lex_offsets = np.zeros(len(starts) + 1, np.int32)
-        np.cumsum(n_parts, out=lex_offsets[1:])
-        lexicon = pa.table(
-            {
-                "term": sorted_terms,
-                "df": pa.array(df_sum.astype(np.uint64), pa.uint64()),
-                "cf": pa.array(cf_sum.astype(np.uint64), pa.uint64()),
-                "n_parts": pa.array(n_parts.astype(np.uint32), pa.uint32()),
-                "buckets": pa.ListArray.from_arrays(
-                    pa.array(lex_offsets, pa.int32()), pa.array(bucket_np, pa.uint32())
-                ),
-                "parts": pa.ListArray.from_arrays(
-                    pa.array(lex_offsets, pa.int32()), pa.array(part_np, pa.uint32())
-                ),
-            }
         )
-        atomic_write_table(lexicon, os.path.join(index_dir, f"sec={section}", "lexicon.parquet"))
-
-        dl_files = sorted(glob.glob(os.path.join(index_dir, "doclens", f"sec={section}", "*.parquet")))
-        dl = pa.concat_tables(pq.read_table(f) for f in dl_files)
-        n_docs = dl.num_rows
-        total_dl = int(pc.sum(dl.column("dl")).as_py() or 0)
         stats["sections"][section] = {
-            "n_terms": lexicon.num_rows,
+            "n_terms": n_terms,
             "n_docs": n_docs,
             "total_tokens": total_dl,
             "avgdl": (total_dl / n_docs) if n_docs else 0.0,

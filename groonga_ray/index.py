@@ -3,13 +3,16 @@ view of a built index.
 
 Stands in for the reference's mmap'd lexicon (patricia trie, lib/pat.c)
 + chunk reader (grn_ii_cursor_open, lib/ii.c:4048-4141): the lexicon is
-a sorted Arrow term column searched by binary search (exact) or offset
-range (prefix = range [t, t+0xFF...), mirroring grn_pat_prefix_search
-semantics, lib/pat.c:968). Posting rows live in term-sorted bucket
-Parquet files written with bounded row groups; a term fetch binary-
-searches the per-row-group term statistics and reads ONLY the covering
-row groups (parquet pushdown = the reference's segment/chunk skip
-walk) — bytes read scale with the term's postings, not the bucket.
+HASH-PARTITIONED into per-bucket term-sorted Parquet shards; an exact
+lookup hashes to one shard and binary-searches its covering row group
+(prefix search = per-shard range scans over row-group term statistics,
+mirroring grn_pat_prefix_search semantics, lib/pat.c:968). Posting rows
+live in term-sorted bucket Parquet files written with bounded row
+groups; a term fetch binary-searches the per-row-group term statistics
+and reads ONLY the covering row groups (parquet pushdown = the
+reference's segment/chunk skip walk) — bytes read scale with the
+term's postings, not the bucket, and no query actor ever materializes
+the vocabulary.
 
 Doc lengths are NOT materialized densely: :class:`DoclenStore` lazily
 loads per-shard (docid, dl) files on first touch and answers vectorized
@@ -46,15 +49,19 @@ class _BucketFile:
         tcol = [
             i for i in range(meta.num_columns) if meta.schema.column(i).path == "term"
         ][0]
-        mins, maxs, sizes = [], [], []
+        mins, maxs, sizes, rows = [], [], [], [0]
         for i in range(meta.num_row_groups):
             st = meta.row_group(i).column(tcol).statistics
             mins.append(st.min if st is not None else "")
             maxs.append(st.max if st is not None else "\U0010ffff")
             sizes.append(meta.row_group(i).total_byte_size)
+            rows.append(rows[-1] + meta.row_group(i).num_rows)
         self.rg_min = mins
         self.rg_max = maxs
         self.rg_bytes = sizes
+        self.rg_row_base = np.asarray(rows, np.int64)   # cumulative rows per group
+        self.num_rows = int(rows[-1])
+        self.num_row_groups = meta.num_row_groups
 
     def groups_for_term(self, term: str) -> list[int]:
         """Row groups that may contain ``term`` (terms are sorted across
@@ -65,119 +72,226 @@ class _BucketFile:
         hi = bisect.bisect_right(self.rg_min, term)          # first group with min > term
         return list(range(lo, hi))
 
-    def groups_for_range(self, lo_term: str, hi_term: str) -> list[int]:
-        """Row groups intersecting the term range [lo_term, hi_term]."""
+    def groups_for_range(self, lo_term: str, hi_term: str | None) -> list[int]:
+        """Row groups intersecting the term range [lo_term, hi_term];
+        hi_term=None means unbounded above."""
         import bisect
 
         lo = bisect.bisect_left(self.rg_max, lo_term)
-        hi = bisect.bisect_right(self.rg_min, hi_term)
+        hi = (
+            bisect.bisect_right(self.rg_min, hi_term)
+            if hi_term is not None
+            else len(self.rg_min)
+        )
         return list(range(lo, hi))
 
 
+TID_SHIFT = 40                      # tid = (bucket << TID_SHIFT) | lexicon row
+_TID_MASK = (1 << TID_SHIFT) - 1
+
+
+class _LazyDf:
+    """Dict-like per-tid document frequency over the hash-partitioned
+    lexicon — lookups fault in one lexicon row group, never the vocab."""
+
+    def __init__(self, si: "SectionIndex"):
+        self.si = si
+
+    def __getitem__(self, tid: int) -> int:
+        return int(self.si._lex_row(tid)["df"])
+
+    def __len__(self) -> int:
+        return self.si.n_terms
+
+
 class SectionIndex:
-    """Lexicon + postings of one section (source column)."""
+    """Lexicon + postings of one section (source column).
+
+    The lexicon is hash-partitioned: ``lexicon/bucket=NNNN.parquet``
+    holds the terms whose unsalted hash owns bucket NNNN, term-sorted
+    with bounded row groups. A term lookup hashes to ONE shard and
+    binary-searches its covering row group (faulting in ~LEXICON_
+    ROW_GROUP rows); nothing ever loads the whole vocabulary — at
+    web-scale vocab (10^8-10^9 terms) a flat in-memory lexicon is
+    multi-GB per query actor, the partitioned one is O(terms touched).
+    Prefix/suffix/pattern scans stream row groups per shard under an
+    LRU so their footprint stays bounded too.
+    """
 
     def __init__(self, index_dir: str, section: str):
         self.dir = os.path.join(index_dir, f"sec={section}")
         self.section = section
-        lex = pq.read_table(os.path.join(self.dir, "lexicon.parquet"))
-        self._terms = lex.column("term").combine_chunks()
-        self.df = lex.column("df").to_numpy(zero_copy_only=False)
-        self.cf = lex.column("cf").to_numpy(zero_copy_only=False)
-        self._n_parts = lex.column("n_parts").to_numpy(zero_copy_only=False)
-        buckets = lex.column("buckets").combine_chunks()
-        self._bucket_offsets = buckets.offsets.to_numpy().astype(np.int64)
-        self._bucket_values = buckets.values.to_numpy().astype(np.int64)
-        self.n_terms = len(self._terms)
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            _meta = json.load(fh)
+        self.n_buckets = int(_meta["config"]["n_buckets"])
+        self._lex_paths: dict[int, str] = {}
+        for f in glob.glob(os.path.join(self.dir, "lexicon", "bucket=*.parquet")):
+            b = int(os.path.basename(f).split("=")[1].split(".")[0])
+            self._lex_paths[b] = f
+        if not self._lex_paths and os.path.exists(os.path.join(self.dir, "postings")):
+            raise ValueError(
+                f"{self.dir}: no hash-partitioned lexicon (index built by an "
+                "older layout?) — rebuild the index"
+            )
+        self._lex_files: dict[int, _BucketFile] = {}
+        self._lex_rg_cache: dict[tuple[int, int], pa.Table] = {}
+        self._term_rows: dict[int, dict] = {}       # tid -> lexicon row
+        self._tid_memo: dict[str, int | None] = {}
+        self.df = _LazyDf(self)
+        self._n_terms: int | None = None
         self._bucket_files: dict[int, _BucketFile] = {}
         self._rg_cache: dict[tuple[int, int], pa.Table] = {}
         self._row_cache: dict[int, list[dict]] = {}
         self.bytes_read = 0          # posting bytes fetched (test/observability)
+        self.lex_bytes_read = 0      # lexicon bytes fetched
 
-    # ---- lexicon -------------------------------------------------
+    # ---- lexicon shards ------------------------------------------
+    def _lex_file(self, bucket: int) -> _BucketFile:
+        bf = self._lex_files.get(bucket)
+        if bf is None:
+            bf = self._lex_files[bucket] = _BucketFile(self._lex_paths[bucket])
+        return bf
+
+    def _lex_rg(self, bucket: int, rg: int) -> pa.Table:
+        key = (bucket, rg)
+        tbl = self._lex_rg_cache.get(key)
+        if tbl is None:
+            bf = self._lex_file(bucket)
+            tbl = bf.pf.read_row_groups([rg])
+            self.lex_bytes_read += bf.rg_bytes[rg]
+            if len(self._lex_rg_cache) >= 64:
+                self._lex_rg_cache.pop(next(iter(self._lex_rg_cache)))
+            self._lex_rg_cache[key] = tbl
+        return tbl
+
+    @staticmethod
+    def _row_dict(tbl: pa.Table, i: int) -> dict:
+        return {
+            "term": tbl.column("term")[i].as_py(),
+            "df": tbl.column("df")[i].as_py(),
+            "cf": tbl.column("cf")[i].as_py(),
+            "buckets": np.asarray(tbl.column("buckets")[i].as_py(), np.int64),
+            "parts": np.asarray(tbl.column("parts")[i].as_py(), np.int64),
+        }
+
+    def _cache_row(self, tid: int, row: dict) -> None:
+        if len(self._term_rows) >= 65536:
+            self._term_rows.pop(next(iter(self._term_rows)))
+        self._term_rows[tid] = row
+
+    def _lex_row(self, tid: int) -> dict:
+        row = self._term_rows.get(tid)
+        if row is None:
+            b, lid = tid >> TID_SHIFT, tid & _TID_MASK
+            bf = self._lex_file(b)
+            rg = int(np.searchsorted(bf.rg_row_base, lid, side="right")) - 1
+            tbl = self._lex_rg(b, rg)
+            row = self._row_dict(tbl, lid - int(bf.rg_row_base[rg]))
+            self._cache_row(tid, row)
+        return row
+
+    @property
+    def n_terms(self) -> int:
+        if self._n_terms is None:
+            self._n_terms = sum(
+                self._lex_file(b).num_rows for b in self._lex_paths
+            )
+        return self._n_terms
+
+    def all_tids(self):
+        """Every tid, bucket by bucket (test/dump iteration)."""
+        for b in sorted(self._lex_paths):
+            for lid in range(self._lex_file(b).num_rows):
+                yield (b << TID_SHIFT) | lid
+
+    # ---- lexicon lookups -----------------------------------------
     def term_id(self, term: str) -> int | None:
-        """Binary search the sorted term column; None when absent."""
-        lo, hi = 0, self.n_terms
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if self._terms[mid].as_py() < term:
-                lo = mid + 1
-            else:
-                hi = mid
-        if lo < self.n_terms and self._terms[lo].as_py() == term:
-            return lo
-        return None
+        """Hash to the owning lexicon shard, binary-search its covering
+        row group; None when absent."""
+        if term in self._tid_memo:
+            return self._tid_memo[term]
+        from .utils import fnv1a
 
-    def prefix_range(self, prefix: str) -> range:
-        """tids of all terms with the given prefix (sorted-lexicon range
-        scan — the patricia-trie prefix search equivalent)."""
-        lo, hi = 0, self.n_terms
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if self._terms[mid].as_py() < prefix:
-                lo = mid + 1
-            else:
-                hi = mid
-        start = lo
-        upper = _prefix_upper(prefix)
-        if upper is None:
-            return range(start, self.n_terms)
-        hi = self.n_terms
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if self._terms[mid].as_py() < upper:
-                lo = mid + 1
-            else:
-                hi = mid
-        return range(start, lo)
+        b = int(fnv1a(pa.array([term], pa.large_string()))[0] % np.uint64(self.n_buckets))
+        tid = None
+        if b in self._lex_paths:
+            bf = self._lex_file(b)
+            for rg in bf.groups_for_term(term):
+                tbl = self._lex_rg(b, rg)
+                tcol = tbl.column("term")
+                if isinstance(tcol, pa.ChunkedArray):
+                    tcol = tcol.combine_chunks()
+                lo = _searchsorted_str(tcol, term, "left")
+                if lo < len(tcol) and tcol[lo].as_py() == term:
+                    tid = (b << TID_SHIFT) | (int(bf.rg_row_base[rg]) + lo)
+                    self._cache_row(tid, self._row_dict(tbl, lo))
+                    break
+        if len(self._tid_memo) >= 65536:
+            self._tid_memo.pop(next(iter(self._tid_memo)))
+        self._tid_memo[term] = tid
+        return tid
+
+    def _range_scan(self, lo_term: str, hi_term: str | None) -> list[int]:
+        """tids with lo_term <= term < hi_term across all lexicon
+        shards (row-group stats pruning per shard)."""
+        out: list[int] = []
+        for b in sorted(self._lex_paths):
+            bf = self._lex_file(b)
+            for rg in bf.groups_for_range(lo_term, hi_term):
+                tbl = self._lex_rg(b, rg)
+                tcol = tbl.column("term")
+                if isinstance(tcol, pa.ChunkedArray):
+                    tcol = tcol.combine_chunks()
+                lo = _searchsorted_str(tcol, lo_term, "left")
+                hi = (
+                    _searchsorted_str(tcol, hi_term, "left")
+                    if hi_term is not None
+                    else len(tcol)
+                )
+                base = (b << TID_SHIFT) | int(bf.rg_row_base[rg])
+                out.extend(range(base + lo, base + hi))
+        return out
+
+    def prefix_range(self, prefix: str) -> list[int]:
+        """tids of all terms with the given prefix (sorted-shard range
+        scans — the patricia-trie prefix search equivalent)."""
+        return self._range_scan(prefix, _prefix_upper(prefix))
 
     def term_at(self, tid: int) -> str:
-        return self._terms[tid].as_py()
+        return self._lex_row(tid)["term"]
+
+    def _full_scan_tids(self, match_fn) -> list[int]:
+        """Stream every lexicon row group through a vectorized match
+        kernel (vocab scan, memory bounded by one row group)."""
+        out: list[int] = []
+        for b in sorted(self._lex_paths):
+            bf = self._lex_file(b)
+            for rg in range(bf.num_row_groups):
+                tbl = self._lex_rg(b, rg)
+                mask = match_fn(tbl.column("term"))
+                if isinstance(mask, pa.ChunkedArray):
+                    mask = mask.combine_chunks()
+                idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+                base = (b << TID_SHIFT) | int(bf.rg_row_base[rg])
+                out.extend((base + int(i)) for i in idx)
+        return out
 
     def matching_tids(self, pattern: str, mode: str = "substring") -> list[int]:
         """tids of lexicon terms containing/regex-matching ``pattern``
         — the TokenRegexp-index stand-in for REGEXP mode
-        (lib/ii.c:6049-6118): the vocabulary scan is vectorized over the
-        sorted term column (vocab ≪ corpus) and the resulting union of
+        (lib/ii.c:6049-6118): the vocabulary scan is vectorized per
+        lexicon row group (vocab ≪ corpus) and the resulting union of
         postings is the index prefilter."""
         if mode == "substring":
-            mask = pc.match_substring(self._terms, pattern)
-        else:
-            mask = pc.match_substring_regex(self._terms, pattern)
-        return np.flatnonzero(mask.to_numpy(zero_copy_only=False)).tolist()
+            return self._full_scan_tids(lambda t: pc.match_substring(t, pattern))
+        return self._full_scan_tids(lambda t: pc.match_substring_regex(t, pattern))
 
     def suffix_tids(self, suffix: str) -> list[int]:
         """tids of terms ending with ``suffix`` — the patricia trie's
         SIS suffix links (GRN_OBJ_KEY_WITH_SIS, lib/pat.c:841-868)
-        replaced by a reversed-term sorted index built lazily once per
-        reader and binary-searched like the prefix path."""
-        if not hasattr(self, "_rev"):
-            rev = pc.utf8_reverse(self._terms)
-            order = pc.sort_indices(rev)
-            self._rev_sorted = rev.take(order)
-            self._rev_tid = order.to_numpy(zero_copy_only=False).astype(np.int64)
-            self._rev = True
-        target = suffix[::-1]
-        lo, hi = 0, len(self._rev_sorted)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if self._rev_sorted[mid].as_py() < target:
-                lo = mid + 1
-            else:
-                hi = mid
-        start = lo
-        upper = _prefix_upper(target)
-        hi = len(self._rev_sorted)
-        if upper is not None:
-            while lo < hi:
-                mid = (lo + hi) // 2
-                if self._rev_sorted[mid].as_py() < upper:
-                    lo = mid + 1
-                else:
-                    hi = mid
-        else:
-            lo = hi
-        return self._rev_tid[start:lo].tolist()
+        replaced by a streaming ends_with scan over the lexicon
+        shards."""
+        return self._full_scan_tids(lambda t: pc.ends_with(t, pattern=suffix))
 
     def df_estimate(self, tid: int) -> int:
         """The reference's df *estimate* (grn_ii_estimate_size,
@@ -213,10 +327,10 @@ class SectionIndex:
         cached = self._row_cache.get(tid)
         if cached is not None:
             return cached
-        term = self.term_at(tid)
+        lex = self._lex_row(tid)
+        term = lex["term"]
         rows: list[dict] = []
-        buckets = self._bucket_values[self._bucket_offsets[tid] : self._bucket_offsets[tid + 1]]
-        for b in np.unique(buckets):
+        for b in np.unique(lex["buckets"]):
             bf = self._bucket_file(int(b))
             for rg in bf.groups_for_term(term):
                 tbl = self._read_row_group(int(b), rg)

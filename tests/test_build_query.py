@@ -118,6 +118,24 @@ def test_posting_reads_are_term_pruned(built):
     assert si.bytes_read < total_unc * 0.2, (si.bytes_read, total_unc)
 
 
+def test_lexicon_reads_are_term_pruned(built):
+    """A term lookup must fault in one lexicon shard's covering row
+    group, not the vocabulary (lexicon bytes scale with terms touched)."""
+    import glob as _glob
+
+    _, index_dir, _, _ = built
+    r = IndexReader(index_dir)
+    si = r.section("content")
+    total = 0
+    for f in _glob.glob(os.path.join(index_dir, "sec=content", "lexicon", "bucket=*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        total += sum(meta.row_group(i).total_byte_size for i in range(meta.num_row_groups))
+    tid = si.term_id("uniq_00000042_42")
+    assert tid is not None
+    assert int(si.df[tid]) == 1
+    assert 0 < si.lex_bytes_read < total * 0.5, (si.lex_bytes_read, total)
+
+
 def test_doclens_and_stats(built, oracle):
     _, index_dir, _, meta = built
     _, doclen = oracle
@@ -258,12 +276,22 @@ def test_resume_skips_and_identical(built, tmp_path):
     assert man["fingerprint"]["config"] == cfg.fingerprint()
 
     # delete one shard's run + manifest → only that shard rebuilds, and
-    # the final lexicon is byte-identical
-    lex_before = open(os.path.join(index_dir, "sec=content", "lexicon.parquet"), "rb").read()
+    # the final (per-bucket) lexicon is byte-identical
+    def lex_bytes():
+        import glob as _glob
+
+        return [
+            open(f, "rb").read()
+            for f in sorted(
+                _glob.glob(os.path.join(index_dir, "sec=content", "lexicon", "bucket=*.parquet"))
+            )
+        ]
+
+    lex_before = lex_bytes()
+    assert lex_before
     shutil.rmtree(os.path.join(index_dir, "sec=content", "runs", "shard=00001"))
     meta3 = build_index(files, index_dir, cfg)
-    lex_after = open(os.path.join(index_dir, "sec=content", "lexicon.parquet"), "rb").read()
-    assert lex_before == lex_after
+    assert lex_bytes() == lex_before
     assert meta3["n_docs"] == meta["n_docs"]
 
 

@@ -67,7 +67,7 @@ def test_all_parts_docid_disjoint(flip_index):
     _, idx = flip_index
     si = IndexReader(idx).section("text")
     multi = 0
-    for tid in range(len(si.df)):
+    for tid in si.all_tids():
         rows = si.posting_rows(tid)
         if len(rows) > 1:
             multi += 1

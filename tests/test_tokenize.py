@@ -258,7 +258,7 @@ def test_stemmed_build_matches_manual(tmp_path, ray_session):
         for w in text.split():
             s = porter_stem(w)
             want.setdefault(s, {})[d] = want.setdefault(s, {}).get(d, 0) + 1
-    lex_terms = [si.term_at(t) for t in range(si.n_terms)]
+    lex_terms = [si.term_at(t) for t in si.all_tids()]
     assert sorted(lex_terms) == sorted(want)
     for term, docs in want.items():
         tid = si.term_id(term)

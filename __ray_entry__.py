@@ -652,6 +652,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def dedup_exact_fast_q(sf_dir):
+        # vectorized 128-bit fingerprint path: groups must equal the
+        # sha256 path, compared on the surviving doc ids
+        from groonga_ray.pipelines.dedup import exact_dedup_fast
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        out = exact_dedup_fast(ds)
+        return out.map_batches(
+            lambda b: pa.table({"keep_id": b.column("keep_id").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+
     def dedup_ngram_key_q(sf_dir):
         from groonga_ray.pipelines.dedup import ngram_key_dedup
 
@@ -868,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_agg": events_agg,
         "events_window": events_window,
         "dedup_exact": dedup_exact_q,
+        "dedup_exact_fast": dedup_exact_fast_q,
         "dedup_ngram_key": dedup_ngram_key_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1113,6 +1126,9 @@ FROM events GROUP BY 1, 2
         "dedup_exact": """
 SELECT sha256(text) AS content_hash, min(doc_id)::BIGINT AS keep_id
 FROM documents GROUP BY text
+""",
+        "dedup_exact_fast": """
+SELECT min(doc_id)::BIGINT AS keep_id FROM documents GROUP BY text
 """,
         "dedup_ngram_key": """
 SELECT array_to_string(arr[1:8], ' ') AS key, min(doc_id)::BIGINT AS keep_id

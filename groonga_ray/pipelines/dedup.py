@@ -35,7 +35,12 @@ def _sha256_col(texts: pa.Array) -> pa.Array:
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id") -> ray.data.Dataset:
-    """(hash, doc_id=min) — one row per distinct content."""
+    """(hash, doc_id=min) — one row per distinct content.
+
+    sha256 matches external tooling byte-for-byte but is a per-row
+    Python loop; prefer :func:`exact_dedup_fast` when the hash itself
+    doesn't need to interop (vectorized, the 100-TB path).
+    """
 
     def add_hash(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -54,10 +59,47 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc
     )
 
 
+def exact_dedup_fast(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Vectorized exact dedup: 128-bit content fingerprint from two
+    independent FNV-1a families (no per-row Python in the hot stage),
+    hash-groupby keeping min doc_id. Collision odds ~n^2/2^129 —
+    negligible at 10^12 docs."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).cast(pa.large_string())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                # int64 view: uint64 keys fall off Arrow's native
+                # groupby path (pickled objects) in Ray Data
+                "h_lo": pa.array(fnv1a(texts).view(np.int64), pa.int64()),
+                "h_hi": pa.array(
+                    fnv1a(texts, seed=0x9E3779B97F4A7C15).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby(["h_lo", "h_hi"])
+        .aggregate(Min(id_col, alias_name="keep_id"))
+    )
+
+
 def ngram_key_dedup(
     ds: ray.data.Dataset, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Blocking key = first k tokens joined; keep min doc_id per key."""
+    """Blocking key = first k tokens joined; keep min doc_id per key.
+
+    Skew-safe by construction: Min is algebraic, so Ray pre-aggregates
+    per block before the exchange — a boilerplate key (license header
+    shared by 10^9 docs) contributes one row per block to the shuffle,
+    not 10^9 rows.
+    """
     wt = WordTokenizer()
 
     def add_key(batch: pa.Table) -> pa.Table:
@@ -151,24 +193,38 @@ class MinHashLSH(_MinHasher):
 
 
 def minhash_lsh_candidates(
-    ds: ray.data.Dataset, n_perm=64, bands=8, shingle=3, text_col="text", id_col="doc_id"
+    ds: ray.data.Dataset, n_perm=64, bands=8, shingle=3, text_col="text", id_col="doc_id",
+    max_group: int = 4096,
 ) -> ray.data.Dataset:
     """(band, band_hash) buckets with >1 doc -> candidate groups.
-    Returns rows (band, band_hash, doc_ids list, n)."""
+    Returns rows (band, band_hash, doc_ids list, n, capped).
+
+    ``max_group`` bounds a bucket's emitted candidate list (boilerplate
+    corpora produce giant buckets whose all-pairs verification is
+    quadratic); a capped bucket keeps the ``n`` lowest doc_ids and sets
+    ``capped`` — at 100 TB, treat capped buckets as "all near-dups of
+    the kept representative" rather than verifying pairs.
+    """
 
     def collapse(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        if len(ids) < 2:
+        n = group.num_rows
+        if n < 2:
             return pa.table(
                 {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.int64()),
-                 "doc_ids": pa.array([], pa.list_(pa.int64())), "n": pa.array([], pa.int64())}
+                 "doc_ids": pa.array([], pa.list_(pa.int64())), "n": pa.array([], pa.int64()),
+                 "capped": pa.array([], pa.bool_())}
             )
+        ids = sorted(group.column("doc_id").to_pylist())
+        capped = len(ids) > max_group
+        if capped:
+            ids = ids[:max_group]
         return pa.table(
             {
                 "band": group.column("band").slice(0, 1),
                 "band_hash": group.column("band_hash").slice(0, 1),
                 "doc_ids": pa.array([ids], pa.list_(pa.int64())),
                 "n": pa.array([len(ids)], pa.int64()),
+                "capped": pa.array([capped]),
             }
         )
 

@@ -51,11 +51,13 @@ def tune_malloc() -> None:
         pass
 
 
-def fnv1a(strings: pa.Array) -> np.ndarray:
+def fnv1a(strings: pa.Array, seed: int = 0) -> np.ndarray:
     """Stable FNV-1a 64-bit hash of each UTF-8 string, vectorized.
 
     (Python's builtin ``hash`` is process-salted and unusable for
-    cross-task partitioning; this is the bucket hash.)
+    cross-task partitioning; this is the bucket hash.) ``seed`` xors
+    the offset basis, giving independent hash families (e.g. the two
+    halves of a 128-bit content fingerprint).
     """
     if isinstance(strings, pa.ChunkedArray):
         strings = strings.combine_chunks()
@@ -71,7 +73,7 @@ def fnv1a(strings: pa.Array) -> np.ndarray:
     offsets = np.frombuffer(strings.buffers()[1], np.int64)[strings.offset : strings.offset + n + 1]
     starts = offsets[:-1]
     lens = np.diff(offsets)
-    h = np.full(n, FNV_OFFSET, np.uint64)
+    h = np.full(n, np.uint64(FNV_OFFSET) ^ np.uint64(seed), np.uint64)
     max_len = int(lens.max()) if n else 0
     for j in range(max_len):
         m = lens > j

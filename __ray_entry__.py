@@ -172,6 +172,31 @@ def _tomb_index_for(sf_dir: str, compact: bool) -> "Any":
     return IndexedTable(index_dir, files, "doc_id")
 
 
+def _orders_index_for(sf_dir: str) -> "Any":
+    """Index over orders.o_orderpriority with o_custkey declared as a
+    reference column into customer (sub_filter's resolve target)."""
+    from groonga_ray.build import BuildConfig, build_index
+    from groonga_ray.engine import IndexedTable
+
+    files = _files(sf_dir, "orders")
+    cfg = BuildConfig(
+        text_columns=("o_orderpriority",),
+        docid_column="o_orderkey",
+        n_buckets=8,
+        target_rows_per_shard=2048,
+    )
+    key = hashlib.md5(
+        json.dumps([sf_dir, cfg.fingerprint(), [os.path.getsize(f) for f in files]]).encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"ordidx_{key}")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_index(files, index_dir, cfg)
+    return IndexedTable(
+        index_dir, files, "o_orderkey",
+        refs={"o_custkey": (tuple(_files(sf_dir, "customer")), "c_custkey")},
+    )
+
+
 # ------------------------------------------------------------------ entry
 
 def entry() -> Any:
@@ -832,6 +857,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ft(_tomb_index_for(sf_dir, compact=True),
                    query="spark", match_columns="text", limit=-1)
 
+    def ft_sub_filter(sf_dir):
+        # semi-join through the o_custkey reference column: orders whose
+        # customer matches the sub-select, AND-composed with a local
+        # predicate and an indexed text match
+        from groonga_ray.engine import select
+
+        t = _orders_index_for(sf_dir)
+        res = select(
+            t,
+            filter=(
+                'o_orderpriority @ "urgent" && '
+                "sub_filter(o_custkey, 'c_acctbal > 5000') && o_totalprice > 100000"
+            ),
+            limit=-1,
+        )
+        return pa.table({"o_orderkey": res["rows"].column("_id").cast(pa.int64())})
+
     def media_decode(sf_dir):
         from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
 
@@ -895,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_delta": ft_delta,
         "ft_delete": ft_delete,
         "ft_compact": ft_compact,
+        "ft_sub_filter": ft_sub_filter,
         "media_decode": media_decode,
     }
 
@@ -1089,6 +1132,12 @@ WHERE term = 'spark' AND doc_id % 7 <> 0
 {_TOKS}
 SELECT doc_id, tf::DOUBLE AS score FROM tf
 WHERE term = 'spark' AND doc_id % 7 <> 0
+""",
+        "ft_sub_filter": """
+SELECT o_orderkey FROM orders
+WHERE lower(o_orderpriority) LIKE '%urgent%'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+  AND o_totalprice > 100000
 """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "drill_lang": f"""

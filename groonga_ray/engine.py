@@ -54,6 +54,10 @@ class IndexedTable:
     index_dir: str
     source_files: list[str]
     docid_column: str | None = None   # None -> docid = 1-based rank in file order
+    # reference columns for sub_filter(col, "..."): col -> (referenced
+    # table's files, its key column) — the schema link grn_obj_get_range
+    # provides in the reference (lib/proc.c:5198)
+    refs: dict | None = None
 
     def reader(self) -> IndexReader:
         return open_index(self.index_dir)
@@ -397,6 +401,9 @@ def _ast_to_json(n):
         return ["__t__"] + [_ast_to_json(c) for c in n]
     if isinstance(n, list):
         return ["__l__"] + [_ast_to_json(c) for c in n]
+    if isinstance(n, (pa.Array, pa.ChunkedArray)):
+        # in_set value sets (sub_filter) ship as plain lists
+        return ["__l__"] + list(n.to_pylist())
     return n
 
 
@@ -407,6 +414,32 @@ def _ast_from_json(n):
         if n and n[0] == "__l__":
             return [_ast_from_json(c) for c in n[1:]]
     return n
+
+
+def _sub_filter_keys(files: list[str], key_col: str, filter_str: str) -> pa.Array:
+    """Keys of the referenced table's rows matching the sub filter —
+    a streaming, column-pruned row-group scan (the referenced side of a
+    sub_filter is a dimension table: small enough to broadcast; a fact-
+    sized right side belongs in a proper join, not sub_filter)."""
+    from .script import eval_filter, parse_filter
+
+    ast = parse_filter(filter_str)
+    cols = sorted(set(_pred_columns(ast)) | {key_col})
+    chunks: list[pa.Array] = []
+    for f in sorted(files):
+        pf = pq.ParquetFile(f)
+        for rg in range(pf.metadata.num_row_groups):
+            tbl = pf.read_row_group(rg, columns=cols)
+            mask = eval_filter(ast, tbl)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                mask = pc.fill_null(mask, False)
+            keys = tbl.column(key_col).filter(mask)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            chunks.append(keys)
+    if not chunks:
+        return pa.array([], pa.int64())
+    return pa.concat_arrays(chunks)
 
 
 def _as_match(x, table: "IndexedTable") -> MatchResult:
@@ -712,6 +745,20 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
             pending_preds.append(r)
         else:
             acc = r if acc is None else op_and(acc, r)
+    for col, sub in plan.sub_filters:
+        # sub_filter(col, "f"): select on the table col REFERENCES,
+        # resolve the matching keys back as `col in keys` (run_sub_
+        # filter + grn_accessor_resolve, lib/proc.c:5168-5293). The
+        # referenced side is a dimension table — broadcast-small; its
+        # key set rides the predicate instead of a shuffle join.
+        if not table.refs or col not in table.refs:
+            raise ValueError(
+                f"sub_filter: no reference target declared for column {col!r} "
+                "(set IndexedTable.refs[col] = (files, key_column))"
+            )
+        ref_files, key_col = table.refs[col]
+        keys = _sub_filter_keys(list(ref_files), key_col, sub)
+        pending_preds.append(DeferredPred(("in_set", ("col", col), keys), (col,)))
     if plan.predicate is not None:
         pending_preds.append(DeferredPred(plan.predicate, _pred_columns(plan.predicate)))
     for pred in pending_preds:

@@ -30,6 +30,7 @@ class FilterPlan:
     predicate: object | None                # AST for columnar evaluation
     subqueries: list[tuple[str, str]] = None  # query("cols","q") units (lib/proc.c:5138)
     regexps: list[tuple[str, str]] = None   # (column, pattern) from `col @~ "pat"`
+    sub_filters: list[tuple[str, str]] = None  # sub_filter(col, "f") (lib/proc.c:5168-5293)
     conjunctive: bool = True
 
     def __post_init__(self):
@@ -37,6 +38,8 @@ class FilterPlan:
             self.subqueries = []
         if self.regexps is None:
             self.regexps = []
+        if self.sub_filters is None:
+            self.sub_filters = []
 
 
 class _P:
@@ -314,6 +317,7 @@ def split_filter(ast) -> FilterPlan:
     matches: list[tuple[str, str]] = []
     subqueries: list[tuple[str, str]] = []
     regexps: list[tuple[str, str]] = []
+    sub_filters: list[tuple[str, str]] = []
 
     def walk(n):
         if n[0] == "and":
@@ -336,10 +340,16 @@ def split_filter(ast) -> FilterPlan:
         ):
             subqueries.append((n[2][0][1], n[2][1][1]))
             return None
+        if (
+            n[0] == "call" and n[1] == "sub_filter" and len(n[2]) == 2
+            and n[2][0][0] == "col" and n[2][1][0] == "str"
+        ):
+            sub_filters.append((n[2][0][1], n[2][1][1]))
+            return None
         return n
 
     residual = walk(ast)
-    return FilterPlan(matches, residual, subqueries, regexps)
+    return FilterPlan(matches, residual, subqueries, regexps, sub_filters)
 
 
 def eval_filter(ast, batch: pa.Table):
@@ -390,6 +400,13 @@ def eval_filter(ast, batch: pa.Table):
             if vals[0] != "list":
                 raise ValueError("`in` expects a [list] literal on the right")
             return pc.is_in(ev(n[1]), value_set=pa.array([v[1] for v in vals[1]]))
+        if kind == "in_set":
+            # synthesized by the engine (sub_filter resolution): value
+            # set precomputed from the referenced table's sub-select
+            vs = n[2]
+            if not isinstance(vs, (pa.Array, pa.ChunkedArray)):
+                vs = pa.array(vs)
+            return pc.is_in(ev(n[1]), value_set=vs)
         if kind == "@~":
             # sequential regexp scan fallback (REGEXP mode's index-
             # assisted path lives in the engine; reference

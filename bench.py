@@ -148,6 +148,30 @@ def run_bench() -> dict:
     }
 
 
+def _ray_cpu_totals() -> tuple[float, float]:
+    """Sum (utime, stime) seconds across live Ray worker/raylet
+    processes — the per-stage sys/user evidence for the scaling
+    criterion (this sandbox kernel's page-fault path shows up as sys
+    time)."""
+    import glob as _glob
+
+    hz = os.sysconf("SC_CLK_TCK")
+    tot_u = tot_s = 0
+    for stat in _glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat.replace("/stat", "/cmdline"), "rb") as fh:
+                cmd = fh.read()
+            if b"ray::" not in cmd and b"raylet" not in cmd and b"default_worker" not in cmd:
+                continue
+            with open(stat) as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            tot_u += int(parts[11])
+            tot_s += int(parts[12])
+        except (OSError, IndexError, ValueError):
+            continue
+    return tot_u / hz, tot_s / hz
+
+
 def scaling_child(ncpu: int, rows: int) -> dict:
     """One parallelism level: fresh ray session, one UNTIMED build
     (warms worker processes / malloc pools / page cache — this sandbox
@@ -178,19 +202,32 @@ def scaling_child(ncpu: int, rows: int) -> dict:
     build_index(files, idx, cfg, concurrency=conc)        # untimed warm pass
     # min of 3 timed builds: the sandbox VM sees 2-11% CPU steal and
     # kernel-path noise; min is the robust throughput estimator
+    import resource
+
     times = []
+    u0, s0 = _ray_cpu_totals()
+    r0 = resource.getrusage(resource.RUSAGE_SELF)
     for _ in range(3):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.time()
         meta = build_index(files, idx, cfg, concurrency=conc)
         times.append(time.time() - t0)
+    u1, s1 = _ray_cpu_totals()
+    r1 = resource.getrusage(resource.RUSAGE_SELF)
     sec = min(times)
+    user = (u1 - u0 + r1.ru_utime - r0.ru_utime) / 3     # per build
+    syst = (s1 - s0 + r1.ru_stime - r0.ru_stime) / 3
     ray.shutdown()
     return {
         "ncpu": ncpu,
         "sec": round(sec, 3),
         "all_sec": [round(t, 3) for t in times],
         "docs_per_sec": round(meta["n_docs"] / sec, 1),
+        "user_cpu_sec": round(user, 2),
+        "sys_cpu_sec": round(syst, 2),
+        "sys_frac": round(syst / max(user + syst, 1e-9), 4),
+        "cpu_util": round((user + syst) / (sum(times) / 3 * ncpu), 4),
+        "stage_sec": meta.get("timings", {}),
     }
 
 
@@ -219,7 +256,12 @@ def run_scaling() -> dict:
             "build_sec_32cpu": hi["sec"],
             "docs_per_sec_8cpu": lo["docs_per_sec"],
             "docs_per_sec_32cpu": hi["docs_per_sec"],
+            "sys_frac_8cpu": lo.get("sys_frac"),
+            "sys_frac_32cpu": hi.get("sys_frac"),
+            "cpu_util_8cpu": lo.get("cpu_util"),
+            "cpu_util_32cpu": hi.get("cpu_util"),
         },
+        "detail": {"8": lo, "32": hi},
         "sf": SF_DIR,
         "scaling_rows": rows,
         "num_cpus": [8, 32],

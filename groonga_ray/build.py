@@ -101,7 +101,9 @@ class BuildConfig:
     stop_words: tuple[str, ...] = ()         # TokenFilterStopWord set (GET-mode drop)
     salt_group: int = 4                      # shards per hot-term salt part
     target_rows_per_shard: int = 200_000
-    stage_b_concurrency: int = 8             # bucket-merge pool cap
+    stage_b_concurrency: int = 64            # bucket-merge pool cap (scaling
+                                             # is bucket-bound: keep >= n_buckets
+                                             # so merge width follows the cluster)
     docid_column: str | None = None          # pre-assigned docids (e.g. documents.doc_id)
     docid_offset: int = 1                    # docids are 1-based when assigned by rank
     layout_version: int = 3                  # bump on on-disk layout changes (cache invalidation)

@@ -353,6 +353,82 @@ TOKENIZERS = {
 }
 
 
+# TokenRegexp begin/end anchors (GRN_TOKENIZER_BEGIN/END_MARK_UTF8,
+# include/groonga/tokenizer.h) — \A / \z become lexicon terms
+REGEXP_BEGIN_MARK = "￯"
+REGEXP_END_MARK = "￰"
+
+
+def regexp_tokenize(text: str, mode: str = "add", nfkc: bool = True) -> TokenStream:
+    """TokenRegexp (lib/tokenizers.c:472-730): overlapping character
+    bigrams bracketed by begin/end marks so a REGEXP index can verify
+    ``\\A``/``\\z`` anchors.
+
+    ADD emits the begin mark, a bigram per character step (unmatured
+    single-char tail at text/blank boundaries; a position-consuming
+    skip after each blank), and the end mark. GET tokenizes a query
+    literal (which may embed the marks): overlapping bigrams with every
+    other one skipped (n_skip_tokens), except the token that reaches
+    the end — an unmatured final token force-prefix-expands unless the
+    end mark anchors it.
+    """
+    norm, _, blanks = normalize(text, nfkc=nfkc)
+    stream = TokenStream()
+    out = stream.tokens
+    n = len(norm)
+    if mode != "get":
+        tpos = 0
+        out.append(Token(REGEXP_BEGIN_MARK, tpos))
+        tpos += 1
+        i = 0
+        while i < n:
+            if i > 0 and blanks[i - 1]:
+                tpos += 1          # empty SKIP token consumes a position
+            two = i + 1 < n and not blanks[i]
+            out.append(Token(norm[i : i + 2 if two else i + 1], tpos))
+            tpos += 1
+            i += 1
+        out.append(Token(REGEXP_END_MARK, tpos))
+        return stream
+
+    i = 0
+    if n and norm[0] == REGEXP_BEGIN_MARK:
+        out.append(Token(REGEXP_BEGIN_MARK, 0))
+        i = 1
+    has_end = n > i and norm[n - 1] == REGEXP_END_MARK
+    n_eff = n - 1 if has_end else n
+    n_skip = 0
+    is_start = i == 0
+    while i < n_eff:
+        two = i + 1 < n_eff and not blanks[i]
+        L = 2 if two else 1
+        term = norm[i : i + L]
+        reach_end = not has_end and i + L == n
+        by_blank = bool(blanks[i]) or (L == 2 and bool(blanks[i + 1]))
+        by_end_mark = has_end and i + L == n_eff
+        if reach_end:
+            out.append(Token(term, i))
+            if L < 2:
+                stream.force_prefix = True
+            break
+        if by_blank:
+            out.append(Token(term, i))
+            n_skip = 0
+        elif by_end_mark:
+            if is_start or L == 2:
+                out.append(Token(term, i))
+        elif n_skip > 0:
+            n_skip -= 1
+        else:
+            out.append(Token(term, i))
+            n_skip = 1
+        is_start = by_blank
+        i += 1
+    if has_end:
+        out.append(Token(REGEXP_END_MARK, n - 1))
+    return stream
+
+
 CUSTOM_TOKENIZERS: dict[str, "object"] = {}
 
 
@@ -368,6 +444,8 @@ def tokenize(text: str, tokenizer: str = "TokenBigram", mode: str = "add") -> To
     (registration: lib/tokenizers.c:783-828)."""
     if tokenizer in CUSTOM_TOKENIZERS:
         return CUSTOM_TOKENIZERS[tokenizer](text, mode)
+    if tokenizer == "TokenRegexp":
+        return regexp_tokenize(text, mode=mode)
     if tokenizer in ("TokenDelimit",):
         return delimit_tokenize(text, " ")
     if tokenizer in ("TokenDelimitNull",):

@@ -264,3 +264,51 @@ def test_stemmed_build_matches_manual(tmp_path, ray_session):
         tid = si.term_id(term)
         pl = si.postings(tid)
         assert dict(zip(pl.docids.tolist(), pl.tfs.astype(int).tolist())) == docs, term
+
+
+# ---- TokenRegexp (reference goldens: test/command/suite/tokenizers/regexp/) --
+
+def _rx(text, mode):
+    from groonga_ray.tokenize import regexp_tokenize
+
+    ts = regexp_tokenize(text, mode=mode)
+    return [(t.term, t.pos) for t in ts.tokens], ts.force_prefix
+
+
+def test_regexp_add_goldens():
+    B, E = "￯", "￰"
+    # regexp/add/one two three four
+    assert _rx("x", "add")[0] == [(B, 0), ("x", 1), (E, 2)]
+    assert _rx("xy", "add")[0] == [(B, 0), ("xy", 1), ("y", 2), (E, 3)]
+    assert _rx("xyz", "add")[0] == [(B, 0), ("xy", 1), ("yz", 2), ("z", 3), (E, 4)]
+    assert _rx("abcd", "add")[0] == [(B, 0), ("ab", 1), ("bc", 2), ("cd", 3), ("d", 4), (E, 5)]
+    # regexp/add/normalizer/blank — skip token consumes position 5
+    assert _rx("abcd\nefgh", "add")[0] == [
+        (B, 0), ("ab", 1), ("bc", 2), ("cd", 3), ("d", 4),
+        ("ef", 6), ("fg", 7), ("gh", 8), ("h", 9), (E, 10),
+    ]
+
+
+def test_regexp_get_goldens():
+    B, E = "￯", "￰"
+    # regexp/get/long — every other bigram skipped, final kept
+    toks, fp = _rx("abcdefghijk", "get")
+    assert toks == [("ab", 0), ("cd", 2), ("ef", 4), ("gh", 6), ("ij", 8), ("jk", 9)]
+    assert not fp
+    # regexp/get/begin
+    assert _rx(B + "x", "get") == ([(B, 0), ("x", 1)], True)
+    assert _rx(B + "xy", "get")[0] == [(B, 0), ("xy", 1)]
+    assert _rx(B + "xyz", "get")[0] == [(B, 0), ("xy", 1), ("yz", 2)]
+    # regexp/get/end
+    assert _rx("x" + E, "get") == ([("x", 0), (E, 1)], False)
+    assert _rx("xy" + E, "get")[0] == [("xy", 0), (E, 2)]
+    assert _rx("xyz" + E, "get")[0] == [("xy", 0), ("yz", 1), (E, 3)]
+    assert _rx("abcd" + E, "get")[0] == [("ab", 0), ("cd", 2), (E, 4)]
+
+
+def test_regexp_registry():
+    from groonga_ray.tokenize import tokenize
+
+    assert [t.term for t in tokenize("xyz", "TokenRegexp", "add").tokens] == [
+        "￯", "xy", "yz", "z", "￰",
+    ]

@@ -874,6 +874,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"o_orderkey": res["rows"].column("_id").cast(pa.int64())})
 
+    def _cust_points(b: pa.Table) -> tuple[pa.Table, "Any"]:
+        # deterministic synthetic WGS84 points from c_custkey (no geo
+        # columns in the TPC-H-ish testdata): |lat| <= 80 deg
+        import pyarrow.compute as pc
+
+        k = b.column("c_custkey").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lat = (k * 2654435761) % 576000000 - 288000000
+        lon = (k * 2246822519) % 1296000000 - 648000000
+        pts = pc.binary_join_element_wise(
+            pa.array(lat.astype(str)), pa.array(lon.astype(str)), "x"
+        )
+        return b, pts
+
+    GEO_CENTER = "100000000x200000000"
+
+    def geo_dist(sf_dir):
+        from groonga_ray.geo import geo_distance
+
+        ds = ray.data.read_parquet(_files(sf_dir, "customer"), columns=["c_custkey"])
+
+        def f(b: pa.Table) -> pa.Table:
+            b, pts = _cust_points(b)
+            d = geo_distance(pts, GEO_CENTER, "sphere")
+            return pa.table(
+                {
+                    "c_custkey": b.column("c_custkey").cast(pa.int64()),
+                    "dist_m": pa.array(np.round(d, 3)),
+                }
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def geo_circle(sf_dir):
+        from groonga_ray.geo import geo_in_circle
+
+        ds = ray.data.read_parquet(_files(sf_dir, "customer"), columns=["c_custkey"])
+
+        def f(b: pa.Table) -> pa.Table:
+            b, pts = _cust_points(b)
+            m = geo_in_circle(pts, GEO_CENTER, 5_000_000, "rectangle")
+            return pa.table(
+                {"c_custkey": b.column("c_custkey").cast(pa.int64()).filter(pa.array(m))}
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def geo_box(sf_dir):
+        # longitude-wrapped rectangle (crosses the antimeridian)
+        from groonga_ray.geo import geo_in_rectangle
+
+        ds = ray.data.read_parquet(_files(sf_dir, "customer"), columns=["c_custkey"])
+
+        def f(b: pa.Table) -> pa.Table:
+            b, pts = _cust_points(b)
+            m = geo_in_rectangle(pts, "200000000x500000000", "-200000000x-500000000")
+            return pa.table(
+                {"c_custkey": b.column("c_custkey").cast(pa.int64()).filter(pa.array(m))}
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
     def media_decode(sf_dir):
         from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
 
@@ -938,6 +999,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_delete": ft_delete,
         "ft_compact": ft_compact,
         "ft_sub_filter": ft_sub_filter,
+        "geo_dist": geo_dist,
+        "geo_circle": geo_circle,
+        "geo_box": geo_box,
         "media_decode": media_decode,
     }
 
@@ -1138,6 +1202,40 @@ SELECT o_orderkey FROM orders
 WHERE lower(o_orderpriority) LIKE '%urgent%'
   AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
   AND o_totalprice > 100000
+""",
+        "geo_dist": """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 2654435761) % 576000000 - 288000000) * pi()/(3600000*180.0) AS lat,
+         ((c_custkey * 2246822519) % 1296000000 - 648000000) * pi()/(3600000*180.0) AS lon,
+         100000000 * pi()/(3600000*180.0) AS clat,
+         200000000 * pi()/(3600000*180.0) AS clon
+  FROM customer)
+SELECT c_custkey,
+       round(2 * asin(sqrt(pow(sin(abs(clat - lat) * 0.5), 2)
+             + cos(lat) * cos(clat) * pow(sin(abs(clon - lon) * 0.5), 2))) * 6357303, 3) AS dist_m
+FROM pts
+""",
+        "geo_circle": """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey * 2654435761) % 576000000 - 288000000) * pi()/(3600000*180.0) AS lat,
+         ((c_custkey * 2246822519) % 1296000000 - 648000000) * pi()/(3600000*180.0) AS lon,
+         100000000 * pi()/(3600000*180.0) AS clat,
+         200000000 * pi()/(3600000*180.0) AS clon
+  FROM customer)
+SELECT c_custkey FROM pts
+WHERE sqrt(pow((clon - lon) * cos((lat + clat) * 0.5), 2) + pow(clat - lat, 2)) * 6357303
+      <= 5000000
+""",
+        "geo_box": """
+SELECT c_custkey FROM (
+  SELECT c_custkey,
+         (c_custkey * 2654435761) % 576000000 - 288000000 AS lat_ms,
+         (c_custkey * 2246822519) % 1296000000 - 648000000 AS lon_ms
+  FROM customer)
+WHERE lat_ms <= 200000000 AND lat_ms >= -200000000
+  AND (lon_ms >= 500000000 OR lon_ms <= -500000000)
 """,
         "content_sha": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "drill_lang": f"""

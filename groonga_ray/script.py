@@ -352,6 +352,14 @@ def split_filter(ast) -> FilterPlan:
     return FilterPlan(matches, residual, subqueries, regexps, sub_filters)
 
 
+def _geo_arg(ev, node):
+    """A GeoPoint argument: string literal stays a scalar string,
+    anything else evaluates to a column."""
+    if node[0] == "str":
+        return node[1]
+    return ev(node)
+
+
 def eval_filter(ast, batch: pa.Table):
     """Evaluate a filter AST against a record batch -> BooleanArray /
     value array, fully vectorized."""
@@ -436,6 +444,30 @@ def eval_filter(ast, batch: pa.Table):
                 return pc.list_value_length(ev(args[0]))
             if name == "edit_distance":
                 return pa.array(edit_distance_batch(ev(args[0]), ev(args[1])))
+            if name == "geo_distance":
+                from .geo import geo_distance
+
+                approx = args[2][1] if len(args) > 2 else "rectangle"
+                return pa.array(
+                    geo_distance(_geo_arg(ev, args[0]), _geo_arg(ev, args[1]), approx)
+                )
+            if name == "geo_in_rectangle":
+                from .geo import geo_in_rectangle
+
+                return pa.array(
+                    geo_in_rectangle(
+                        _geo_arg(ev, args[0]), _geo_arg(ev, args[1]), _geo_arg(ev, args[2])
+                    )
+                )
+            if name == "geo_in_circle":
+                from .geo import geo_in_circle
+
+                approx = args[3][1] if len(args) > 3 else "rectangle"
+                return pa.array(
+                    geo_in_circle(
+                        _geo_arg(ev, args[0]), _geo_arg(ev, args[1]), float(args[2][1]), approx
+                    )
+                )
             raise ValueError(f"unknown filter function {name}")
         raise ValueError(f"unknown filter node {n!r}")
 

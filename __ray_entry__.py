@@ -197,6 +197,44 @@ def _orders_index_for(sf_dir: str) -> "Any":
     )
 
 
+def _uvec_index_for(sf_dir: str) -> "Any":
+    """tags = [lang, source] list column synthesized from documents,
+    indexed with TokenUvector (one token per element)."""
+    import pyarrow.parquet as pq
+
+    from groonga_ray.build import BuildConfig, build_index
+    from groonga_ray.engine import IndexedTable
+
+    files = _files(sf_dir, "documents")
+    key = hashlib.md5(
+        json.dumps([sf_dir, "uvec", [os.path.getsize(f) for f in files]]).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(CACHE_ROOT, f"uvec_{key}")
+    f = os.path.join(root, "tagged.parquet")
+    index_dir = os.path.join(root, "index")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        os.makedirs(root, exist_ok=True)
+        t = pq.read_table(files[0], columns=["doc_id", "lang", "source"])
+        n = t.num_rows
+        offs = pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int32), pa.int32())
+        # interleave lang/source columnar: [l0, s0, l1, s1, ...]
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        inter = np.empty(2 * n, dtype=object)
+        inter[0::2] = lang
+        inter[1::2] = src
+        tags = pa.ListArray.from_arrays(offs, pa.array(inter.tolist(), pa.string()))
+        pq.write_table(
+            pa.table({"doc_id": t.column("doc_id"), "tags": tags}), f
+        )
+        cfg = BuildConfig(
+            text_columns=("tags",), docid_column="doc_id", tokenizer="TokenUvector",
+            n_buckets=8, target_rows_per_shard=2048,
+        )
+        build_index([f], index_dir, cfg)
+    return IndexedTable(index_dir, [f], "doc_id")
+
+
 # ------------------------------------------------------------------ entry
 
 def entry() -> Any:
@@ -935,6 +973,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(f, batch_format="pyarrow")
 
+    def ft_uvector(sf_dir):
+        # TokenUvector index over the synthesized [lang, source] tags
+        return _ft(_uvec_index_for(sf_dir), query="en", match_columns="tags", limit=-1)
+
+    def embed_dup_pairs(sf_dir):
+        from groonga_ray.pipelines.dedup import embedding_dup_pairs
+
+        ds = ray.data.read_parquet(
+            _files(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+        )
+        return embedding_dup_pairs(ds, threshold=0.9)
+
+    def embed_dedup_lsh(sf_dir):
+        # rows-only: LSH-bucketed scale path (approximate candidates)
+        from groonga_ray.pipelines.dedup import embedding_dedup_lsh
+
+        ds = ray.data.read_parquet(
+            _files(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+        )
+        return embedding_dedup_lsh(ds, threshold=0.9)
+
     def media_decode(sf_dir):
         from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
 
@@ -999,6 +1058,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_delete": ft_delete,
         "ft_compact": ft_compact,
         "ft_sub_filter": ft_sub_filter,
+        "ft_uvector": ft_uvector,
+        "embed_dup_pairs": embed_dup_pairs,
+        "embed_dedup_lsh": embed_dedup_lsh,
         "geo_dist": geo_dist,
         "geo_circle": geo_circle,
         "geo_box": geo_box,
@@ -1202,6 +1264,17 @@ SELECT o_orderkey FROM orders
 WHERE lower(o_orderpriority) LIKE '%urgent%'
   AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
   AND o_totalprice > 100000
+""",
+        "ft_uvector": """
+SELECT doc_id,
+       ((lang = 'en')::INT + (source = 'en')::INT)::DOUBLE AS score
+FROM documents WHERE lang = 'en' OR source = 'en'
+""",
+        "embed_dup_pairs": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
 """,
         "geo_dist": """
 WITH pts AS (

@@ -148,28 +148,55 @@ def run_bench() -> dict:
     }
 
 
-def _ray_cpu_totals() -> tuple[float, float]:
-    """Sum (utime, stime) seconds across live Ray worker/raylet
-    processes — the per-stage sys/user evidence for the scaling
-    criterion (this sandbox kernel's page-fault path shows up as sys
-    time)."""
-    import glob as _glob
+class _RayCpuSampler:
+    """Background thread sampling utime/stime of every Ray worker
+    process (0.5 s period, per-PID max — worker exits between samples
+    lose at most half a second of tail). The user/sys split is the
+    scaling-criterion evidence: this sandbox kernel's slow first-touch
+    page-fault path shows up as sys time."""
 
-    hz = os.sysconf("SC_CLK_TCK")
-    tot_u = tot_s = 0
-    for stat in _glob.glob("/proc/[0-9]*/stat"):
-        try:
-            with open(stat.replace("/stat", "/cmdline"), "rb") as fh:
-                cmd = fh.read()
-            if b"ray::" not in cmd and b"raylet" not in cmd and b"default_worker" not in cmd:
+    def __init__(self):
+        import threading
+
+        self.hz = os.sysconf("SC_CLK_TCK")
+        self.per_pid: dict[str, tuple[int, int]] = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _sample(self):
+        import glob as _glob
+
+        for stat in _glob.glob("/proc/[0-9]*/stat"):
+            try:
+                with open(stat.replace("/stat", "/cmdline"), "rb") as fh:
+                    cmd = fh.read()
+                if b"ray::" not in cmd and b"raylet" not in cmd and b"default_worker" not in cmd:
+                    continue
+                with open(stat) as fh:
+                    parts = fh.read().rsplit(")", 1)[1].split()
+                u, s = int(parts[11]), int(parts[12])
+                old = self.per_pid.get(stat, (0, 0))
+                self.per_pid[stat] = (max(old[0], u), max(old[1], s))
+            except (OSError, IndexError, ValueError):
                 continue
-            with open(stat) as fh:
-                parts = fh.read().rsplit(")", 1)[1].split()
-            tot_u += int(parts[11])
-            tot_s += int(parts[12])
-        except (OSError, IndexError, ValueError):
-            continue
-    return tot_u / hz, tot_s / hz
+
+    def _run(self):
+        while not self._stop.wait(0.5):
+            self._sample()
+
+    def start(self):
+        self._sample()
+        self.baseline = dict(self.per_pid)
+        self._thread.start()
+        return self
+
+    def stop(self) -> tuple[float, float]:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._sample()
+        u = sum(v[0] for v in self.per_pid.values()) - sum(v[0] for v in self.baseline.values())
+        s = sum(v[1] for v in self.per_pid.values()) - sum(v[1] for v in self.baseline.values())
+        return u / self.hz, s / self.hz
 
 
 def scaling_child(ncpu: int, rows: int) -> dict:
@@ -192,8 +219,12 @@ def scaling_child(ncpu: int, rows: int) -> dict:
     files = sorted(
         os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir) if f.endswith(".parquet")
     )
+    # 64 buckets: stage-B makespan is quantized at ceil(n_buckets /
+    # merge slots) waves — 32 buckets over 30 slots forces 2 waves (a
+    # built-in 0.5 stage-B efficiency ceiling); buckets should always
+    # be ~2x the widest pool a cluster will offer
     cfg = BuildConfig(
-        text_columns=("content",), n_buckets=32, target_rows_per_shard=2048,
+        text_columns=("content",), n_buckets=64, target_rows_per_shard=2048,
         hot_local_df=2048, salt_group=4,
     )
     conc = max(4, ncpu - 2)
@@ -205,18 +236,18 @@ def scaling_child(ncpu: int, rows: int) -> dict:
     import resource
 
     times = []
-    u0, s0 = _ray_cpu_totals()
+    sampler = _RayCpuSampler().start()
     r0 = resource.getrusage(resource.RUSAGE_SELF)
     for _ in range(3):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.time()
         meta = build_index(files, idx, cfg, concurrency=conc)
         times.append(time.time() - t0)
-    u1, s1 = _ray_cpu_totals()
+    u_d, s_d = sampler.stop()
     r1 = resource.getrusage(resource.RUSAGE_SELF)
     sec = min(times)
-    user = (u1 - u0 + r1.ru_utime - r0.ru_utime) / 3     # per build
-    syst = (s1 - s0 + r1.ru_stime - r0.ru_stime) / 3
+    user = (u_d + r1.ru_utime - r0.ru_utime) / 3     # per build
+    syst = (s_d + r1.ru_stime - r0.ru_stime) / 3
     ray.shutdown()
     return {
         "ncpu": ncpu,

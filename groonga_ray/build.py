@@ -157,6 +157,26 @@ def _tokenize_column(cfg: BuildConfig, col: pa.Array, wt: WordTokenizer, chain: 
     )
 
 
+def _tokenize_uvector(col) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """TokenUvector (lib/tokenizers.c:28-98): a vector column's elements
+    are the tokens, position = element ordinal. Fully columnar — list
+    offsets become (row_idx, position) with no per-row loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    terms = pc.list_flatten(col).cast(pa.large_string())
+    row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    positions = (np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)).astype(
+        np.uint32
+    )
+    return terms, row_idx, positions, lens
+
+
 def _marker_rows(
     terms: pa.Array, buckets: np.ndarray, shard_id: int,
     dfs: np.ndarray, cfs: np.ndarray,
@@ -357,7 +377,8 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
     col = data.column(section)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    col = col.cast(pa.large_string())
+    if cfg.tokenizer != "TokenUvector":
+        col = col.cast(pa.large_string())
     wt = WordTokenizer()
     chain = None
     if cfg.token_filters:
@@ -381,7 +402,10 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
             terms_arr, term_offsets, g_docid, tf, pos_offsets, s_pos, n_tokens, n_truncated = res
             grouped = True
     if grouped is None:
-        terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col, wt, chain)
+        if cfg.tokenizer == "TokenUvector":
+            terms, row_idx, positions, n_tokens = _tokenize_uvector(col)
+        else:
+            terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col, wt, chain)
         if len(terms) == 0:
             grouped = False
         else:

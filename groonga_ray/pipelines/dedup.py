@@ -283,3 +283,113 @@ def verify_jaccard(texts_a: list[str], texts_b: list[str], shingle: int = 3) -> 
         u = len(sa | sb)
         out[i] = (len(sa & sb) / u) if u else 0.0
     return out
+
+
+class _EmbedPairFinder:
+    """Actor-pool stage: the normalized corpus matrix is fetched from
+    the object store ONCE per actor (broadcast via ray.put, zero-copy
+    numpy view), each batch computes its block-row of the cosine
+    matrix."""
+
+    def __init__(self, ref, threshold: float, id_col: str, vec_col: str):
+        self.ids, self.M = ray.get(ref)
+        self.t = float(threshold)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import _to_matrix
+
+        bm = _to_matrix(batch.column(self.vec_col))
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        bid = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = bm @ self.M.T
+        mask = (sims >= self.t) & (self.ids[None, :] > bid[:, None])
+        r, c = np.nonzero(mask)
+        return pa.table(
+            {
+                "a": pa.array(bid[r], pa.int64()),
+                "b": pa.array(self.ids[c], pa.int64()),
+                "cos": pa.array(np.round(sims[r, c], 6)),
+            }
+        )
+
+
+def embedding_dup_pairs(
+    ds: ray.data.Dataset, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """EXACT embedding-cosine near-dup pairs (a < b, cos >= threshold).
+
+    Block × broadcast: the corpus matrix ships to the object store once
+    and every batch computes one block-row — O(n^2) compute spread over
+    the pool with NO shuffle. The broadcast side is O(n·d) memory, so
+    this is the small/mid-corpus exact path; at 100 TB use
+    :func:`embedding_dedup_lsh` (bucketed candidates, no n^2)."""
+    from .ann import _to_matrix
+
+    ids_chunks, mats = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids_chunks.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        mats.append(_to_matrix(b.column(vec_col)))
+    ids_all = np.concatenate(ids_chunks).astype(np.int64)
+    M = np.vstack(mats)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, M))
+    return ds.map_batches(
+        _EmbedPairFinder,
+        fn_constructor_kwargs=dict(
+            ref=ref, threshold=threshold, id_col=id_col, vec_col=vec_col
+        ),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+def embedding_dedup_lsh(
+    ds: ray.data.Dataset, threshold: float = 0.9, bits: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+    max_group: int = 4096,
+) -> ray.data.Dataset:
+    """Scale-path embedding near-dup: random-hyperplane LSH buckets ->
+    within-bucket cosine >= threshold -> (vec_id, keep_id=min dup id).
+    Near-identical vectors share all signature bits, so true near-dups
+    co-bucket with high probability; candidates are verified exactly.
+    Returns one row per vec_id (keep_id == vec_id when unique)."""
+    import pyarrow.parquet  # noqa: F401  (keeps import surface obvious)
+
+    from .ann import LshBucketer, _to_matrix
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first.column(vec_col)[0])
+
+    def collapse(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if n > max_group:
+            order = np.argsort(ids)[:max_group]
+            group = group.take(pa.array(order))
+            ids = ids[order]
+            n = max_group
+        m = _to_matrix(group.column(vec_col))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        dup = sims >= threshold
+        keep = np.array([ids[dup[i]].min() for i in range(n)], np.int64)
+        return pa.table({id_col: pa.array(ids), "keep_id": pa.array(keep)})
+
+    from ray.data.aggregate import Min
+
+    bucketed = ds.map_batches(
+        LshBucketer,
+        fn_constructor_kwargs=dict(dim=dim, bits=bits, seed=seed,
+                                   vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    per_bucket = bucketed.groupby("bucket").map_groups(collapse, batch_format="pyarrow")
+    # a vector can appear in one bucket only (single signature) -> rows
+    # are already unique per vec_id; keep the schema-stable projection
+    return per_bucket.map_batches(
+        lambda b: b.select([id_col, "keep_id"]), batch_format="pyarrow"
+    )

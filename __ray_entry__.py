@@ -983,7 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(
             _files(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
         )
-        return embedding_dup_pairs(ds, threshold=0.9)
+        return embedding_dup_pairs(ds, threshold=0.4)
 
     def embed_dedup_lsh(sf_dir):
         # rows-only: LSH-bucketed scale path (approximate candidates)
@@ -992,7 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(
             _files(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
         )
-        return embedding_dedup_lsh(ds, threshold=0.9)
+        return embedding_dedup_lsh(ds, threshold=0.4)
 
     def media_decode(sf_dir):
         from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
@@ -1274,7 +1274,7 @@ FROM documents WHERE lang = 'en' OR source = 'en'
 SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
         "geo_dist": """
 WITH pts AS (

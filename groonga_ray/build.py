@@ -1067,6 +1067,12 @@ def add_documents(index_dir: str, new_files: list[str], cfg: BuildConfig | None 
     New docids: for rank-based tables, ranks continue after the base
     (docid_offset); for docid-column tables the new files' docids must
     all exceed the base's (asserted from metadata).
+
+    Visibility: the module-level reader cache is cleared, so NEW
+    readers/actors see the delta; QueryActor pools constructed before
+    the update keep their old reader + result cache and must be
+    recreated (same contract as the reference's grn_cache until
+    invalidation).
     """
     from .index import open_index
 

@@ -135,7 +135,23 @@ def cmd_status(args):
         print(json.dumps(json.load(fh), indent=1))
 
 
+CUSTOM_COMMANDS: dict[str, object] = {}
+
+
+def register_command(name: str, fn) -> None:
+    """Plugin surface (grn_command_register / grn_proc_create
+    PROC_COMMAND): ``fn(argv: list[str]) -> None`` dispatched before
+    the built-in subcommands when ``name`` is the first CLI token."""
+    CUSTOM_COMMANDS[name] = fn
+
+
 def main(argv=None):
+    import sys as _sys
+
+    raw = list(_sys.argv[1:] if argv is None else argv)
+    if raw and raw[0] in CUSTOM_COMMANDS:
+        CUSTOM_COMMANDS[raw[0]](raw[1:])
+        return
     p = argparse.ArgumentParser(prog="groonga_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 

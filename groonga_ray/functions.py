@@ -109,3 +109,16 @@ def min_element_wise(*cols) -> pa.Array:
 def vector_size(col: pa.Array) -> pa.Array:
     """vector_size (plugins/functions/vector.c:80)."""
     return pc.list_value_length(col)
+
+
+# ------------------------------------------------------------ registry
+
+CUSTOM_FUNCTIONS: dict[str, object] = {}
+
+
+def register_function(name: str, fn) -> None:
+    """Plugin surface (grn_proc_create PROC_FUNCTION,
+    include/groonga/groonga.h:486): ``fn(*evaluated_args) -> Arrow
+    array/scalar`` becomes callable from --filter / --scorer script
+    expressions by name."""
+    CUSTOM_FUNCTIONS[name] = fn

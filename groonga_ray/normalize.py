@@ -85,3 +85,27 @@ def normalize(text: str, nfkc: bool = True) -> tuple[str, np.ndarray, np.ndarray
         classes.append(cls)
         blanks.append(False)
     return "".join(out_chars), np.array(classes, np.uint8), np.array(blanks, bool)
+
+
+# ------------------------------------------------------------ registry
+
+CUSTOM_NORMALIZERS: dict[str, object] = {}
+
+
+def register_normalizer(name: str, fn) -> None:
+    """Plugin surface (grn_normalizer_register,
+    include/groonga/normalizer.h:32): ``fn(text) -> (normalized,
+    classes, blanks)`` with the same tuple contract as
+    :func:`normalize`; addressable by name wherever a normalizer name
+    is taken."""
+    CUSTOM_NORMALIZERS[name] = fn
+
+
+def normalize_as(text: str, normalizer: str = "NormalizerAuto"):
+    """Dispatch by normalizer name (NormalizerAuto/NormalizerNFKC100
+    are the built-in; custom names resolve via the registry)."""
+    if normalizer in CUSTOM_NORMALIZERS:
+        return CUSTOM_NORMALIZERS[normalizer](text)
+    if normalizer in ("NormalizerAuto", "NormalizerNFKC100", "NormalizerNFKC51"):
+        return normalize(text, nfkc=True)
+    raise ValueError(f"unknown normalizer {normalizer!r}")

@@ -468,6 +468,10 @@ def eval_filter(ast, batch: pa.Table):
                         _geo_arg(ev, args[0]), _geo_arg(ev, args[1]), float(args[2][1]), approx
                     )
                 )
+            from .functions import CUSTOM_FUNCTIONS
+
+            if name in CUSTOM_FUNCTIONS:
+                return CUSTOM_FUNCTIONS[name](*[ev(a) for a in args])
             raise ValueError(f"unknown filter function {name}")
         raise ValueError(f"unknown filter node {n!r}")
 

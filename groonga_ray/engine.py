@@ -218,7 +218,7 @@ def _regexp_match(
     literals — then candidates are verified with the real regex over a
     docid-pruned fetch. With no usable literal the match degrades to the
     streaming sequential scan (returned as a deferred predicate)."""
-    from .search import union_postings
+    from .search import term_match, union_postings
 
     lits = _regex_literals(pattern)
     pred = DeferredPred(("@~", ("col", col), ("str", pattern)), (col,))
@@ -226,16 +226,40 @@ def _regexp_match(
         return pred
     si = reader.section(col)
     acc: MatchResult | None = None
-    for lit in lits:
-        tids = si.matching_tids(lit, "substring")
-        if not tids:
-            return MatchResult.empty()
-        pls = [si.postings(t) for t in tids]
-        pl = union_postings(pls)
-        m = MatchResult(pl.docids.copy(), np.zeros(len(pl.docids), np.float64))
-        acc = m if acc is None else op_and(acc, m)
-        if acc.nhits == 0:
-            return MatchResult.empty()
+    if reader.meta.get("config", {}).get("tokenizer") == "TokenRegexp":
+        # the section IS a TokenRegexp bigram index: each required
+        # literal GET-tokenizes to positioned bigrams and prefilters as
+        # a phrase match — the reference's actual REGEXP index walk
+        # (grn_ii_select GRN_OP_REGEXP over a TokenRegexp lexicon,
+        # lib/ii.c:6049-6118) rather than the vocabulary-scan stand-in
+        from .tokenize import regexp_tokenize
+
+        kw = dict(
+            n_docs=reader.n_docs, avgdl=reader.avgdl(col),
+            doclens=reader.doclens(col), weight=1.0,
+        )
+        for lit in lits:
+            ts = regexp_tokenize(lit, mode="get")
+            tokens = [(t.term, t.pos) for t in ts.tokens]
+            if not tokens:
+                continue
+            m = term_match(si, tokens, "default", prefix_last=ts.force_prefix, **kw)
+            acc = m if acc is None else op_and(acc, m)
+            if acc.nhits == 0:
+                return MatchResult.empty()
+        if acc is None:
+            return pred
+    else:
+        for lit in lits:
+            tids = si.matching_tids(lit, "substring")
+            if not tids:
+                return MatchResult.empty()
+            pls = [si.postings(t) for t in tids]
+            pl = union_postings(pls)
+            m = MatchResult(pl.docids.copy(), np.zeros(len(pl.docids), np.float64))
+            acc = m if acc is None else op_and(acc, m)
+            if acc.nhits == 0:
+                return MatchResult.empty()
     # verify candidates with the actual regex (RE2 semantics via Arrow)
     verified = _apply_pred_to(table, pred, acc)
     if verified.nhits == 0:

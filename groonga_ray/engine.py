@@ -86,13 +86,15 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
                 continue
             m = term_match(
                 reader.section(col), tokens, spec.scorer,
-                prefix_last=(node.mode == "prefix"), **kw,
+                prefix_last=(node.mode == "prefix"),
+                escalation_threshold=spec.escalation_threshold, **kw,
             )
         else:  # PhraseNode
             tokens = _query_tokens(node.text, reader.query_chain)
             if not tokens:
                 continue
-            m = term_match(reader.section(col), tokens, spec.scorer, **kw)
+            m = term_match(reader.section(col), tokens, spec.scorer,
+                           escalation_threshold=spec.escalation_threshold, **kw)
         results.append(m)
     # explicit col: override searched a section not in match_columns
     if isinstance(node, (TermNode, PhraseNode)) and getattr(node, "section", None):
@@ -108,6 +110,7 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
                 m = term_match(
                     si, tokens, spec.scorer,
                     prefix_last=(isinstance(node, TermNode) and node.mode == "prefix"),
+                    escalation_threshold=spec.escalation_threshold,
                     **kw,
                 )
                 results.append(m)
@@ -816,6 +819,8 @@ def select(
     drilldown_calc_target: str | None = None,
     drilldown_sortby: str = "-_nsubrecs",
     drilldowns: dict | None = None,
+    match_escalation_threshold: int = 0,
+    query_flags: str | None = None,
 ) -> dict:
     """Returns {"hits": int, "rows": pa.Table, "drilldown": pa.Table?,
     "drilldowns": {label: pa.Table}?}.
@@ -829,15 +834,27 @@ def select(
     lib/proc.c:783-874): ``{label: {"keys": [...], "limit": int,
     "sortby": str, "calc_types": (...), "calc_target": str}}``.
     """
+    from .qlang import parse_query_flags, strip_pragmas
+
     reader = table.reader()
     spec = parse_match_columns(match_columns) if match_columns else MatchSpec(
         [(reader.meta["sections"][0], 1.0)]
     )
     if scorer:
         spec.scorer = scorer
+    spec.escalation_threshold = match_escalation_threshold
+
+    allow_pragma, allow_column = parse_query_flags(query_flags)
+    default_op = "and"
+    if query and allow_pragma:
+        query, pragma = strip_pragmas(query)
+        if pragma.escalation_threshold is not None:
+            spec.escalation_threshold = pragma.escalation_threshold
+        if pragma.default_op is not None:
+            default_op = pragma.default_op
 
     if query:
-        ast = parse_query(query)
+        ast = parse_query(query, allow_column=allow_column, default_op=default_op)
         if query_expander:
             ast = _expand_query_ast(ast, query_expander)
         result = _eval_node(ast, reader, spec, table)

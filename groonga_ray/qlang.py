@@ -66,10 +66,22 @@ class QueryParseError(ValueError):
     pass
 
 
+@dataclass
+class QueryPragma:
+    """Leading ``*X`` pragmas (get_pragma, lib/expr.c:5593-5639):
+    ``*E<n>[,decay]`` sets the match-escalation threshold, ``*D<op>``
+    the default logical operator for unprefixed terms."""
+
+    escalation_threshold: int | None = None
+    default_op: str | None = None       # "and" | "or" | "and_not" | "adjust"
+
+
 class _Parser:
-    def __init__(self, s: str):
+    def __init__(self, s: str, allow_column: bool = True, default_op: str = "and"):
         self.s = s
         self.i = 0
+        self.allow_column = allow_column
+        self.default_op = default_op
 
     def peek(self) -> str:
         return self.s[self.i] if self.i < len(self.s) else ""
@@ -115,9 +127,10 @@ class _Parser:
             ):
                 self.i = save
                 break
-            op = "and"
+            op = self.default_op
             c = self.peek()
             if c == "+":
+                op = "and"
                 self.i += 1
             elif c == "-":
                 op = "not"
@@ -134,6 +147,11 @@ class _Parser:
                     result = AdjustNode(None, unit)
                 else:
                     result = unit
+            elif op == "or":
+                if isinstance(result, OrNode):
+                    result.children.append(unit)
+                else:
+                    result = OrNode([result, unit])
             elif op == "and":
                 if isinstance(result, AndNode):
                     result.children.append(unit)
@@ -173,7 +191,7 @@ class _Parser:
         word = self.s[start : self.i]
         if not word:
             raise QueryParseError(f"expected term at {start}")
-        if ":" in word:
+        if ":" in word and self.allow_column:
             col, rest = word.split(":", 1)
             if rest.startswith("@"):
                 return TermNode(rest[1:], "match", col)
@@ -191,9 +209,57 @@ class _Parser:
         return TermNode(word)
 
 
-def parse_query(s: str):
+def parse_query(s: str, *, allow_column: bool = True, default_op: str = "and"):
     """Parse a --query string into the boolean AST."""
-    return _Parser(s).parse()
+    return _Parser(s, allow_column=allow_column, default_op=default_op).parse()
+
+
+def strip_pragmas(s: str) -> tuple[str, QueryPragma]:
+    """Consume leading ``*E``/``*D`` pragmas (get_pragma,
+    lib/expr.c:5593-5639); returns (rest_of_query, pragma)."""
+    p = QueryPragma()
+    i = 0
+    while i < len(s) and s[i] == "*":
+        j = i + 1
+        if j >= len(s):
+            break
+        kind = s[j]
+        j += 1
+        if kind == "E":
+            k = j
+            if k < len(s) and s[k] == "-":
+                k += 1
+            while k < len(s) and s[k].isdigit():
+                k += 1
+            if k > j:
+                p.escalation_threshold = int(s[j:k])
+            if k < len(s) and s[k] == ",":
+                k += 1
+                while k < len(s) and (s[k].isdigit() or s[k] == "-"):
+                    k += 1          # decay step accepted, unused
+            i = j = k
+        elif kind == "D":
+            ops = {"O": "or", "+": "and", "-": "not", ">": "adjust"}
+            if j < len(s) and s[j] in ops:
+                p.default_op = ops[s[j]]
+                j += 1
+            i = j
+        else:
+            break
+        i = j
+    return s[i:].lstrip(), p
+
+
+def parse_query_flags(flags: str | None) -> tuple[bool, bool]:
+    """(allow_pragma, allow_column) from a ``--query_flags`` string
+    (grn_parse_query_flags, lib/expr.c:413-460). Default matches the
+    reference's select default ALLOW_PRAGMA|ALLOW_COLUMN."""
+    if not flags:
+        return True, True
+    parts = {f.strip() for f in flags.replace("|", " ").split()}
+    if "NONE" in parts:
+        return False, False
+    return "ALLOW_PRAGMA" in parts, "ALLOW_COLUMN" in parts
 
 
 # ------------------------------------------------------- match_columns
@@ -202,6 +268,7 @@ def parse_query(s: str):
 class MatchSpec:
     sections: list[tuple[str, float]]   # (column, weight)
     scorer: str = "default"             # default | tf_idf | bm25
+    escalation_threshold: int = 0       # grn_ctx match_escalation_threshold
 
 
 def parse_match_columns(spec: str) -> MatchSpec:

@@ -198,6 +198,7 @@ def term_match(
     weight: float = 1.0,
     prefix_last: bool = False,
     escalate: bool = True,
+    escalation_threshold: int = 0,
 ) -> MatchResult:
     """Execute one match op (one term, a phrase, or a prefix) and score.
 
@@ -230,25 +231,33 @@ def term_match(
                 scorer, docids, noccur, infos, n_docs, avgdl, doclens, weight
             ))
 
-    if result.nhits == 0 and escalate and not prefix_last and len(tokens) == 1:
-        # match escalation (threshold 0, grn_ii_sel lib/ii.c:6659):
+    if (
+        result.nhits <= escalation_threshold
+        and escalate and not prefix_last and len(tokens) == 1
+    ):
+        # match escalation (grn_ii_sel lib/ii.c:6659: runs when nhits <=
+        # match_escalation_threshold; negative threshold disables):
         # UNSPLIT ≈ prefix expansion, then PARTIAL ≈ suffix expansion
-        result = term_match(
+        esc = term_match(
             si, tokens, scorer, n_docs=n_docs, avgdl=avgdl, doclens=doclens,
             weight=weight, prefix_last=True, escalate=False,
         )
-        if result.nhits == 0:
+        # modes accumulate into the same result set (OR), so exact hits
+        # below the threshold keep their scores and gain expansions
+        result = op_or(result, esc) if result.nhits else esc
+        if result.nhits <= escalation_threshold:
             tids = si.suffix_tids(tokens[0][0])
             if tids:
                 pls = [si.postings(t) for t in tids]
                 pl = union_postings(pls)
                 if len(pl):
                     infos2 = [TokenInfo(pl, len(pl.docids), sum(si.df_estimate(t) for t in tids), 0, tokens[0][0])]
-                    result = MatchResult(
+                    suf = MatchResult(
                         pl.docids,
                         _apply_scorer(scorer, pl.docids, pl.tfs.astype(np.int64),
                                       infos2, n_docs, avgdl, doclens, weight),
                     )
+                    result = op_or(result, suf) if result.nhits else suf
     return result
 
 

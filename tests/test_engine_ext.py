@@ -245,3 +245,42 @@ def test_regex_literal_extraction():
     ]
     for pat, want in cases:
         assert _regex_literals(pat) == want, pat
+
+
+# ---- query pragmas + flags (get_pragma lib/expr.c:5593; query_flags) --------
+
+def test_pragma_escalation_disable(doc_table):
+    from groonga_ray.engine import select
+
+    # "wind" is not a token; escalation (prefix) normally finds "window"
+    base = select(doc_table, query="wind", match_columns="text", limit=-1)
+    assert base["hits"] > 0
+    off = select(doc_table, query="*E-1wind", match_columns="text", limit=-1)
+    assert off["hits"] == 0
+    off2 = select(doc_table, query="wind", match_columns="text", limit=-1,
+                  match_escalation_threshold=-1)
+    assert off2["hits"] == 0
+
+
+def test_pragma_default_or(doc_table):
+    from groonga_ray.engine import select
+
+    a = select(doc_table, query="spark window", match_columns="text", limit=-1)
+    o = select(doc_table, query="*DO spark window", match_columns="text", limit=-1)
+    e = select(doc_table, query="spark OR window", match_columns="text", limit=-1)
+    assert o["hits"] == e["hits"] > a["hits"]
+
+
+def test_query_flags_no_column(doc_table):
+    from groonga_ray.engine import select
+
+    with_col = select(doc_table, query="lang:en", match_columns="text", limit=-1)
+    assert with_col["hits"] > 0                     # col:value filter applies
+    no_col = select(doc_table, query="lang:en", match_columns="text", limit=-1,
+                    query_flags="ALLOW_PRAGMA")
+    # 'lang:en' is now a literal term (tokenizes to lang,en phrase) -> no doc
+    assert no_col["hits"] == 0
+    # NONE also drops pragma handling: '*E-1wind' parses as a term, 0 hits
+    none = select(doc_table, query="*E-1wind", match_columns="text", limit=-1,
+                  query_flags="NONE")
+    assert none["hits"] == 0

@@ -138,6 +138,36 @@ def _query_tokens(text: str, chain: list = ()) -> list[tuple[str, int]]:
     return list(zip(terms.to_pylist(), idx.tolist()))
 
 
+def _collect_query_keywords(query: str) -> list[str]:
+    """Match terms of a --query string (for snippet/highlight output
+    functions — grn_proc_syntax_expand analogue of keyword collection)."""
+    try:
+        ast = parse_query(query)
+    except Exception:
+        return []
+    kws: list[str] = []
+
+    def walk(n):
+        if isinstance(n, (TermNode, PhraseNode)):
+            kws.extend(_WT.tokenize_text(n.text))
+        for attr in ("children", "positive", "negative", "base", "adjust"):
+            v = getattr(n, attr, None)
+            if isinstance(v, list):
+                for c in v:
+                    walk(c)
+            elif v is not None and hasattr(v, "__dataclass_fields__"):
+                walk(v)
+
+    walk(ast)
+    seen: set[str] = set()
+    out = []
+    for k in kws:
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
+
+
 def _regex_literals(pattern: str) -> list[str]:
     """Extract word-char literal runs a regex REQUIRES in every match
     (conservative: alternation disables extraction; a char under a
@@ -925,8 +955,33 @@ def select(
             c for c in output_columns if c != "*"
         ) + tuple(all_cols)
     out: dict[str, pa.Array] = {}
-    doc_cols = [c for c in output_columns if c not in ("_id", "_score", "_score_int")]
+    import re as _re
+
+    def _is_plain(c: str) -> bool:
+        return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c))
+
+    plain = [c for c in output_columns if c not in ("_id", "_score", "_score_int") and _is_plain(c)]
+    exprs = [c for c in output_columns if not _is_plain(c) and c != "*"]
+    expr_deps: set[str] = set()
+    expr_asts: dict[str, object] = {}
+    snippet_like: dict[str, tuple[str, str]] = {}
+    if exprs:
+        from .script import parse_filter as _pf
+
+        for c in exprs:
+            m = _re.fullmatch(r"(snippet_html|highlight_html)\((\w+)\)", c.strip())
+            if m:
+                # keyword-bearing output functions (lib/proc.c:3998,
+                # 4457): keywords come from the query's match terms
+                snippet_like[c] = (m.group(1), m.group(2))
+                expr_deps.add(m.group(2))
+                continue
+            ast = _pf(c)
+            expr_asts[c] = ast
+            expr_deps.update(x for x in _pred_columns(ast) if x not in ("_id", "_score"))
+    doc_cols = sorted(set(plain) | expr_deps)
     fetched = fetch_docs(table, docids, doc_cols) if doc_cols else None
+    kw_terms: list[str] | None = None
     for c in output_columns:
         if c == "_id":
             out["_id"] = pa.array(docids, pa.uint64())
@@ -934,6 +989,24 @@ def select(
             out["_score"] = pa.array(scores, pa.float64())
         elif c == "_score_int":
             out["_score_int"] = pa.array(score_mod.score_int32(scores), pa.int32())
+        elif c in snippet_like:
+            from . import functions as _fn
+
+            if kw_terms is None:
+                kw_terms = _collect_query_keywords(query) if query else []
+            fn_name, col_name = snippet_like[c]
+            fn = _fn.snippet_html if fn_name == "snippet_html" else _fn.highlight_html
+            out[c] = fn(fetched.column(col_name), kw_terms)
+        elif c in expr_asts:
+            from .script import eval_filter as _ef
+
+            batch = (fetched if fetched is not None else pa.table({})).append_column(
+                "_id", pa.array(docids, pa.uint64())
+            ).append_column("_score", pa.array(scores, pa.float64()))
+            val = _ef(expr_asts[c], batch)
+            if isinstance(val, pa.Scalar):
+                val = pa.array([val.as_py()] * len(docids))
+            out[c] = val
         else:
             out[c] = fetched.column(c)
     rows = pa.table(out)

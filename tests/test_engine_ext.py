@@ -284,3 +284,27 @@ def test_query_flags_no_column(doc_table):
     none = select(doc_table, query="*E-1wind", match_columns="text", limit=-1,
                   query_flags="NONE")
     assert none["hits"] == 0
+
+
+def test_output_column_expressions(doc_table):
+    from groonga_ray.engine import select
+
+    res = select(
+        doc_table, query="spark", match_columns="text", limit=5,
+        output_columns=("_id", "n_chars", "n_chars * 2 + 1", "_score"),
+    )
+    rows = res["rows"]
+    n = rows.column("n_chars").to_numpy(zero_copy_only=False)
+    got = rows.column("n_chars * 2 + 1").to_numpy(zero_copy_only=False)
+    assert (got == n * 2 + 1).all()
+
+
+def test_output_column_highlight(doc_table):
+    from groonga_ray.engine import select
+
+    res = select(
+        doc_table, query="spark", match_columns="text", limit=3,
+        output_columns=("_id", "highlight_html(text)"),
+    )
+    h = res["rows"].column("highlight_html(text)").to_pylist()
+    assert all("<span class=\"keyword\">" in x for x in h)

@@ -114,3 +114,36 @@ def test_delete_and_compact(split_docs):
     after2 = select(t, query="spark", match_columns="text", limit=-1)
     assert after2["rows"].column("_id").to_pylist() == after["rows"].column("_id").to_pylist()
     assert after2["rows"].column("_score").to_pylist() == after["rows"].column("_score").to_pylist()
+
+
+def test_wand_over_delta_segments(split_docs, tmp_path_factory):
+    """Block-max WAND across base+delta composite tids == exhaustive."""
+    import numpy as np
+
+    from groonga_ray.search import op_or, term_match, top_k, wand_topk
+
+    root = tmp_path_factory.mktemp("wand_delta")
+    full = pq.read_table(f"{SF}/documents.parquet")
+    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
+    base_f = str(root / "base.parquet")
+    delta_f = str(root / "delta.parquet")
+    pq.write_table(full.filter(pa.array(ids <= 250)), base_f)
+    pq.write_table(full.filter(pa.array(ids > 250)), delta_f)
+    idx = str(root / "idx")
+    cfg = BuildConfig(
+        text_columns=("text",), docid_column="doc_id",
+        n_buckets=4, target_rows_per_shard=100,
+    )
+    build_index([base_f], idx, cfg)
+    add_documents(idx, [delta_f])
+    r = IndexReader(idx)
+    si = r.section("text")
+    dl = r.doclens("text")
+    kw = dict(n_docs=r.n_docs, avgdl=r.avgdl("text"), doclens=dl)
+    docids, scores = wand_topk(si, ["spark", "window"], 10, "bm25", mode="or", **kw)
+    a = term_match(si, [("spark", 0)], "bm25", **kw)
+    b = term_match(si, [("window", 0)], "bm25", **kw)
+    e_doc, e_score = top_k(op_or(a, b), 10)
+    assert docids.tolist() == e_doc.tolist()
+    assert np.allclose(scores, e_score)
+    assert max(docids) > 250  # delta docs reachable through WAND

@@ -106,6 +106,8 @@ class BuildConfig:
                                              # so merge width follows the cluster)
     docid_column: str | None = None          # pre-assigned docids (e.g. documents.doc_id)
     docid_offset: int = 1                    # docids are 1-based when assigned by rank
+    merge_slice_postings: int = 4_000_000    # peak decoded postings per merge slice
+                                             # (memory bound; output-identical knob)
     layout_version: int = 3                  # bump on on-disk layout changes (cache invalidation)
 
     def fingerprint(self) -> dict:
@@ -664,7 +666,9 @@ def _merge_bucket_table(
             markers[t] = sh
             marker_stats[t] = (sh, dfv, cfv)
 
-    pieces = []
+    # ---- cold group plan (no decode yet): ordered rows + group splits
+    n_cold_groups = 0
+    cold = None
     cold_idx = np.flatnonzero(~hot_mask)
     if len(cold_idx):
         cold = group.take(pa.array(cold_idx))
@@ -681,7 +685,6 @@ def _merge_bucket_table(
         row_term_start = np.empty(len(order), bool)
         row_term_start[0] = True
         row_term_start[1:] = o_rank[1:] != o_rank[:-1]
-        marked_group_terms = None
         if markers:
             m_terms = pa.array(sorted(markers), type=sorted_terms.type)
             m_rank = pc.index_in(m_terms, value_set=sorted_terms)
@@ -697,25 +700,12 @@ def _merge_bucket_table(
                     b = np.searchsorted(ms, sh[1:], side="left")
                     row_term_start[lo + 1 : hi][a != b] = True
         term_row_idx = np.flatnonzero(row_term_start)
-        docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
-            cold, order, with_positions=cfg.with_positions
-        )
-        term_offsets = np.append(row_offsets[term_row_idx], row_offsets[-1]).astype(np.int64)
+        n_cold_groups = len(term_row_idx)
         group_terms = terms.take(pa.array(order[term_row_idx]))
-        pos_offsets = None
-        if positions is not None:
-            pos_offsets = np.zeros(len(docids) + 1, np.int64)
-            np.cumsum(tfs.astype(np.int64), out=pos_offsets[1:])
-        merged = codec.encode_posting_table(
-            group_terms,
-            term_offsets,
-            docids,
-            tfs,
-            pos_offsets,
-            positions,
-            chunk_postings=cfg.chunk_postings,
-        )
-        part_vals = np.zeros(merged.num_rows, np.uint32)
+        o_df = df_all[cold_idx][order]
+        cold_group_df = np.add.reduceat(o_df, term_row_idx)
+        cold_group_cf = np.add.reduceat(cf_all[cold_idx][order], term_row_idx)
+        part_vals = np.zeros(n_cold_groups, np.uint32)
         if markers:
             # marked terms get shard-anchored part ids (unique + docid-
             # ascending across this term's cold AND hot parts)
@@ -723,71 +713,175 @@ def _merge_bucket_table(
                 group_terms, value_set=pa.array(sorted(markers), type=group_terms.type)
             ).to_numpy(zero_copy_only=False)
             part_vals[marked] = (o_shard[term_row_idx][marked] + 1).astype(np.uint32)
-        merged = merged.append_column("part", pa.array(part_vals, pa.uint32()))
-        pieces.append(merged)
-        cold_lex_tbl = merged.select(["term", "df", "cf", "part"])
+        cold_lex_tbl = pa.table(
+            {
+                "term": group_terms,
+                "df": pa.array(cold_group_df.astype(np.uint64), pa.uint64()),
+                "cf": pa.array(cold_group_cf.astype(np.uint64), pa.uint64()),
+                "part": pa.array(part_vals, pa.uint32()),
+            }
+        )
     else:
         cold_lex_tbl = None
 
+    # ---- hot group plan: one part per salt group, split at shard
+    # discontinuities (different salt groups can hash into the same
+    # bucket and interleave with the term's parts elsewhere; a gap may
+    # hold the term's cold rows) — every part covers a contiguous run
+    # of shards, i.e. a contiguous docid range
+    n_hot_groups = 0
+    hot_tbl = None
     hot_idx = np.flatnonzero(hot_mask & (cn_len > 0))
     if len(hot_idx):
-        # concatenate each hot term's shard rows into one part PER SALT
-        # GROUP (different salt groups can hash into the same bucket and
-        # interleave with the term's parts elsewhere) and split at shard
-        # discontinuities (a gap may hold the term's cold rows) — every
-        # part must cover a contiguous run of shards, i.e. a contiguous
-        # docid range. Lossless chunk-directory concat — no decode,
-        # fully vectorized (the skew path is by construction the LARGEST
-        # data; per-row Python here would make it the slow path).
         hot_tbl = group.take(pa.array(hot_idx))
         shard_col = shard_all[hot_idx]
         terms_col = hot_tbl.column("term")
         if isinstance(terms_col, pa.ChunkedArray):
             terms_col = terms_col.combine_chunks()
-        rank, _ = _rank_terms(terms_col)
-        order = np.lexsort((shard_col, rank))
-        o_rank = rank[order]
-        o_shard = shard_col[order]
-        o_salt = o_shard // cfg.salt_group
-        group_start = np.empty(len(order), bool)
-        group_start[0] = True
-        group_start[1:] = (
-            (o_rank[1:] != o_rank[:-1])
-            | (o_salt[1:] != o_salt[:-1])
-            | (o_shard[1:] != o_shard[:-1] + 1)
+        h_rank, _ = _rank_terms(terms_col)
+        h_order = np.lexsort((shard_col, h_rank))
+        ho_rank = h_rank[h_order]
+        ho_shard = shard_col[h_order]
+        ho_salt = ho_shard // cfg.salt_group
+        h_group_start = np.empty(len(h_order), bool)
+        h_group_start[0] = True
+        h_group_start[1:] = (
+            (ho_rank[1:] != ho_rank[:-1])
+            | (ho_salt[1:] != ho_salt[:-1])
+            | (ho_shard[1:] != ho_shard[:-1] + 1)
         )
-        hot = codec.concat_posting_table_groups(hot_tbl, order, group_start)
-        first_shard = shard_col[order[np.flatnonzero(group_start)]]
-        hot = hot.append_column(
-            "part", pa.array((first_shard + 1).astype(np.uint32), pa.uint32())
-        )
-        pieces.append(hot)
+        h_starts = np.flatnonzero(h_group_start)
+        n_hot_groups = len(h_starts)
+        hot_group_terms = terms_col.take(pa.array(h_order[h_starts]))
+        hot_parts = (ho_shard[h_starts] + 1).astype(np.uint32)
+        hot_group_df = np.add.reduceat(df_all[hot_idx][h_order], h_starts)
 
-    if pieces:
-        final = pa.concat_tables(pieces).combine_chunks()
-        order = pc.sort_indices(
-            final, sort_keys=[("term", "ascending"), ("part", "ascending")]
+    # ---- interleave the two term-sorted group lists and STREAM the
+    # output in bounded slices: a bucket merge must never materialize
+    # the whole bucket's decoded postings (at 10^12 docs a bucket is
+    # arbitrarily large; peak memory here is O(MERGE_SLICE_POSTINGS)
+    # per task regardless)
+    if n_cold_groups + n_hot_groups:
+        desc_term = pa.concat_arrays(
+            ([group_terms.cast(pa.large_string())] if n_cold_groups else [])
+            + ([hot_group_terms.cast(pa.large_string())] if n_hot_groups else [])
         )
-        final = final.take(order)
+        desc_part = np.concatenate(
+            ([part_vals.astype(np.int64)] if n_cold_groups else [])
+            + ([hot_parts.astype(np.int64)] if n_hot_groups else [])
+        )
+        desc_kind = np.concatenate(
+            [np.zeros(n_cold_groups, np.int8), np.ones(n_hot_groups, np.int8)]
+        )
+        desc_df = np.concatenate(
+            ([cold_group_df] if n_cold_groups else [])
+            + ([hot_group_df] if n_hot_groups else [])
+        )
+        d_order = pc.sort_indices(
+            pa.table({"term": desc_term, "part": pa.array(desc_part)}),
+            sort_keys=[("term", "ascending"), ("part", "ascending")],
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        s_kind = desc_kind[d_order]
+        s_df = desc_df[d_order]
+        # slice boundaries on cumulative postings
+        cum = np.cumsum(s_df)
+        G = len(d_order)
+        cuts = [0]
+        while cuts[-1] < G:
+            nxt = int(np.searchsorted(cum, (cum[cuts[-1] - 1] if cuts[-1] else 0) + cfg.merge_slice_postings, side="left")) + 1
+            cuts.append(min(max(nxt, cuts[-1] + 1), G))
+        # within the merged order each kind's groups stay in their own
+        # sorted order ((term, part) keys are unique), so every slice
+        # covers a CONTIGUOUS range of cold groups and of hot groups
+        kind_ord = np.cumsum(s_kind == 0) - (s_kind == 0)   # cold ordinal at each slot
+        kind_ord_h = np.cumsum(s_kind == 1) - (s_kind == 1)
+        n_rows_total = 0
     else:
-        final = codec.POSTING_SCHEMA.empty_table().append_column(
-            "part", pa.array([], pa.uint32())
-        )
-    # bounded row groups over the term-sorted rows: the query side reads
-    # a single term by binary-searching row-group term statistics and
-    # fetching only the covering groups (the skip machinery of
-    # grn_ii_cursor_open, lib/ii.c:4048-4141, realized as parquet
-    # row-group pushdown) — never the whole bucket
-    atomic_write_table(
-        final, os.path.join(out_dir, "part.parquet"),
-        row_group_size=POSTING_ROW_GROUP,
-    )
+        cuts = [0, 0]
+        n_rows_total = 0
+
+    schema = codec.POSTING_SCHEMA.append(pa.field("part", pa.uint32()))
+    os.makedirs(out_dir, exist_ok=True)
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
+    os.close(fd)
+    try:
+        writer = pq.ParquetWriter(tmp, schema)
+        for s0, s1 in zip(cuts[:-1], cuts[1:]):
+            if s1 <= s0:
+                continue
+            sl_kind = s_kind[s0:s1]
+            c_lo = int(kind_ord[s0:s1][sl_kind == 0].min()) if (sl_kind == 0).any() else 0
+            c_hi = c_lo + int((sl_kind == 0).sum())
+            h_lo = int(kind_ord_h[s0:s1][sl_kind == 1].min()) if (sl_kind == 1).any() else 0
+            h_hi = h_lo + int((sl_kind == 1).sum())
+            sub_tables = []
+            if c_hi > c_lo:
+                a = term_row_idx[c_lo]
+                b = term_row_idx[c_hi] if c_hi < n_cold_groups else len(order)
+                rows_sel = order[a:b]
+                docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
+                    cold, rows_sel, with_positions=cfg.with_positions
+                )
+                starts_rel = term_row_idx[c_lo:c_hi] - a
+                term_offsets = np.append(
+                    row_offsets[starts_rel], row_offsets[-1]
+                ).astype(np.int64)
+                pos_offsets = None
+                if positions is not None:
+                    pos_offsets = np.zeros(len(docids) + 1, np.int64)
+                    np.cumsum(tfs.astype(np.int64), out=pos_offsets[1:])
+                enc = codec.encode_posting_table(
+                    group_terms.slice(c_lo, c_hi - c_lo),
+                    term_offsets,
+                    docids,
+                    tfs,
+                    pos_offsets,
+                    positions,
+                    chunk_postings=cfg.chunk_postings,
+                )
+                enc = enc.append_column(
+                    "part", pa.array(part_vals[c_lo:c_hi], pa.uint32())
+                )
+                sub_tables.append(enc)
+            n_cold_slice = c_hi - c_lo
+            if h_hi > h_lo:
+                a2 = h_starts[h_lo]
+                b2 = h_starts[h_hi] if h_hi < n_hot_groups else len(h_order)
+                hcat = codec.concat_posting_table_groups(
+                    hot_tbl, h_order[a2:b2], h_group_start[a2:b2]
+                )
+                hcat = hcat.append_column(
+                    "part", pa.array(hot_parts[h_lo:h_hi], pa.uint32())
+                )
+                sub_tables.append(hcat)
+            both = (
+                pa.concat_tables(sub_tables).combine_chunks()
+                if len(sub_tables) > 1
+                else sub_tables[0]
+            )
+            # interleave cold/hot rows back into (term, part) order
+            perm = np.where(
+                sl_kind == 0,
+                kind_ord[s0:s1] - c_lo,
+                n_cold_slice + (kind_ord_h[s0:s1] - h_lo),
+            )
+            both = both.take(pa.array(perm))
+            writer.write_table(both, row_group_size=POSTING_ROW_GROUP)
+            n_rows_total += both.num_rows
+        writer.close()
+        os.replace(tmp, os.path.join(out_dir, "part.parquet"))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
     lex = _write_bucket_lexicon(
         cfg, section, index_dir, bucket, cold_lex_tbl, marker_stats
     )
     manifest = {
         "bucket": bucket,
-        "terms": final.num_rows,
+        "terms": n_rows_total,
         "lexicon_terms": lex.num_rows,
         "input_rows": group.num_rows,
         "config": cfg.fingerprint(),

@@ -131,3 +131,23 @@ def test_prefix_upper_supplementary_plane():
     assert _prefix_upper("a\U0010FFFF") == "b"
     assert _prefix_upper("\U0010FFFF") is None
     assert _prefix_upper("z퟿") == "z"  # surrogate gap skipped
+
+
+def test_streaming_merge_slice_invariance(flip_index, tmp_path_factory):
+    """The bucket merge streams in bounded slices; the output file's
+    ROWS must be identical whatever the slice bound (memory knob only)."""
+    import pyarrow.parquet as pqq
+
+    f, idx = flip_index
+    root = tmp_path_factory.mktemp("sliced")
+    idx2 = str(root / "idx")
+    cfg = BuildConfig(
+        text_columns=("text", "title"), docid_column="doc_id",
+        n_buckets=2, target_rows_per_shard=100, salt_group=1,
+        hot_local_df=50, chunk_postings=32, merge_slice_postings=50,
+    )
+    build_index([f], idx2, cfg)
+    for b in range(2):
+        a = pqq.read_table(f"{idx}/sec=text/postings/bucket={b:04d}/part.parquet")
+        c = pqq.read_table(f"{idx2}/sec=text/postings/bucket={b:04d}/part.parquet")
+        assert a.equals(c), b

@@ -1234,12 +1234,75 @@ def delete_documents(index_dir: str, docids) -> int:
     return int(len(new))
 
 
-def compact_index(index_dir: str) -> dict:
+def _compact_one_file(part: str, dead: np.ndarray) -> int:
+    """Rewrite one posting partition without its tombstoned docids;
+    returns 1 when the file changed. Rows keep their part ids, so the
+    docid-disjoint parts invariant is preserved (each surviving row's
+    range is a subset of its original)."""
+    tbl = pq.read_table(part)
+    if tbl.num_rows == 0:
+        return 0
+    order = np.arange(tbl.num_rows)
+    docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
+        tbl, order, with_positions=True
+    )
+    pos_idx = np.searchsorted(dead, docids)
+    pos_idx = np.clip(pos_idx, 0, len(dead) - 1)
+    keep = dead[pos_idx] != docids
+    if keep.all():
+        return 0
+    # re-encode surviving postings, preserving term rows
+    terms = tbl.column("term")
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    df_per_row = np.diff(row_offsets)
+    row_of_posting = np.repeat(np.arange(tbl.num_rows), df_per_row)
+    k_rows = row_of_posting[keep]
+    new_df = np.bincount(k_rows, minlength=tbl.num_rows)
+    live_rows = np.flatnonzero(new_df > 0)
+    term_offsets = np.zeros(len(live_rows) + 1, np.int64)
+    np.cumsum(new_df[live_rows], out=term_offsets[1:])
+    if positions is not None:
+        tf64 = tfs.astype(np.int64)
+        pos_starts = np.cumsum(tf64) - tf64
+        keep_tf = tf64[keep]
+        out_off = np.zeros(len(keep_tf) + 1, np.int64)
+        np.cumsum(keep_tf, out=out_off[1:])
+        gather = (
+            np.arange(int(out_off[-1]), dtype=np.int64)
+            - np.repeat(out_off[:-1], keep_tf)
+            + np.repeat(pos_starts[keep], keep_tf)
+        )
+        new_pos = positions[gather]
+        new_pos_off = out_off
+    else:
+        new_pos = new_pos_off = None
+    new_tbl = codec.encode_posting_table(
+        terms.take(pa.array(live_rows)),
+        term_offsets,
+        docids[keep],
+        tfs[keep],
+        new_pos_off,
+        new_pos,
+    )
+    part_col = tbl.column("part")
+    if isinstance(part_col, pa.ChunkedArray):
+        part_col = part_col.combine_chunks()
+    new_tbl = new_tbl.append_column("part", part_col.take(pa.array(live_rows)))
+    atomic_write_table(new_tbl, part, row_group_size=POSTING_ROW_GROUP)
+    return 1
+
+
+def compact_index(index_dir: str, concurrency: int = 8) -> dict:
     """Fold tombstones out of every posting partition (decode → filter
-    → re-encode, one distributed task per bucket) and drop the
-    tombstone file. Delta segments stay separate partitions (their
-    postings are already optimal; only deletes require rewriting).
-    Returns per-section rewrite counts."""
+    → re-encode, one Ray task slice per partition; the tombstone set is
+    broadcast via the object store) and drop the tombstone file. Delta
+    segments stay separate partitions (their postings are already
+    optimal; only deletes require rewriting). Returns rewrite counts.
+
+    Stats note: lexicon df/cf and doclen/avgdl still describe the
+    pre-delete corpus until a rebuild — the same staleness window the
+    reference has between delete and index re-optimization."""
     from .index import open_index
 
     ts_path = os.path.join(index_dir, "tombstones.parquet")
@@ -1250,65 +1313,32 @@ def compact_index(index_dir: str) -> dict:
     )
     meta = read_manifest(os.path.join(index_dir, "meta.json"))
     dirs = [index_dir] + [os.path.join(index_dir, d) for d in meta.get("deltas", [])]
-    rewritten = 0
+    parts: list[str] = []
     for d in dirs:
         sub_meta = read_manifest(os.path.join(d, "meta.json"))
         for section in sub_meta["sections"]:
-            for part in sorted(
+            parts.extend(sorted(
                 glob.glob(os.path.join(d, f"sec={section}", "postings", "bucket=*", "part.parquet"))
-            ):
-                tbl = pq.read_table(part)
-                if tbl.num_rows == 0:
-                    continue
-                order = np.arange(tbl.num_rows)
-                docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
-                    tbl, order, with_positions=True
-                )
-                pos_idx = np.searchsorted(dead, docids)
-                pos_idx = np.clip(pos_idx, 0, len(dead) - 1)
-                keep = dead[pos_idx] != docids
-                if keep.all():
-                    continue
-                # re-encode surviving postings, preserving term rows
-                terms = tbl.column("term")
-                if isinstance(terms, pa.ChunkedArray):
-                    terms = terms.combine_chunks()
-                df_per_row = np.diff(row_offsets)
-                row_of_posting = np.repeat(np.arange(tbl.num_rows), df_per_row)
-                k_rows = row_of_posting[keep]
-                new_df = np.bincount(k_rows, minlength=tbl.num_rows)
-                live_rows = np.flatnonzero(new_df > 0)
-                term_offsets = np.zeros(len(live_rows) + 1, np.int64)
-                np.cumsum(new_df[live_rows], out=term_offsets[1:])
-                if positions is not None:
-                    tf64 = tfs.astype(np.int64)
-                    pos_starts = np.cumsum(tf64) - tf64
-                    keep_tf = tf64[keep]
-                    out_off = np.zeros(len(keep_tf) + 1, np.int64)
-                    np.cumsum(keep_tf, out=out_off[1:])
-                    gather = (
-                        np.arange(int(out_off[-1]), dtype=np.int64)
-                        - np.repeat(out_off[:-1], keep_tf)
-                        + np.repeat(pos_starts[keep], keep_tf)
-                    )
-                    new_pos = positions[gather]
-                    new_pos_off = out_off
-                else:
-                    new_pos = new_pos_off = None
-                new_tbl = codec.encode_posting_table(
-                    terms.take(pa.array(live_rows)),
-                    term_offsets,
-                    docids[keep],
-                    tfs[keep],
-                    new_pos_off,
-                    new_pos,
-                )
-                # single 'part' per term post-compaction
-                new_tbl = new_tbl.append_column(
-                    "part", pa.array(np.zeros(new_tbl.num_rows, np.uint32), pa.uint32())
-                )
-                atomic_write_table(new_tbl, part, row_group_size=POSTING_ROW_GROUP)
-                rewritten += 1
+            ))
+    if ray.is_initialized() and len(parts) > 1:
+        dead_ref = ray.put(dead)
+
+        def rewrite_some(batch: pa.Table) -> pa.Table:
+            dd = ray.get(dead_ref)
+            n = sum(_compact_one_file(p, dd) for p in batch.column("path").to_pylist())
+            return pa.table({"rewritten": pa.array([n], pa.int64())})
+
+        n_tasks = min(concurrency, len(parts))
+        out = ray.data.from_items([{"path": p} for p in parts]).map_batches(
+            rewrite_some,
+            batch_size=max(1, -(-len(parts) // n_tasks)),
+            batch_format="pyarrow",
+            concurrency=n_tasks,
+            num_cpus=1,
+        ).take_all()
+        rewritten = sum(r["rewritten"] for r in out)
+    else:
+        rewritten = sum(_compact_one_file(p, dead) for p in parts)
     os.unlink(ts_path)
     open_index.cache_clear()
     return {"rewritten": rewritten}

@@ -1342,3 +1342,125 @@ def compact_index(index_dir: str, concurrency: int = 8) -> dict:
     os.unlink(ts_path)
     open_index.cache_clear()
     return {"rewritten": rewritten}
+
+
+# --------------------------------------------------------- maintenance
+
+def truncate_index(index_dir: str) -> None:
+    """Remove every index artifact (proc_truncate, lib/proc.c:3691):
+    the directory stays, a subsequent build starts clean."""
+    import shutil
+
+    from .index import open_index
+
+    for entry in glob.glob(os.path.join(index_dir, "*")):
+        if os.path.isdir(entry):
+            shutil.rmtree(entry)
+        else:
+            os.unlink(entry)
+    open_index.cache_clear()
+
+
+def check_index(index_dir: str) -> dict:
+    """Structural validation (the `check` command, lib/proc.c:3585,
+    repurposed for this layout). Verifies, per section:
+
+    * every bucket manifest exists and matches the build config,
+    * posting rows are term-sorted within each partition (row-group
+      statistics monotone),
+    * each term's parts are pairwise docid-disjoint (the salted-parts
+      invariant WAND/chunk-skip rely on), streamed row group by row
+      group — never the whole bucket in memory,
+    * lexicon df totals equal the posting rows' df totals per bucket.
+
+    Returns {"ok": bool, "issues": [...], "sections": {...}} — read-only.
+    """
+    meta = read_manifest(os.path.join(index_dir, "meta.json"))
+    cfg_fp = meta["config"]
+    issues: list[str] = []
+    sections: dict[str, dict] = {}
+    for section in meta["sections"]:
+        n_rows = 0
+        df_postings = 0
+        for part in sorted(
+            glob.glob(os.path.join(index_dir, f"sec={section}", "postings", "bucket=*", "part.parquet"))
+        ):
+            bdir = os.path.dirname(part)
+            bucket = int(os.path.basename(bdir).split("=")[1])
+            man = read_manifest(os.path.join(bdir, "manifest.json"))
+            if not man:
+                issues.append(f"{section}/bucket={bucket}: missing manifest")
+            elif man.get("config") != cfg_fp:
+                issues.append(f"{section}/bucket={bucket}: manifest config mismatch")
+            pf = pq.ParquetFile(part)
+            md = pf.metadata
+            tcol = [i for i in range(md.num_columns) if md.schema.column(i).path == "term"][0]
+            prev_max = ""
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(tcol).statistics
+                if st is not None and st.min < prev_max:
+                    issues.append(f"{section}/bucket={bucket}: row group {rg} not term-sorted")
+                if st is not None:
+                    prev_max = st.max
+            # stream rows: per-term part disjointness + df totals
+            carry_term = None
+            carry_last = -1
+            for rg in range(md.num_row_groups):
+                tbl = pf.read_row_groups([rg], columns=["term", "df", "cfirst", "clast"])
+                n_rows += tbl.num_rows
+                df_postings += int(pc.sum(tbl.column("df")).as_py() or 0)
+                terms = tbl.column("term").to_pylist()
+                firsts = [c[0] if c else None for c in tbl.column("cfirst").to_pylist()]
+                lasts = [max(c) if c else None for c in tbl.column("clast").to_pylist()]
+                for t, fi, la in zip(terms, firsts, lasts):
+                    if fi is None:
+                        continue
+                    if t == carry_term and fi <= carry_last:
+                        issues.append(
+                            f"{section}/bucket={bucket}: term {t!r} parts overlap "
+                            f"(first {fi} <= prev last {carry_last})"
+                        )
+                    if t == carry_term:
+                        carry_last = max(carry_last, la)
+                    else:
+                        carry_term, carry_last = t, la
+        df_lex = 0
+        n_lex_terms = 0
+        for lexf in glob.glob(os.path.join(index_dir, f"sec={section}", "lexicon", "bucket=*.parquet")):
+            t = pq.read_table(lexf, columns=["df"])
+            n_lex_terms += t.num_rows
+            df_lex += int(pc.sum(t.column("df")).as_py() or 0)
+        if df_lex != df_postings:
+            issues.append(
+                f"{section}: lexicon df total {df_lex} != posting df total {df_postings}"
+            )
+        # cross-bucket disjointness: a multi-part term's parts may live
+        # in different buckets; walk them via the lexicon routing
+        from .index import IndexReader
+
+        si = IndexReader(index_dir).section(section)
+        n_multi = 0
+        for lexf in sorted(
+            glob.glob(os.path.join(index_dir, f"sec={section}", "lexicon", "bucket=*.parquet"))
+        ):
+            t = pq.read_table(lexf, columns=["term", "n_parts"])
+            np_col = t.column("n_parts").to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(np_col > 1):
+                term = t.column("term")[int(i)].as_py()
+                rows = si.posting_rows(si.term_id(term))
+                lasts = [max(r["clast"]) for r in rows if r["clast"]]
+                firsts = [r["cfirst"][0] for r in rows if r["cfirst"]]
+                if any(lasts[j] >= firsts[j + 1] for j in range(len(firsts) - 1)):
+                    issues.append(f"{section}: term {term!r} parts not docid-disjoint")
+                n_multi += 1
+                if n_multi >= 10000:
+                    break
+            if n_multi >= 10000:
+                break
+        sections[section] = {
+            "posting_rows": n_rows,
+            "lexicon_terms": n_lex_terms,
+            "df_total": df_postings,
+            "multipart_terms_checked": n_multi,
+        }
+    return {"ok": not issues, "issues": issues, "sections": sections}

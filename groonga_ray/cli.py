@@ -135,6 +135,19 @@ def cmd_status(args):
         print(json.dumps(json.load(fh), indent=1))
 
 
+def cmd_check(args):
+    from .build import check_index
+
+    print(json.dumps(check_index(args.index), indent=1))
+
+
+def cmd_truncate(args):
+    from .build import truncate_index
+
+    truncate_index(args.index)
+    print(json.dumps([[0, 0.0, 0.0], True]))
+
+
 CUSTOM_COMMANDS: dict[str, object] = {}
 
 
@@ -205,6 +218,14 @@ def main(argv=None):
     st = sub.add_parser("status")
     st.add_argument("--index", required=True)
     st.set_defaults(fn=cmd_status)
+
+    ck = sub.add_parser("check")
+    ck.add_argument("--index", required=True)
+    ck.set_defaults(fn=cmd_check)
+
+    tr = sub.add_parser("truncate")
+    tr.add_argument("--index", required=True)
+    tr.set_defaults(fn=cmd_truncate)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -151,3 +151,26 @@ def test_streaming_merge_slice_invariance(flip_index, tmp_path_factory):
         a = pqq.read_table(f"{idx}/sec=text/postings/bucket={b:04d}/part.parquet")
         c = pqq.read_table(f"{idx2}/sec=text/postings/bucket={b:04d}/part.parquet")
         assert a.equals(c), b
+
+
+def test_check_index_green_and_detects_corruption(flip_index, tmp_path_factory):
+    import json as _json
+    import shutil as _sh
+
+    import pyarrow.parquet as pqq
+
+    from groonga_ray.build import check_index
+
+    f, idx = flip_index
+    rep = check_index(idx)
+    assert rep["ok"], rep["issues"]
+    assert rep["sections"]["text"]["multipart_terms_checked"] >= 2
+    # corrupt a copy: truncate a lexicon shard -> df totals mismatch
+    root = tmp_path_factory.mktemp("corrupt")
+    idx2 = str(root / "idx")
+    _sh.copytree(idx, idx2)
+    lexf = sorted(__import__("glob").glob(f"{idx2}/sec=text/lexicon/bucket=*.parquet"))[0]
+    t = pqq.read_table(lexf)
+    pqq.write_table(t.slice(0, max(0, t.num_rows - 1)), lexf)
+    rep2 = check_index(idx2)
+    assert not rep2["ok"] and any("df total" in i for i in rep2["issues"])

@@ -109,13 +109,16 @@ def test_brute_and_lsh_ann(ray_session):
     assert (np.diff(lsh["sim"].to_numpy()) <= 1e-12).all()
 
 
-def test_media_decode_stub(docs):
+def test_media_decode_contract(docs):
     from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
 
     out = decode_media(texts_as_media(docs)).to_pandas()
     assert len(out) == 500
     assert (out["n_bytes"] > 0).all()
-    assert set(out.columns) == {"media_id", "kind", "n_bytes", "crc32", "width", "height"}
+    # text payloads carry no media magic -> fallback decoder
+    assert (out["decoder"] == "fallback").all()
+    assert {"media_id", "kind", "decoder", "n_bytes", "crc32", "width",
+            "height", "channels", "sample_rate", "duration_ms"} <= set(out.columns)
     with pytest.raises(NotImplementedError):
         from groonga_ray.pipelines.multimodal import MediaDecoder
 

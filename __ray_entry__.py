@@ -333,16 +333,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ft(t2, query="src3 OR spark", match_columns="text*2||source", limit=-1)
 
     def ft_near(sf_dir):
-        from groonga_ray.index import IndexReader
-        from groonga_ray.search import near_match
+        # the *N query-syntax operator end-to-end through select()
+        from groonga_ray.engine import select
 
         t = _index_for(sf_dir)
-        r = IndexReader(t.index_dir)
-        m = near_match(
-            r.section("text"), [("spark", 0), ("window", 1)], max_interval=3,
-            n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens(),
-        )
-        return pa.table({"doc_id": pa.array(m.docids.astype(np.int64), pa.int64())})
+        res = select(t, query='*N3"spark window"', match_columns="text", limit=-1)
+        return pa.table({"doc_id": res["rows"].column("_id").cast(pa.int64())})
 
     def ft_scorer_expr(sf_dir):
         from groonga_ray.engine import select

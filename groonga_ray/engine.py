@@ -29,10 +29,12 @@ from .qlang import (
     AdjustNode,
     AndNode,
     MatchSpec,
+    NearNode,
     NotNode,
     OrNode,
     PhraseNode,
     RangeNode,
+    SimilarNode,
     TermNode,
     parse_match_columns,
     parse_query,
@@ -80,7 +82,18 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
             doclens=reader.doclens(col),
             weight=weight,
         )
-        if isinstance(node, TermNode):
+        if isinstance(node, NearNode):
+            from .search import near_match
+
+            tokens = _query_tokens(node.text, reader.query_chain)
+            if not tokens:
+                continue
+            m = near_match(si, tokens, node.max_interval, scorer=spec.scorer, **kw)
+        elif isinstance(node, SimilarNode):
+            from .search import similar_match
+
+            m = similar_match(si, node.text, **kw)
+        elif isinstance(node, TermNode):
             tokens = _query_tokens(node.text, reader.query_chain)
             if not tokens:
                 continue
@@ -512,6 +525,8 @@ def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
     Predicates stay deferred until an AND gives them a bounded match
     set to filter; only a predicate that reaches the top (or an OR/
     ADJUST operand) unbounded pays a scan."""
+    if isinstance(node, (NearNode, SimilarNode)):
+        return _eval_match_node(node, reader, spec)
     if isinstance(node, (TermNode, PhraseNode)):
         sec = getattr(node, "section", None)
         if isinstance(node, TermNode) and node.mode == "regexp":
@@ -920,9 +935,31 @@ def select(
         order = np.argsort(result.docids)[::-1][offset : offset + limit]
         docids, scores = result.docids[order], result.scores[order]
     else:
+        import re as _re
+
         keys = [k.strip() for k in sortby.split(",")]
         cols = [k.lstrip("+-") for k in keys]
-        doc_cols = [c for c in cols if c not in ("_score", "_id")]
+        plain = [
+            c for c in cols
+            if c in ("_score", "_id") or _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c)
+        ]
+        expr_keys = [c for c in cols if c not in plain]
+        expr_asts = {}
+        expr_deps: set[str] = set()
+        if expr_keys:
+            # expression sort keys (e.g. geo_distance(pt, "NxM")) — the
+            # reference's grn_table_sort value-expr keys, incl the geo
+            # sort key form (lib/db.c:10371; geo keys lib/geo.c:287)
+            from .script import parse_filter as _pf
+
+            for c in expr_keys:
+                expr_asts[c] = _pf(c)
+                expr_deps.update(
+                    x for x in _pred_columns(expr_asts[c]) if x not in ("_id", "_score")
+                )
+        doc_cols = sorted(
+            set(c for c in plain if c not in ("_score", "_id")) | expr_deps
+        )
         doc_tbl = fetch_docs(table, result.docids, doc_cols) if doc_cols else None
         sort_cols: dict[str, pa.Array] = {}
         for c in cols:
@@ -930,6 +967,18 @@ def select(
                 sort_cols[c] = pa.array(result.scores, pa.float64())
             elif c == "_id":
                 sort_cols[c] = pa.array(result.docids, pa.uint64())
+            elif c in expr_asts:
+                from .script import eval_filter as _ef
+
+                batch = (doc_tbl if doc_tbl is not None else pa.table({})).append_column(
+                    "_id", pa.array(result.docids, pa.uint64())
+                ).append_column("_score", pa.array(result.scores, pa.float64()))
+                v = _ef(expr_asts[c], batch)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(result.docids))
+                elif isinstance(v, np.ndarray):
+                    v = pa.array(v)
+                sort_cols[c] = v
             else:
                 sort_cols[c] = doc_tbl.column(c)
         # docid asc is the implicit final tiebreak (deterministic order)

@@ -67,6 +67,24 @@ class QueryParseError(ValueError):
 
 
 @dataclass
+class NearNode:
+    """``*N"w1 w2"`` — ordered proximity match (GRN_OP_NEAR,
+    grn_ecmascript.lemon:199 `*N`); optional digits set max_interval
+    (DEFAULT_NEAR_MAX_INTERVAL=10, lib/expr.c)."""
+
+    text: str
+    max_interval: int = 10
+
+
+@dataclass
+class SimilarNode:
+    """``*S"document text"`` — similar-document match (GRN_OP_SIMILAR,
+    grn_ecmascript.lemon:203)."""
+
+    text: str
+
+
+@dataclass
 class QueryPragma:
     """Leading ``*X`` pragmas (get_pragma, lib/expr.c:5593-5639):
     ``*E<n>[,decay]`` sets the match-escalation threshold, ``*D<op>``
@@ -175,6 +193,25 @@ class _Parser:
                 raise QueryParseError("unbalanced parenthesis")
             self.i += 1
             return node
+        if c == "*" and self.s[self.i + 1 : self.i + 2] in ("N", "S"):
+            kind = self.s[self.i + 1]
+            self.i += 2
+            num = ""
+            while self.peek().isdigit():
+                num += self.s[self.i]
+                self.i += 1
+            if self.peek() == '"':
+                self.i += 1
+                start = self.i
+                while self.i < len(self.s) and self.s[self.i] != '"':
+                    self.i += 1
+                text = self.s[start : self.i]
+                if self.peek() == '"':
+                    self.i += 1
+                if kind == "N":
+                    return NearNode(text, int(num) if num else 10)
+                return SimilarNode(text)
+            raise QueryParseError(f"*{kind} expects a quoted phrase at {self.i}")
         if c == '"':
             self.i += 1
             start = self.i

@@ -308,3 +308,33 @@ def test_output_column_highlight(doc_table):
     )
     h = res["rows"].column("highlight_html(text)").to_pylist()
     assert all("<span class=\"keyword\">" in x for x in h)
+
+
+def test_near_similar_query_syntax(doc_table):
+    from groonga_ray.engine import select
+    from groonga_ray.index import IndexReader
+    from groonga_ray.search import near_match
+
+    r = IndexReader(doc_table.index_dir)
+    res = select(doc_table, query='*N3"spark window"', match_columns="text", limit=-1)
+    m = near_match(r.section("text"), [("spark", 0), ("window", 1)], 3,
+                   n_docs=r.n_docs, avgdl=r.avgdl(), doclens=r.doclens())
+    assert sorted(res["rows"].column("_id").to_pylist()) == sorted(m.docids.tolist())
+    sim = select(doc_table, query='*S"spark window fast"', match_columns="text", limit=5)
+    assert sim["hits"] > 0
+    comp = select(doc_table, query='fast +*N3"spark window"', match_columns="text", limit=-1)
+    assert 0 < comp["hits"] <= res["hits"]
+
+
+def test_expression_sort_key(doc_table):
+    from groonga_ray.engine import select
+
+    res = select(
+        doc_table, query="spark", match_columns="text", limit=10,
+        sortby="-(n_chars % 7), _id", output_columns=("_id", "n_chars"),
+    )
+    n = res["rows"].column("n_chars").to_numpy(zero_copy_only=False)
+    ids = res["rows"].column("_id").to_numpy(zero_copy_only=False)
+    key = n % 7
+    order = np.lexsort((ids, -key))
+    assert (key == key[order]).all() and (ids == ids[order]).all()

@@ -135,6 +135,35 @@ def run_bench() -> dict:
         ),
     )
 
+    # ---- 4. batched-query throughput through the QueryActor pool (the
+    # query-side scale path: each actor loads the reader once, queries
+    # stream through map_batches)
+    import pyarrow as pa_
+
+    from groonga_ray.engine import run_query_batch
+
+    terms = ["spark", "window", "fast", "batch", "stream", "query", "data", "group"]
+    n_q = 2000
+    qtbl = pa_.table(
+        {
+            "qid": pa_.array(range(n_q), pa_.int64()),
+            "query": pa_.array(
+                [f"{terms[i % len(terms)]} OR {terms[(i + 3) % len(terms)]}" for i in range(n_q)]
+            ),
+            "match_columns": pa_.array(["text"] * n_q),
+            "scorer": pa_.array(["bm25"] * n_q),
+            "top_k": pa_.array([10] * n_q, pa_.int64()),
+        }
+    )
+    conc_q = max(2, min(8, NUM_CPUS // 4))
+    run_query_batch(table, qtbl, concurrency=conc_q).take_all()   # warm actors
+    t0 = time.time()
+    out = run_query_batch(table, qtbl, concurrency=conc_q).take_all()
+    dt = time.time() - t0
+    queries["qps_batch"] = round(n_q / dt, 1)
+    queries["qps_batch_actors"] = conc_q
+    assert len(out) > 0
+
     total = round(time.time() - t_total, 3)
     return {
         "metric": "bench_total",

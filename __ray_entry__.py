@@ -696,6 +696,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def events_sliding(sf_dir):
+        # 1h windows sliding by 15min: each event lands in 4 windows
+        from groonga_ray.pipelines.windows import sliding_window_agg
+
+        ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["ts", "event_type", "value"])
+        out = sliding_window_agg(ds, 3_600_000_000, 900_000_000)
+        t = pa.Table.from_pandas(out.to_pandas())
+        cents = np.rint(t.column("sum_value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_us": t.column("window_us").cast(pa.int64()),
+                "n": t.column("n").cast(pa.int64()),
+                "sum_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
     def dedup_exact_q(sf_dir):
         from groonga_ray.pipelines.dedup import exact_dedup
 
@@ -1037,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_between_in": filter_between_in,
         "events_agg": events_agg,
         "events_window": events_window,
+        "events_sliding": events_sliding,
         "dedup_exact": dedup_exact_q,
         "dedup_exact_fast": dedup_exact_fast_q,
         "dedup_ngram_key": dedup_ngram_key_q,
@@ -1338,6 +1356,13 @@ SELECT event_type,
        (epoch_us(ts) // 3600000000 * 3600000000)::BIGINT AS window_us,
        count(*)::BIGINT AS n, round(sum(value) * 100)::BIGINT AS sum_cents
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+SELECT event_type,
+       (epoch_us(ts) // 900000000 * 900000000 - j.j * 900000000)::BIGINT AS window_us,
+       count(*)::BIGINT AS n, round(sum(value) * 100)::BIGINT AS sum_cents
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+GROUP BY 1, 2
 """,
         "dedup_exact": """
 SELECT sha256(text) AS content_hash, min(doc_id)::BIGINT AS keep_id

@@ -206,3 +206,30 @@ def test_lsh_multiprobe_recall(ray_session):
     assert len(multi1 & exact) >= len(single & exact)
     assert len(multi2 & exact) >= len(multi1 & exact)
     assert len(multi2 & exact) >= 6
+
+
+def test_sliding_window_membership(ray_session):
+    import duckdb
+    import ray.data
+
+    from groonga_ray.pipelines.windows import sliding_window_agg, tumbling_window_agg
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    out = sliding_window_agg(ds, 3_600_000_000, 900_000_000).to_pandas()
+    want = duckdb.sql(
+        f"""
+        SELECT event_type,
+               (epoch_us(ts) // 900000000 * 900000000 - j.j * 900000000)::BIGINT AS window_us,
+               count(*)::BIGINT AS n
+        FROM '{SF}/events.parquet' CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+        GROUP BY 1, 2
+        """
+    ).df()
+    g = out.sort_values(["event_type", "window_us"]).reset_index(drop=True)
+    w = want.sort_values(["event_type", "window_us"]).reset_index(drop=True)
+    assert g["n"].astype(int).tolist() == w["n"].astype(int).tolist()
+    # every event in exactly size/hop windows
+    assert out["n"].sum() == 4 * duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    # hop == size degenerates to tumbling
+    tw = tumbling_window_agg(ds, 3_600_000_000).to_pandas()
+    assert tw["n"].sum() == out["n"].sum() / 4

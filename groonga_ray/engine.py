@@ -1171,12 +1171,18 @@ class QueryActor:
         )
         for i in range(n):
             qid = get("qid", i, i)
-            res = self._select_cached(
+            kw = dict(
                 query=get("query", i, None),
                 match_columns=get("match_columns", i, None),
                 scorer=get("scorer", i, None),
                 limit=int(get("top_k", i, 10)),
             )
+            if str(get("cache", i, "yes")).lower() == "no":
+                # --cache no (proc_select cache flag, lib/proc.c:986):
+                # bypass the per-actor result cache for this request
+                res = select(self.table, **kw)
+            else:
+                res = self._select_cached(**kw)
             rows = res["rows"]
             ids = rows.column("_id").to_pylist()
             scores = rows.column("_score").to_pylist()

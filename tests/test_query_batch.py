@@ -47,3 +47,24 @@ def test_select_v1_envelope(doc_table):
     for row in env[2:]:
         assert isinstance(row[1], int)   # Int32-truncated score
         assert row[2] in {"en", "de", "zh", "fr", "es"}
+
+
+def test_cache_no_bypasses_result_cache(ray_session, doc_table):
+    import pyarrow as pa
+
+    from groonga_ray.engine import QueryActor
+
+    actor = QueryActor(doc_table)
+    q = pa.table(
+        {
+            "qid": pa.array([1, 2], pa.int64()),
+            "query": pa.array(["spark", "spark"]),
+            "match_columns": pa.array(["text", "text"]),
+            "cache": pa.array(["yes", "no"]),
+        }
+    )
+    out = actor(q).to_pandas()
+    a = out[out.qid == 1][["doc_id", "score"]].values.tolist()
+    b = out[out.qid == 2][["doc_id", "score"]].values.tolist()
+    assert a == b                      # same answer either way
+    assert len(actor._cache) == 1      # only the cached variant stored

@@ -1007,6 +1007,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return embedding_dedup_lsh(ds, threshold=0.4)
 
+    def media_decode_wav(sf_dir):
+        # REAL RIFF PCM decode: payload length derives from doc_id, so
+        # the decoded duration is SQL-checkable
+        from groonga_ray.pipelines.multimodal import decode_media, synth_wav
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id"])
+
+        def wrap(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            payloads = pa.array(
+                [synth_wav(rate=8000, n=1000 + int(d % 50) * 104) for d in ids],
+                pa.large_binary(),
+            )
+            n = len(ids)
+            return pa.table(
+                {
+                    "media_id": pa.array(ids, pa.int64()),
+                    "kind": pa.array(["audio"] * n),
+                    "payload": payloads,
+                    "meta": pa.array(["{}"] * n),
+                }
+            )
+
+        out = decode_media(ds.map_batches(wrap, batch_format="pyarrow"))
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "media_id": b.column("media_id"),
+                    "sample_rate": b.column("sample_rate").cast(pa.int64()),
+                    "duration_ms": b.column("duration_ms").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def media_decode(sf_dir):
         from groonga_ray.pipelines.multimodal import decode_media, texts_as_media
 
@@ -1079,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_circle": geo_circle,
         "geo_box": geo_box,
         "media_decode": media_decode,
+        "media_decode_wav": media_decode_wav,
     }
 
 
@@ -1289,6 +1325,11 @@ SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
 FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "media_decode_wav": """
+SELECT doc_id AS media_id, 8000::BIGINT AS sample_rate,
+       (125 + 13 * (doc_id % 50))::BIGINT AS duration_ms
+FROM documents
 """,
         "geo_dist": """
 WITH pts AS (

@@ -1042,6 +1042,22 @@ def build_index(
     ).take_all()
     stage_a_sec = time.time() - t0
 
+    # prune run dirs beyond the current shard count: a previous build of
+    # this index_dir against a larger input leaves stale shard runs that
+    # the merge glob would otherwise fold in (their fingerprints never
+    # re-validate because their shard ids aren't in this plan)
+    import shutil as _shutil
+
+    for section in sections:
+        for d in glob.glob(os.path.join(index_dir, f"sec={section}", "runs", "shard=*")):
+            if int(os.path.basename(d).split("=")[1]) >= len(shards):
+                _shutil.rmtree(d, ignore_errors=True)
+        for f in glob.glob(
+            os.path.join(index_dir, "doclens", f"sec={section}", "shard=*.parquet")
+        ):
+            if int(os.path.basename(f).split("=")[1].split(".")[0]) >= len(shards):
+                os.unlink(f)
+
     # ---- stage B: per-bucket merge over bucket-row-grouped runs (the
     # partitioned stage-A write already did the exchange; each bucket
     # task reads only its row groups via parquet statistics pruning)
@@ -1195,23 +1211,36 @@ def add_documents(index_dir: str, new_files: list[str], cfg: BuildConfig | None 
     import dataclasses
 
     delta_cfg = dataclasses.replace(cfg)
+    delta_hi = None
     if cfg.docid_column is None:
         delta_cfg.docid_offset = next_docid
+    else:
+        # VALIDATE BEFORE BUILDING (a rejected input must not leave an
+        # orphaned delta dir whose stale shard runs a retry would glob):
+        # min/max over EVERY row group's statistics — files need not be
+        # docid-sorted across row groups
+        lo = None
+        delta_hi = 0
+        for f in new_files:
+            m = pq.ParquetFile(f).metadata
+            col = [
+                i for i in range(m.num_columns)
+                if m.schema.column(i).path == cfg.docid_column
+            ][0]
+            for rg in range(m.num_row_groups):
+                st = m.row_group(rg).column(col).statistics
+                lo = int(st.min) if lo is None else min(lo, int(st.min))
+                delta_hi = max(delta_hi, int(st.max))
+        if lo is None or lo < next_docid:
+            raise ValueError(f"delta docids must start at >= {next_docid}, got {lo}")
     delta_meta = build_index(new_files, delta_dir, delta_cfg)
 
-    if cfg.docid_column is not None:
-        # delta docids must sit above every existing docid
-        lo = min(
-            int(pq.ParquetFile(f).metadata.row_group(0).column(
-                [i for i in range(pq.ParquetFile(f).metadata.num_columns)
-                 if pq.ParquetFile(f).metadata.schema.column(i).path == cfg.docid_column][0]
-            ).statistics.min)
-            for f in new_files
-        )
-        if lo < next_docid:
-            raise ValueError(f"delta docids must start at >= {next_docid}, got {lo}")
     meta["deltas"] = deltas + [delta_name]
-    meta["next_docid"] = next_docid + int(delta_meta["n_docs"])
+    # next free docid: past the delta's actual MAX (sparse docid columns
+    # may reach far above base+count), or base+rows for rank tables
+    meta["next_docid"] = (
+        delta_hi + 1 if delta_hi is not None else next_docid + int(delta_meta["n_docs"])
+    )
     write_manifest(meta_path, meta)
     open_index.cache_clear()          # cached readers are stale now
     return delta_meta
@@ -1240,7 +1269,7 @@ def _compact_one_file(part: str, dead: np.ndarray) -> int:
     docid-disjoint parts invariant is preserved (each surviving row's
     range is a subset of its original)."""
     tbl = pq.read_table(part)
-    if tbl.num_rows == 0:
+    if tbl.num_rows == 0 or len(dead) == 0:
         return 0
     order = np.arange(tbl.num_rows)
     docids, tfs, positions, row_offsets = codec.bulk_decode_rows(

@@ -296,24 +296,34 @@ def _regexp_match(
         if acc is None:
             return pred
     else:
+        # the vocabulary-scan prefilter is only EXACT-SUPERSET when
+        # every word-char run of a document is a substring of one of
+        # its tokens — true for the word tokenizer (tokens are maximal
+        # [a-z0-9_]+ runs), NOT for ngram families (a literal longer
+        # than the gram, or spanning an alpha/digit boundary, matches
+        # no token). There, an empty lexicon scan proves nothing:
+        # degrade to the sequential predicate.
+        exact_superset = reader.meta.get("config", {}).get("tokenizer") == "TokenCodeWord"
         for lit in lits:
             tids = si.matching_tids(lit, "substring")
             if not tids:
-                return MatchResult.empty()
+                return MatchResult.empty() if exact_superset else pred
             pls = [si.postings(t) for t in tids]
             pl = union_postings(pls)
             m = MatchResult(pl.docids.copy(), np.zeros(len(pl.docids), np.float64))
             acc = m if acc is None else op_and(acc, m)
             if acc.nhits == 0:
-                return MatchResult.empty()
-    # verify candidates with the actual regex (RE2 semantics via Arrow)
-    verified = _apply_pred_to(table, pred, acc)
-    if verified.nhits == 0:
-        return verified
-    # score = occurrence count (noccur), like a normal match
-    tbl = fetch_docs(table, verified.docids, [col])
-    counts = pc.count_substring_regex(tbl.column(col), pattern).to_numpy(zero_copy_only=False)
-    return MatchResult(verified.docids, counts.astype(np.float64))
+                return MatchResult.empty() if exact_superset else pred
+    # verify candidates with the actual regex, scoring occurrence count
+    # (noccur) in the same single docid-pruned fetch
+    if acc.nhits == 0:
+        return acc
+    tbl = fetch_docs(table, acc.docids, [col])
+    counts = pc.fill_null(
+        pc.count_substring_regex(tbl.column(col), pattern), 0
+    ).to_numpy(zero_copy_only=False)
+    keep = counts > 0
+    return MatchResult(acc.docids[keep], counts[keep].astype(np.float64))
 
 
 @dataclass

@@ -348,15 +348,6 @@ class SectionIndex:
         self._row_cache[tid] = rows
         return rows
 
-    def bulk_rows(self, tids: list[int]) -> dict[int, list[dict]]:
-        """Posting rows for MANY terms with shared row-group reads
-        (prefix/regexp expansion path: adjacent tids usually live in the
-        same row groups)."""
-        out: dict[int, list[dict]] = {}
-        for tid in tids:
-            out[tid] = self.posting_rows(tid)
-        return out
-
     def postings(self, tid: int, min_docid: int | None = None, with_positions: bool = False) -> codec.PostingList:
         rows = self.posting_rows(tid)
         if not rows:
@@ -574,7 +565,8 @@ class IndexReader:
         self.tombstones: np.ndarray | None = None
         if os.path.exists(ts_path):
             t = pq.read_table(ts_path).column("docid").to_numpy(zero_copy_only=False)
-            self.tombstones = np.sort(t.astype(np.uint64))
+            if len(t):                      # empty set == no tombstones
+                self.tombstones = np.sort(t.astype(np.uint64))
 
     def filter_alive(self, result):
         """Drop tombstoned docids from a MatchResult (grn_ii delete

@@ -239,8 +239,19 @@ def ivf_cosine_topk(
     import os
 
     if index_dir is None:
+        # the cache key must carry DATASET identity, not just config —
+        # otherwise a different corpus silently reuses a stale index
+        try:
+            ident = sorted(ds.input_files())
+        except Exception:
+            ident = None
+        if not ident:
+            raise ValueError(
+                "ivf_cosine_topk: pass index_dir= for datasets without "
+                "stable input_files() (the default cache key needs them)"
+            )
         key = hashlib.md5(
-            json.dumps([n_centroids, vec_col, id_col, seed]).encode()
+            json.dumps([ident, n_centroids, vec_col, id_col, seed]).encode()
         ).hexdigest()[:12]
         index_dir = f"/tmp/groonga_ray_cache/ivf_{key}"
     if not os.path.exists(os.path.join(index_dir, "meta.json")):

@@ -367,16 +367,38 @@ def embedding_dedup_lsh(
         n = group.num_rows
         ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         if n > max_group:
-            order = np.argsort(ids)[:max_group]
-            group = group.take(pa.array(order))
-            ids = ids[order]
-            n = max_group
+            # oversized bucket (boilerplate embeddings): verify pairs
+            # only among the max_group lowest ids; the REST still get a
+            # row — treated as near-dups of the bucket representative
+            # (capped=True flags the unverified assignment)
+            order = np.argsort(ids)
+            head, tail = order[:max_group], order[max_group:]
+            g2 = group.take(pa.array(head))
+            h_ids = ids[head]
+            m = _to_matrix(g2.column(vec_col))
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            dup = (m @ m.T) >= threshold
+            keep_head = np.array([h_ids[dup[i]].min() for i in range(max_group)], np.int64)
+            all_ids = np.concatenate([h_ids, ids[tail]])
+            all_keep = np.concatenate(
+                [keep_head, np.full(len(tail), int(ids.min()), np.int64)]
+            )
+            capped = np.concatenate(
+                [np.zeros(max_group, bool), np.ones(len(tail), bool)]
+            )
+            return pa.table(
+                {id_col: pa.array(all_ids), "keep_id": pa.array(all_keep),
+                 "capped": pa.array(capped)}
+            )
         m = _to_matrix(group.column(vec_col))
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m @ m.T
         dup = sims >= threshold
         keep = np.array([ids[dup[i]].min() for i in range(n)], np.int64)
-        return pa.table({id_col: pa.array(ids), "keep_id": pa.array(keep)})
+        return pa.table(
+            {id_col: pa.array(ids), "keep_id": pa.array(keep),
+             "capped": pa.array(np.zeros(n, bool))}
+        )
 
     from ray.data.aggregate import Min
 
@@ -391,5 +413,5 @@ def embedding_dedup_lsh(
     # a vector can appear in one bucket only (single signature) -> rows
     # are already unique per vec_id; keep the schema-stable projection
     return per_bucket.map_batches(
-        lambda b: b.select([id_col, "keep_id"]), batch_format="pyarrow"
+        lambda b: b.select([id_col, "keep_id", "capped"]), batch_format="pyarrow"
     )

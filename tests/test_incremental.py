@@ -1,5 +1,6 @@
 """Incremental update (LSM delta segments) + tombstone delete + compaction."""
 
+import json
 import os
 
 import duckdb
@@ -147,3 +148,38 @@ def test_wand_over_delta_segments(split_docs, tmp_path_factory):
     assert docids.tolist() == e_doc.tolist()
     assert np.allclose(scores, e_score)
     assert max(docids) > 250  # delta docs reachable through WAND
+
+
+def test_sparse_delta_docids_and_empty_tombstones(ray_session, tmp_path_factory):
+    """Sparse docid deltas must advance next_docid past the delta MAX
+    (regression: base+count let later deltas overlap); an empty
+    tombstone set must be a no-op, not a crash."""
+    root = tmp_path_factory.mktemp("sparse")
+    full = pq.read_table(f"{SF}/documents.parquet")
+    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
+    base_f = str(root / "base.parquet")
+    pq.write_table(full.filter(pa.array(ids <= 100)), base_f)
+    # delta 1: sparse high docids {150, 320, 480}
+    d1 = full.filter(pa.array(np.isin(ids, [150, 320, 480])))
+    d1_f = str(root / "d1.parquet")
+    pq.write_table(d1, d1_f)
+    idx = str(root / "idx")
+    cfg = BuildConfig(text_columns=("text",), docid_column="doc_id",
+                      n_buckets=4, target_rows_per_shard=100)
+    build_index([base_f], idx, cfg)
+    add_documents(idx, [d1_f])
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert meta["next_docid"] == 481  # past the delta MAX, not 101+3
+    # delta 2 inside d1's range must be rejected BEFORE building
+    d2 = full.filter(pa.array(np.isin(ids, [200, 210])))
+    d2_f = str(root / "d2.parquet")
+    pq.write_table(d2, d2_f)
+    with pytest.raises(ValueError):
+        add_documents(idx, [d2_f])
+    assert not os.path.exists(os.path.join(idx, "delta=001"))  # no orphan dir
+    # empty tombstone set: select still works, compaction is a no-op
+    delete_documents(idx, [])
+    t = IndexedTable(idx, [base_f, d1_f], "doc_id")
+    res = select(t, query="spark", match_columns="text", limit=-1)
+    assert res["hits"] > 0
+    assert compact_index(idx)["rewritten"] == 0

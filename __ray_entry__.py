@@ -46,6 +46,59 @@ df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
 """
 
 
+# SQL restatement of the synthetic suggest query log + learner replay
+# (groonga_ray/pipelines/suggest.py module docstring; reference learner
+# plugins/suggest/suggest.c:848-955). The walk-back break conditions are
+# monotone in sequence position, so the per-submit walk is the windowed
+# self-join `walk` limited by the last prior submit `s`.
+_SUGGEST = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, doc_id % 29 AS seq, toks[1] AS t1, toks[2] AS t2, toks[3] AS t3 FROM docs),
+ev AS (
+  SELECT seq, doc_id, 1 AS ord, doc_id*1000000000 AS time_us, t1 AS item, 0 AS is_submit FROM base
+  UNION ALL SELECT seq, doc_id, 2, doc_id*1000000000 + 10000000, t1 || ' ' || t2, 1 FROM base
+  UNION ALL SELECT seq, doc_id, 3,
+    doc_id*1000000000 + CASE WHEN doc_id % 5 = 0 THEN 80000000 ELSE 30000000 END,
+    t1 || ' ' || t2 || ' ' || t3, 1 FROM base
+),
+seqev AS (SELECT *, row_number() OVER (PARTITION BY seq ORDER BY doc_id, ord) AS rn FROM ev),
+walk AS (
+  SELECT e.seq, e.rn AS ern, e.item AS post, p.rn AS prn, p.item AS pre, p.is_submit AS ptype
+  FROM seqev e JOIN seqev p ON p.seq = e.seq AND p.rn < e.rn
+  WHERE e.is_submit = 1 AND e.time_us - p.time_us < 60000000
+),
+lim AS (SELECT seq, ern, max(CASE WHEN ptype=1 THEN prn END) AS s FROM walk GROUP BY 1,2),
+inc AS (
+  SELECT w.pre, w.post,
+         CASE WHEN l.s IS NOT NULL AND w.prn = l.s THEN 0 ELSE 1 END AS k0,
+         CASE WHEN l.s IS NOT NULL AND w.prn = l.s THEN 1 ELSE 0 END AS k1
+  FROM walk w JOIN lim l ON w.seq = l.seq AND w.ern = l.ern
+  WHERE l.s IS NULL OR w.prn >= l.s
+),
+p01 AS (SELECT pre, post, sum(k0)::BIGINT AS freq0, sum(k1)::BIGINT AS freq1 FROM inc GROUP BY 1,2),
+p2 AS (
+  SELECT tok AS pre, item AS post, count(*)::BIGINT AS freq2
+  FROM (SELECT DISTINCT doc_id, ord, item, unnest(string_split(item,' ')) AS tok
+        FROM ev WHERE is_submit=1)
+  WHERE tok <> item GROUP BY 1,2
+),
+pairs AS (
+  SELECT coalesce(a.pre, b.pre) AS pre, coalesce(a.post, b.post) AS post,
+         coalesce(freq0,0)::BIGINT AS freq0, coalesce(freq1,0)::BIGINT AS freq1,
+         coalesce(b.freq2,0)::BIGINT AS freq2
+  FROM p01 a FULL OUTER JOIN p2 b ON a.pre = b.pre AND a.post = b.post
+),
+evitems AS (SELECT item AS key, count(*)::BIGINT AS freq, sum(is_submit)::BIGINT AS freq2,
+                   max(time_us)::BIGINT AS last_us FROM ev GROUP BY 1),
+tokitems AS (SELECT DISTINCT unnest(string_split(item, ' ')) AS key FROM ev WHERE is_submit = 1),
+items AS (
+  SELECT coalesce(e.key, t.key) AS key, coalesce(freq,0)::BIGINT AS freq,
+         coalesce(freq2,0)::BIGINT AS freq2, last_us
+  FROM evitems e FULL OUTER JOIN tokitems t ON e.key = t.key
+)
+"""
+
+
 def _files(sf_dir: str, name: str) -> list[str]:
     return [os.path.join(sf_dir, f"{name}.parquet")]
 
@@ -1054,6 +1107,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    # ---- suggest family (plugins/suggest/suggest.c; learner 630-1003,
+    # complete/correct/suggest 299-525) over the deterministic synthetic
+    # query log derived from documents (pipelines/suggest.py module doc)
+    def _suggest_ds(sf_dir):
+        from groonga_ray.pipelines.suggest import build_suggest_dataset
+
+        key = hashlib.md5(
+            json.dumps(
+                ["suggest_v1", sf_dir, os.path.getsize(_files(sf_dir, "documents")[0])]
+            ).encode()
+        ).hexdigest()[:16]
+        out = os.path.join(CACHE_ROOT, f"suggest_{key}")
+        if not os.path.exists(os.path.join(out, "pairs.parquet")):
+            build_suggest_dataset(sf_dir, out)
+        return out
+
+    def suggest_items(sf_dir):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(os.path.join(_suggest_ds(sf_dir), "items.parquet"))
+
+    def suggest_pairs(sf_dir):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(os.path.join(_suggest_ds(sf_dir), "pairs.parquet"))
+
+    def suggest_complete(sf_dir):
+        from groonga_ray.pipelines.suggest import SuggestDataset
+
+        return SuggestDataset(_suggest_ds(sf_dir)).complete(
+            "s",
+            frequency_threshold=2,
+            conditional_probability_threshold=0.05,
+            sortby="-_score,_key",
+        )
+
+    def suggest_suggest(sf_dir):
+        import pyarrow.parquet as pq
+
+        d = _suggest_ds(sf_dir)
+        from groonga_ray.pipelines.suggest import SuggestDataset
+
+        pr = pq.read_table(os.path.join(d, "pairs.parquet"))
+        import pyarrow.compute as pc
+
+        q = pc.min(
+            pr.filter(pc.greater(pr.column("freq2"), 0)).column("pre")
+        ).as_py()
+        return SuggestDataset(d).suggest(
+            q,
+            frequency_threshold=1,
+            conditional_probability_threshold=0.05,
+            sortby="-_score,_key",
+        )
+
+    def suggest_correct(sf_dir):
+        import pyarrow.parquet as pq
+
+        d = _suggest_ds(sf_dir)
+        from groonga_ray.pipelines.suggest import SuggestDataset
+
+        pr = pq.read_table(os.path.join(d, "pairs.parquet"))
+        import pyarrow.compute as pc
+
+        q = pc.min(
+            pr.filter(pc.greater(pr.column("freq1"), 0)).column("pre")
+        ).as_py()
+        return SuggestDataset(d).correct(
+            q,
+            frequency_threshold=1,
+            conditional_probability_threshold=0.05,
+            similar_search="no",
+            sortby="-_score,_key",
+        )
+
     return {
         "ft_tokens": ft_tokens,
         "ft_term_tf": ft_term_tf,
@@ -1115,6 +1243,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_box": geo_box,
         "media_decode": media_decode,
         "media_decode_wav": media_decode_wav,
+        "suggest_items": suggest_items,
+        "suggest_pairs": suggest_pairs,
+        "suggest_complete": suggest_complete,
+        "suggest_suggest": suggest_suggest,
+        "suggest_correct": suggest_correct,
     }
 
 
@@ -1471,6 +1604,37 @@ SELECT vec_id, round(dot / (sqrt(n2) * qnorm), 4) AS sim
 FROM dots, qn ORDER BY sim DESC, vec_id LIMIT 10
 """,
         "media_decode": "SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes FROM documents",
+        "suggest_items": f"{_SUGGEST} SELECT * FROM items ORDER BY key",
+        "suggest_pairs": f"{_SUGGEST} SELECT * FROM pairs ORDER BY pre, post",
+        "suggest_complete": f"""{_SUGGEST},
+prefixed AS (
+  SELECT key AS k, 1 + freq AS score FROM items WHERE key LIKE 's%' AND 1 + freq >= 2
+), co AS (
+  SELECT pr.post AS k, pr.freq0 AS score
+  FROM pairs pr JOIN items i ON i.key = pr.post
+  WHERE pr.pre = 's' AND pr.freq0 >= 2 AND i.freq >= 2
+        AND CASE WHEN i.freq2 > 0 THEN pr.freq0::DOUBLE / i.freq2 ELSE 0.0 END >= 0.05
+)
+SELECT k AS _key, sum(score)::INTEGER AS _score
+FROM (SELECT * FROM prefixed UNION ALL SELECT * FROM co)
+GROUP BY 1 ORDER BY _score DESC, _key LIMIT 10
+""",
+        "suggest_suggest": f"""{_SUGGEST}
+SELECT pr.post AS _key, pr.freq2::INTEGER AS _score
+FROM pairs pr JOIN items i ON i.key = pr.post
+WHERE pr.pre = (SELECT min(pre) FROM pairs WHERE freq2 > 0)
+      AND pr.freq2 >= 1 AND i.freq >= 1
+      AND CASE WHEN i.freq2 > 0 THEN pr.freq2::DOUBLE / i.freq2 ELSE 0.0 END >= 0.05
+ORDER BY _score DESC, _key LIMIT 10
+""",
+        "suggest_correct": f"""{_SUGGEST}
+SELECT pr.post AS _key, pr.freq1::INTEGER AS _score
+FROM pairs pr JOIN items i ON i.key = pr.post
+WHERE pr.pre = (SELECT min(pre) FROM pairs WHERE freq1 > 0)
+      AND pr.freq1 >= 1 AND i.freq >= 1
+      AND CASE WHEN i.freq2 > 0 THEN pr.freq1::DOUBLE / i.freq2 ELSE 0.0 END >= 0.05
+ORDER BY _score DESC, _key LIMIT 10
+""",
         # minhash_bands / simhash / langid / ann_lsh / ann_ivf_probe:
         # deterministic but not SQL-expressible (hash permutations,
         # heuristic model, probe subsetting) -> rows-only

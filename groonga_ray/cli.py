@@ -127,6 +127,47 @@ def cmd_dump(args):
                 break
 
 
+def cmd_suggest_learn(args):
+    """groonga-suggest-learner analogue
+    (src/suggest/groonga_suggest_learner.c): replay a query-log parquet
+    of event rows (seq, doc_id, ord, time_us, item, is_submit) into the
+    learned items/pairs dataset."""
+    import ray.data
+
+    from .pipelines.suggest import learn_to_dir
+
+    _ray_init(args.num_cpus)
+    events = ray.data.read_parquet(sorted(args.files))
+    learn_to_dir(events, args.dataset, weight=args.weight)
+    print(json.dumps({"dataset": args.dataset}))
+
+
+def cmd_suggest(args):
+    """The `suggest` command (plugins/suggest/suggest.c:548-627):
+    --types complete|correct|suggest over a learned dataset."""
+    from .pipelines.suggest import run_suggest
+
+    out = run_suggest(
+        args.dataset,
+        args.types,
+        args.query,
+        sortby=args.sortby,
+        output_columns=tuple(args.output_columns.split(",")),
+        offset=args.offset,
+        limit=args.limit,
+        frequency_threshold=args.frequency_threshold,
+        conditional_probability_threshold=args.conditional_probability_threshold,
+        prefix_search=args.prefix_search,
+        similar_search=args.similar_search,
+    )
+    env = {}
+    for typ, tbl in out.items():
+        cols = [[n, str(tbl.column(n).type)] for n in tbl.column_names]
+        rows = [list(r) for r in zip(*[tbl.column(n).to_pylist() for n in tbl.column_names])]
+        env[typ] = [[tbl.num_rows], cols, *rows]
+    print(json.dumps(env, ensure_ascii=False))
+
+
 def cmd_status(args):
     import os
 
@@ -226,6 +267,29 @@ def main(argv=None):
     tr = sub.add_parser("truncate")
     tr.add_argument("--index", required=True)
     tr.set_defaults(fn=cmd_truncate)
+
+    sl = sub.add_parser("suggest-learn")
+    sl.add_argument("--dataset", required=True)
+    sl.add_argument("--weight", type=int, default=1)
+    sl.add_argument("--num-cpus", type=int, default=None)
+    sl.add_argument("files", nargs="+")
+    sl.set_defaults(fn=cmd_suggest_learn)
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("--dataset", required=True)
+    sg.add_argument("--types", required=True)
+    sg.add_argument("--query", required=True)
+    sg.add_argument("--sortby", default="-_score")
+    sg.add_argument("--output-columns", dest="output_columns", default="_key,_score")
+    sg.add_argument("--offset", type=int, default=0)
+    sg.add_argument("--limit", type=int, default=10)
+    sg.add_argument("--frequency-threshold", type=int, default=100)
+    sg.add_argument(
+        "--conditional-probability-threshold", type=float, default=0.2
+    )
+    sg.add_argument("--prefix-search", default="auto", choices=["yes", "no", "auto"])
+    sg.add_argument("--similar-search", default="auto", choices=["yes", "no", "auto"])
+    sg.set_defaults(fn=cmd_suggest)
 
     args = p.parse_args(argv)
     args.fn(args)

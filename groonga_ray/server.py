@@ -1,0 +1,365 @@
+"""HTTP command server — the analogue of the reference's built-in HTTP
+mode.
+
+Reference: request handling src/groonga.c:969-1307 (``do_htreq_get`` /
+``do_htreq_post``), URI → command dispatch lib/ctx.c:1327-1416
+(``grn_ctx_qe_exec_uri``: ``/d/<command>?arg=value&...``, CGI-decoded
+args bound to the command's vars, ``output_type`` consumed separately),
+status line mapping src/groonga.c:726-737, and the command-version-1
+JSON envelope ``[[rc, started, elapsed], body]`` (lib/output.c; error
+form appends the message).
+
+Scope: JSON output only (xml/tsv/msgpack are scoped out, SURVEY §2.1);
+GET and POST-as-query-string. The server is a thin stdlib
+``ThreadingHTTPServer`` over the engine: index state (lexicon, stats,
+doclens, posting caches) is loaded once per process and shared by
+request threads — the reference's thread-per-connection over a shared
+mmap'd database (SURVEY §4). At scale the same class runs on every
+node of a serving tier behind any HTTP balancer; the index directory
+is immutable shared storage, so servers are stateless replicas.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pyarrow as pa
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlsplit
+
+SUCCESS = 0
+GRN_INVALID_ARGUMENT = -22  # include/groonga/groonga.h rc values
+GRN_UNKNOWN_ERROR = -1
+
+
+def _split_cols(v: str | None, default=("_id", "_score")):
+    if not v:
+        return tuple(default)
+    return tuple(c.strip() for c in v.split(",") if c.strip())
+
+
+def _table_envelope(tbl, score_int32=True) -> list:
+    """One result set in the v1 shape ``[[nhits], [[name, type]...],
+    rows...]`` (lib/output.c:1130-1180)."""
+    from . import score as score_mod
+
+    cols = []
+    body_cols = []
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if name == "_score" and score_int32 and pa.types.is_floating(col.type):
+            cols.append(["_score", "Int32"])
+            body_cols.append(score_mod.score_int32(col.to_numpy()).tolist())
+        elif name == "_id":
+            cols.append(["_id", "UInt32"])
+            body_cols.append([int(v) for v in col.to_pylist()])
+        else:
+            cols.append([name, str(col.type)])
+            body_cols.append(col.to_pylist())
+    rows = [list(r) for r in zip(*body_cols)] if body_cols else []
+    return [[tbl.num_rows], cols, *rows]
+
+
+class CommandServer:
+    """``groonga --protocol http`` analogue: serve the registered
+    command set over ``/d/<command>``.
+
+    ``tables`` maps select's ``table=`` argument to
+    :class:`~groonga_ray.engine.IndexedTable` handles; ``suggest_datasets``
+    maps the suggest command's ``table=`` argument to learned dataset
+    directories (plugins/suggest: the dataset name selects the
+    item/pair tables)."""
+
+    def __init__(
+        self,
+        tables: dict | None = None,
+        suggest_datasets: dict[str, str] | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        self.tables = tables or {}
+        self.suggest_datasets = suggest_datasets or {}
+        self._commands = {
+            "select": self._cmd_select,
+            "status": self._cmd_status,
+            "tokenize": self._cmd_tokenize,
+            "normalize": self._cmd_normalize,
+            "suggest": self._cmd_suggest,
+            "shutdown": self._cmd_shutdown,
+        }
+        self._started = time.time()
+        self._n_queries = 0
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                server._handle(self, self.path)
+
+            def do_POST(self):
+                # POST body is a query string continuation
+                # (do_htreq_post, src/groonga.c:1171-1293)
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length).decode("utf-8") if length else ""
+                path = self.path
+                if body:
+                    path = path + ("&" if "?" in path else "?") + body
+                server._handle(self, path)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ lifecycle
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def start(self) -> tuple[str, int]:
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.address
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------- dispatch
+    def register_command(self, name: str, fn) -> None:
+        """Plugin surface: command procs registered at runtime
+        (grn_proc registration, lib/proc.c:5600+)."""
+        self._commands[name] = fn
+
+    def _handle(self, req: BaseHTTPRequestHandler, rawpath: str) -> None:
+        started = time.time()
+        parts = urlsplit(rawpath)
+        path = parts.path
+        params = {k: v for k, v in parse_qsl(parts.query, keep_blank_values=True)}
+        params.pop("output_type", None)  # json only
+        params.pop("command_version", None)  # v1 only
+        status = 200
+        rc = SUCCESS
+        body = None
+        err = None
+        shutdown = False
+        if not path.startswith("/d/"):
+            status, rc, err = 404, GRN_INVALID_ARGUMENT, f"not found: {path}"
+        else:
+            name = path[3:]
+            if name.endswith(".json"):
+                name = name[: -len(".json")]
+            fn = self._commands.get(name)
+            if fn is None:
+                # invalid command name (lib/ctx.c:1392)
+                status, rc, err = 400, GRN_INVALID_ARGUMENT, f"invalid command name: {name}"
+            else:
+                try:
+                    body = fn(params)
+                    if name == "shutdown":
+                        shutdown = True
+                    self._n_queries += 1
+                except (KeyError, ValueError) as e:
+                    status, rc, err = 400, GRN_INVALID_ARGUMENT, str(e)
+                except Exception as e:  # noqa: BLE001 - envelope everything
+                    status, rc, err = 500, GRN_UNKNOWN_ERROR, f"{type(e).__name__}: {e}"
+        elapsed = time.time() - started
+        head = [rc, round(started, 6), round(elapsed, 6)]
+        if err is not None:
+            head.append(err)
+            env = [head]
+        else:
+            env = [head, body] if body is not None else [head]
+        payload = json.dumps(env, ensure_ascii=False).encode("utf-8")
+        try:
+            req.send_response(status)
+            req.send_header("Content-Type", "application/json")
+            req.send_header("Content-Length", str(len(payload)))
+            req.end_headers()
+            req.wfile.write(payload)
+        except BrokenPipeError:
+            pass
+        if shutdown:
+            threading.Thread(target=self.stop, daemon=True).start()
+
+    # ------------------------------------------------------------- commands
+    def _table(self, params: dict):
+        name = params.get("table")
+        if not name:
+            if len(self.tables) == 1:
+                return next(iter(self.tables.values()))
+            raise KeyError("table is required")
+        if name not in self.tables:
+            raise KeyError(f"unknown table: {name}")
+        return self.tables[name]
+
+    def _cmd_select(self, params: dict) -> list:
+        """``/d/select`` (grn_select surface, lib/proc.c:876-1195).
+        ``scorer`` is the score-updating expression like the reference
+        (our engine's ``scorer_expr``); drilldown result sets follow
+        the main set in the body."""
+        from .engine import select
+
+        table = self._table(params)
+        kwargs: dict = {}
+        for k in ("query", "filter", "match_columns", "adjuster", "query_flags"):
+            if params.get(k):
+                kwargs[k] = params[k]
+        if params.get("scorer"):
+            kwargs["scorer_expr"] = params["scorer"]
+        if params.get("sortby"):
+            kwargs["sortby"] = params["sortby"]
+        kwargs["output_columns"] = _split_cols(params.get("output_columns"))
+        for k in ("offset", "limit", "drilldown_limit", "match_escalation_threshold"):
+            if params.get(k) is not None and params.get(k) != "":
+                kwargs[k] = int(params[k])
+        for k in ("drilldown", "drilldown_sortby", "drilldown_calc_target"):
+            if params.get(k):
+                kwargs[k] = params[k]
+        if params.get("drilldown_calc_types"):
+            kwargs["drilldown_calc_types"] = tuple(
+                t.strip() for t in params["drilldown_calc_types"].split(",")
+            )
+        labeled = self._parse_labeled_drilldowns(params)
+        if labeled:
+            kwargs["drilldowns"] = labeled
+        res = select(table, **kwargs)
+        sets = [self._result_env(res)]
+        if res.get("drilldown") is not None:
+            sets.append(_table_envelope(res["drilldown"], score_int32=False))
+        if res.get("drilldowns"):
+            # labeled drilldowns are a map of result sets (lib/proc.c:783)
+            sets.append(
+                {
+                    label: _table_envelope(t, score_int32=False)
+                    for label, t in res["drilldowns"].items()
+                }
+            )
+        return sets
+
+    @staticmethod
+    def _parse_labeled_drilldowns(params: dict) -> dict:
+        """``drilldowns[label].keys=a,b&drilldowns[label].limit=5`` →
+        the engine's labeled-drilldown spec (the reference accepts both
+        ``drilldowns[...]`` and legacy ``drilldown[...]`` prefixes,
+        lib/proc.c:783-874)."""
+        specs: dict[str, dict] = {}
+        for k, v in params.items():
+            for prefix in ("drilldowns[", "drilldown["):
+                if k.startswith(prefix) and "]." in k:
+                    label, _, attr = k[len(prefix):].partition("].")
+                    spec = specs.setdefault(label, {})
+                    if attr == "keys":
+                        spec["keys"] = [c.strip() for c in v.split(",") if c.strip()]
+                    elif attr in ("limit", "offset"):
+                        spec[attr] = int(v)
+                    elif attr == "calc_types":
+                        spec["calc_types"] = tuple(t.strip() for t in v.split(","))
+                    elif attr in ("sortby", "sort_keys"):
+                        spec["sortby"] = v
+                    elif attr == "calc_target":
+                        spec["calc_target"] = v
+                    break
+        return specs
+
+    def _result_env(self, res: dict) -> list:
+        env = _table_envelope(res["rows"])
+        env[0] = [res["hits"]]
+        return env
+
+    def _cmd_status(self, params: dict) -> dict:
+        """``/d/status`` (proc_status, lib/proc.c:1240-1290)."""
+        import groonga_ray
+
+        return {
+            "uptime": int(time.time() - self._started),
+            "starttime": int(self._started),
+            "n_queries": self._n_queries,
+            "version": getattr(groonga_ray, "__version__", "0"),
+            "tables": sorted(self.tables),
+            "suggest_datasets": sorted(self.suggest_datasets),
+        }
+
+    def _cmd_tokenize(self, params: dict) -> list:
+        """``/d/tokenize`` (proc_tokenize, lib/proc.c:3779-3894)."""
+        from .tokenize import tokenize
+
+        tokenizer = params.get("tokenizer") or "TokenBigram"
+        string = params["string"]
+        mode = (params.get("mode") or "ADD").lower()
+        stream = tokenize(string, tokenizer, mode=mode)
+        return [
+            {"value": t.term, "position": t.pos} for t in stream.tokens
+        ]
+
+    def _cmd_normalize(self, params: dict) -> dict:
+        """``/d/normalize`` (proc_normalize, lib/proc.c:3896-3955)."""
+        from .normalize import normalize
+
+        norm, classes, _blanks = normalize(params["string"])
+        return {"normalized": norm, "types": classes.tolist()}
+
+    def _cmd_suggest(self, params: dict) -> dict:
+        """``/d/suggest`` (plugins/suggest/suggest.c:548-627): one
+        result set per requested type."""
+        from .pipelines.suggest import run_suggest
+
+        name = params.get("table")
+        if not name:
+            if len(self.suggest_datasets) == 1:
+                name = next(iter(self.suggest_datasets))
+            else:
+                raise KeyError("table is required")
+        if name not in self.suggest_datasets:
+            raise KeyError(f"unknown suggest dataset: {name}")
+        kwargs: dict = {}
+        if params.get("sortby"):
+            kwargs["sortby"] = params["sortby"]
+        kwargs["output_columns"] = _split_cols(
+            params.get("output_columns"), default=("_key", "_score")
+        )
+        for k, conv in (
+            ("offset", int),
+            ("limit", int),
+            ("frequency_threshold", int),
+            ("conditional_probability_threshold", float),
+        ):
+            if params.get(k):
+                kwargs[k] = conv(params[k])
+        for k in ("prefix_search", "similar_search"):
+            if params.get(k):
+                kwargs[k] = params[k]
+        out = run_suggest(
+            self.suggest_datasets[name],
+            params["types"],
+            params.get("query", ""),
+            **kwargs,
+        )
+        return {typ: _table_envelope(tbl, score_int32=False) for typ, tbl in out.items()}
+
+    def _cmd_shutdown(self, params: dict) -> bool:
+        """``/d/shutdown`` (proc_shutdown): acknowledge, then stop."""
+        return True
+
+
+def serve(
+    tables: dict | None = None,
+    suggest_datasets: dict[str, str] | None = None,
+    host: str = "127.0.0.1",
+    port: int = 10041,  # the reference's default HTTP port
+):
+    """Blocking entry point (``groonga -d --protocol http`` analogue)."""
+    srv = CommandServer(tables, suggest_datasets, host, port)
+    srv.start()
+    try:
+        while srv._thread and srv._thread.is_alive():
+            srv._thread.join(1)
+    except KeyboardInterrupt:
+        srv.stop()
+    return srv

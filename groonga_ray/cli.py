@@ -189,6 +189,19 @@ def cmd_truncate(args):
     print(json.dumps([[0, 0.0, 0.0], True]))
 
 
+def cmd_register(args):
+    """proc_register analogue. With trailing arguments, dispatches
+    them as a follow-up command after loading — so a plugin-registered
+    command is usable in the same invocation (the REPL pattern:
+    ``register x`` then the command)."""
+    from .plugin import register
+
+    register(args.path)
+    print(json.dumps([[0, 0.0, 0.0], True]))
+    if args.rest:
+        main(args.rest)
+
+
 CUSTOM_COMMANDS: dict[str, object] = {}
 
 
@@ -268,6 +281,11 @@ def main(argv=None):
     tr.add_argument("--index", required=True)
     tr.set_defaults(fn=cmd_truncate)
 
+    rg = sub.add_parser("register")
+    rg.add_argument("path", help="dotted module name or .py file")
+    rg.add_argument("rest", nargs=argparse.REMAINDER)
+    rg.set_defaults(fn=cmd_register)
+
     sl = sub.add_parser("suggest-learn")
     sl.add_argument("--dataset", required=True)
     sl.add_argument("--weight", type=int, default=1)
@@ -300,4 +318,12 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    if __package__:
+        # run via `python -m groonga_ray.cli`: delegate to the canonical
+        # module object so plugins that import groonga_ray.cli register
+        # into the same CUSTOM_COMMANDS the dispatcher consults
+        from groonga_ray.cli import main as _main
+
+        _main()
+    else:
+        main()

@@ -15,6 +15,7 @@ Also parses ``match_columns`` specs: ``content``,
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -322,6 +323,20 @@ def parse_match_columns(spec: str) -> MatchSpec:
             scorer = "tf_idf" if name == "scorer_tf_idf" else "bm25"
             spec = spec[len(name) + 1 : -1]
             break
+    else:
+        # registered custom scorers are callable by name, with or
+        # without the conventional scorer_ prefix (grn_scorer_register
+        # names are used verbatim in match_columns, scorer.h:86)
+        m = re.match(r"^(\w+)\((.*)\)$", spec)
+        if m and scorer == "default":
+            from .search import CUSTOM_SCORERS
+
+            name = m.group(1)
+            stripped = name[len("scorer_"):] if name.startswith("scorer_") else name
+            if name in CUSTOM_SCORERS:
+                scorer, spec = name, m.group(2)
+            elif stripped in CUSTOM_SCORERS:
+                scorer, spec = stripped, m.group(2)
     sections = []
     for part in spec.split("||"):
         part = part.strip()

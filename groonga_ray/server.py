@@ -88,6 +88,9 @@ class CommandServer:
             "normalize": self._cmd_normalize,
             "suggest": self._cmd_suggest,
             "shutdown": self._cmd_shutdown,
+            "register": self._cmd_register,
+            "table_list": self._cmd_table_list,
+            "column_list": self._cmd_column_list,
         }
         self._started = time.time()
         self._n_queries = 0
@@ -346,6 +349,54 @@ class CommandServer:
     def _cmd_shutdown(self, params: dict) -> bool:
         """``/d/shutdown`` (proc_shutdown): acknowledge, then stop."""
         return True
+
+    def _cmd_register(self, params: dict) -> bool:
+        """``/d/register?path=<module-or-file>`` (proc_register →
+        grn_plugin_register): load a Python plugin module into this
+        server process. The module's ``plugin_register()`` hook may
+        call ``server_ref.register_command`` via
+        :data:`groonga_ray.plugin` registries."""
+        from . import plugin
+
+        plugin.register(params["path"])
+        return True
+
+    def _cmd_table_list(self, params: dict) -> list:
+        """``/d/table_list`` (proc_table_list, lib/proc.c): one row per
+        registered table — (id, name, path, flags, domain)."""
+        header = [
+            ["id", "UInt32"], ["name", "ShortText"], ["path", "ShortText"],
+            ["flags", "ShortText"], ["domain", "ShortText"],
+        ]
+        rows = []
+        for i, name in enumerate(sorted(self.tables), start=1):
+            t = self.tables[name]
+            rows.append(
+                [i, name, t.index_dir, "TABLE_PAT_KEY|PERSISTENT",
+                 t.docid_column or "_id"]
+            )
+        return [[len(rows)], header, *rows]
+
+    def _cmd_column_list(self, params: dict) -> list:
+        """``/d/column_list?table=<name>`` (proc_column_list): one row
+        per source column — (id, name, type, flags, source) with the
+        indexed text sections flagged COLUMN_INDEX-style."""
+        import pyarrow.parquet as pq
+
+        t = self._table(params)
+        schema = pq.read_schema(t.source_files[0])
+        sections = set(t.reader().meta.get("sections", []))
+        header = [
+            ["id", "UInt32"], ["name", "ShortText"], ["type", "ShortText"],
+            ["flags", "ShortText"], ["source", "ShortText"],
+        ]
+        rows = []
+        for i, field in enumerate(schema, start=1):
+            flags = "COLUMN_SCALAR|PERSISTENT"
+            if field.name in sections:
+                flags += "|WITH_POSITION|INDEXED"
+            rows.append([i, field.name, str(field.type), flags, ""])
+        return [[len(rows)], header, *rows]
 
 
 def serve(

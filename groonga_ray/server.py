@@ -91,7 +91,11 @@ class CommandServer:
             "register": self._cmd_register,
             "table_list": self._cmd_table_list,
             "column_list": self._cmd_column_list,
+            "load": self._cmd_load,
+            "delete": self._cmd_delete,
+            "defrag": self._cmd_defrag,
         }
+        self._mutate_lock = threading.Lock()
         self._started = time.time()
         self._n_queries = 0
         server = self
@@ -106,11 +110,19 @@ class CommandServer:
                 server._handle(self, self.path)
 
             def do_POST(self):
-                # POST body is a query string continuation
-                # (do_htreq_post, src/groonga.c:1171-1293)
+                # POST body: for load it is the JSON values payload
+                # (do_htreq_post src/groonga.c:1171-1293 routes the body
+                # to the load command's values); for every other command
+                # it is a query-string continuation
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length).decode("utf-8") if length else ""
                 path = self.path
+                cmd = urlsplit(path).path
+                if cmd.endswith(".json"):
+                    cmd = cmd[: -len(".json")]
+                if cmd == "/d/load" and body.lstrip()[:1] in ("[", "{"):
+                    server._handle(self, path, body_values=body)
+                    return
                 if body:
                     path = path + ("&" if "?" in path else "?") + body
                 server._handle(self, path)
@@ -140,11 +152,15 @@ class CommandServer:
         (grn_proc registration, lib/proc.c:5600+)."""
         self._commands[name] = fn
 
-    def _handle(self, req: BaseHTTPRequestHandler, rawpath: str) -> None:
+    def _handle(
+        self, req: BaseHTTPRequestHandler, rawpath: str, body_values: str | None = None
+    ) -> None:
         started = time.time()
         parts = urlsplit(rawpath)
         path = parts.path
         params = {k: v for k, v in parse_qsl(parts.query, keep_blank_values=True)}
+        if body_values is not None:
+            params["values"] = body_values
         params.pop("output_type", None)  # json only
         params.pop("command_version", None)  # v1 only
         status = 200
@@ -345,6 +361,94 @@ class CommandServer:
             **kwargs,
         )
         return {typ: _table_envelope(tbl, score_int32=False) for typ, tbl in out.items()}
+
+    def _cmd_load(self, params: dict) -> list:
+        """``/d/load?table=X`` with JSON values (POST body or
+        ``values=`` param) — proc_load (lib/proc.c:1371-1390) over the
+        LSM delta path: records land in a new Parquet file under the
+        index's ``loads/`` dir and are indexed as an immutable delta
+        segment (``build.add_documents``); the table handle is swapped
+        to include the new source file so filters/scans see the rows.
+        Requires a docid-column table (rank-based tables renumber on
+        re-sort, so incremental load is rejected for them); docids must
+        exceed the base's. Returns ``[n_loaded]`` like the reference."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from . import build as build_mod
+        from .engine import IndexedTable
+
+        name = params.get("table")
+        t = self._table(params)
+        if not t.docid_column:
+            raise ValueError("load requires a docid-column table")
+        records = json.loads(params["values"])
+        if isinstance(records, dict):
+            records = [records]
+        if not records:
+            return [0]
+        tbl = pa.Table.from_pylist(records)
+        if t.docid_column not in tbl.column_names:
+            raise ValueError(f"records must carry {t.docid_column}")
+        with self._mutate_lock:
+            loads_dir = os.path.join(t.index_dir, "loads")
+            os.makedirs(loads_dir, exist_ok=True)
+            path = os.path.join(loads_dir, f"load_{len(os.listdir(loads_dir)):05d}.parquet")
+            pq.write_table(tbl, path)
+            try:
+                build_mod.add_documents(t.index_dir, [path])
+            except Exception:
+                os.unlink(path)
+                raise
+            new_t = IndexedTable(
+                t.index_dir, list(t.source_files) + [path], t.docid_column, t.refs
+            )
+            if name:
+                self.tables[name] = new_t
+            else:
+                self.tables[next(iter(self.tables))] = new_t
+        return [tbl.num_rows]
+
+    def _cmd_delete(self, params: dict) -> bool:
+        """``/d/delete?table=X&id=N | key=K | filter=EXPR`` —
+        proc_delete (lib/proc.c): resolve the victim docids (key =
+        equality on the docid column; filter = any script expression)
+        and tombstone them (``build.delete_documents``)."""
+        from . import build as build_mod
+        from .engine import select
+
+        t = self._table(params)
+        if params.get("id"):
+            docids = [int(params["id"])]
+        else:
+            if params.get("key"):
+                if not t.docid_column:
+                    raise ValueError("key delete requires a docid-column table")
+                kv = params["key"]
+                lit = kv if kv.lstrip("-").isdigit() else json.dumps(kv)
+                flt = f"{t.docid_column} == {lit}"
+            elif params.get("filter"):
+                flt = params["filter"]
+            else:
+                raise ValueError("delete needs id, key or filter")
+            res = select(t, filter=flt, output_columns=("_id",), limit=-1)
+            docids = res["rows"].column("_id").to_pylist()
+            if not docids:
+                return True
+        with self._mutate_lock:
+            build_mod.delete_documents(t.index_dir, docids)
+        return True
+
+    def _cmd_defrag(self, params: dict) -> bool:
+        """``/d/defrag`` (proc_defrag analogue): fold tombstones out of
+        the posting partitions via the distributed compaction job."""
+        from . import build as build_mod
+
+        t = self._table(params)
+        with self._mutate_lock:
+            build_mod.compact_index(t.index_dir)
+        return True
 
     def _cmd_shutdown(self, params: dict) -> bool:
         """``/d/shutdown`` (proc_shutdown): acknowledge, then stop."""

@@ -22,12 +22,15 @@ is immutable shared storage, so servers are stateless replicas.
 from __future__ import annotations
 
 import json
+import logging
 import threading
 import time
-
-import pyarrow as pa
+from collections import OrderedDict
+from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlsplit
+
+import pyarrow as pa
 
 SUCCESS = 0
 GRN_INVALID_ARGUMENT = -22  # include/groonga/groonga.h rc values
@@ -62,6 +65,22 @@ def _table_envelope(tbl, score_int32=True) -> list:
     return [[tbl.num_rows], cols, *rows]
 
 
+@dataclass
+class TableDef:
+    """A created-but-not-yet-loaded table (proc_table_create /
+    proc_column_create surface, lib/proc.c). Materialized into a real
+    index on the first load; until then select returns an empty set."""
+
+    name: str
+    flags: str = "TABLE_PAT_KEY"
+    key_type: str = "ShortText"
+    default_tokenizer: str = "TokenBigram"
+    normalizer: str = ""
+    token_filters: tuple = ()
+    columns: dict = field(default_factory=dict)   # name -> type
+    indexed: set = field(default_factory=set)     # sources with an index column
+
+
 class CommandServer:
     """``groonga --protocol http`` analogue: serve the registered
     command set over ``/d/<command>``.
@@ -78,9 +97,15 @@ class CommandServer:
         suggest_datasets: dict[str, str] | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        data_dir: str | None = None,
     ):
         self.tables = tables or {}
         self.suggest_datasets = suggest_datasets or {}
+        self.data_dir = data_dir          # home of table_create'd tables
+        self.pending: dict[str, TableDef] = {}
+        self._auto_id: set[str] = set()   # tables whose _id the server assigns
+        self._select_cache: OrderedDict[str, list] = OrderedDict()
+        self._cache_max = 100             # grn_cache default max entries
         self._commands = {
             "select": self._cmd_select,
             "status": self._cmd_status,
@@ -94,6 +119,22 @@ class CommandServer:
             "load": self._cmd_load,
             "delete": self._cmd_delete,
             "defrag": self._cmd_defrag,
+            "table_create": self._cmd_table_create,
+            "column_create": self._cmd_column_create,
+            "table_remove": self._cmd_table_remove,
+            "table_rename": self._cmd_table_rename,
+            "table_tokenize": self._cmd_table_tokenize,
+            "define_selector": self._cmd_define_selector,
+            "tokenizer_list": self._cmd_tokenizer_list,
+            "normalizer_list": self._cmd_normalizer_list,
+            "cache_limit": self._cmd_cache_limit,
+            "log_level": self._cmd_log_level,
+            "log_put": self._cmd_log_put,
+            "log_reopen": lambda p: True,
+            "clearlock": self._cmd_clearlock,
+            "lock_clear": self._cmd_clearlock,
+            "quit": lambda p: True,
+            "request_cancel": self._cmd_request_cancel,
         }
         self._mutate_lock = threading.Lock()
         self._started = time.time()
@@ -225,6 +266,17 @@ class CommandServer:
         the main set in the body."""
         from .engine import select
 
+        if params.get("table") in self.pending:
+            # created but never loaded: empty result set
+            return [[[0], [["_id", "UInt32"], ["_score", "Int32"]]]]
+        use_cache = params.get("cache") != "no"
+        cache_key = None
+        if use_cache and self._cache_max > 0:
+            cache_key = json.dumps(sorted(params.items()))
+            hit = self._select_cache.get(cache_key)
+            if hit is not None:
+                self._select_cache.move_to_end(cache_key)
+                return hit
         table = self._table(params)
         kwargs: dict = {}
         for k in ("query", "filter", "match_columns", "adjuster", "query_flags"):
@@ -260,6 +312,10 @@ class CommandServer:
                     for label, t in res["drilldowns"].items()
                 }
             )
+        if cache_key is not None:
+            self._select_cache[cache_key] = sets
+            while len(self._select_cache) > self._cache_max:
+                self._select_cache.popitem(last=False)
         return sets
 
     @staticmethod
@@ -380,14 +436,25 @@ class CommandServer:
         from .engine import IndexedTable
 
         name = params.get("table")
-        t = self._table(params)
-        if not t.docid_column:
-            raise ValueError("load requires a docid-column table")
         records = json.loads(params["values"])
         if isinstance(records, dict):
             records = [records]
         if not records:
             return [0]
+        if name in self.pending:
+            return self._materialize_load(name, records)
+        t = self._table(params)
+        if not t.docid_column:
+            raise ValueError("load requires a docid-column table")
+        if t.docid_column not in records[0] and (name or next(iter(self.tables))) in self._auto_id:
+            if any(t.docid_column in r for r in records):
+                raise ValueError("mixed explicit/assigned docids in one load")
+            from .build import read_manifest
+
+            meta = read_manifest(os.path.join(t.index_dir, "meta.json"))
+            nxt = int(meta.get("next_docid", 1))
+            for i, r in enumerate(records):
+                r[t.docid_column] = nxt + i
         tbl = pa.Table.from_pylist(records)
         if t.docid_column not in tbl.column_names:
             raise ValueError(f"records must carry {t.docid_column}")
@@ -408,6 +475,67 @@ class CommandServer:
                 self.tables[name] = new_t
             else:
                 self.tables[next(iter(self.tables))] = new_t
+            self._select_cache.clear()
+        return [tbl.num_rows]
+
+    def _materialize_load(self, name: str, records: list) -> list:
+        """First load of a table_create'd table: assign ``_id`` docids
+        1..n, persist the records, build the base index with the
+        table's tokenizer/filter config, and swap the catalog entry to
+        a live IndexedTable."""
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from .build import BuildConfig, build_index, read_manifest, write_manifest
+        from .engine import IndexedTable
+
+        td = self.pending[name]
+        if any("_id" in r for r in records):
+            raise ValueError("_id is assigned by the server on load")
+        for i, r in enumerate(records):
+            r["_id"] = i + 1
+        tbl = pa.Table.from_pylist(records)
+        with self._mutate_lock:
+            if self.data_dir is None:
+                self.data_dir = tempfile.mkdtemp(prefix="groonga_ray_srv_")
+            tdir = os.path.join(self.data_dir, name)
+            loads_dir = os.path.join(tdir, "loads")
+            os.makedirs(loads_dir, exist_ok=True)
+            path = os.path.join(loads_dir, "load_00000.parquet")
+            pq.write_table(tbl, path)
+            text_cols = sorted(
+                c for c in td.indexed
+                if c in tbl.column_names and pa.types.is_string(tbl.schema.field(c).type)
+            )
+            if not text_cols:
+                # no index column declared: index every string column so
+                # query search still works (scan semantics preserved)
+                text_cols = [
+                    f.name for f in tbl.schema
+                    if pa.types.is_string(f.type) and f.name != "_key"
+                ]
+            if not text_cols:
+                raise ValueError("no text column to index")
+            cfg = BuildConfig(
+                text_columns=tuple(text_cols),
+                tokenizer=td.default_tokenizer,
+                token_filters=td.token_filters,
+                docid_column="_id",
+                n_buckets=8,
+            )
+            build_index([path], os.path.join(tdir, "index"), cfg)
+            # stamp the next free docid so follow-up loads (which read
+            # meta["next_docid"] for server-assigned ids) continue here
+            meta_path = os.path.join(tdir, "index", "meta.json")
+            meta = read_manifest(meta_path)
+            meta["next_docid"] = tbl.num_rows + 1
+            write_manifest(meta_path, meta)
+            self.tables[name] = IndexedTable(os.path.join(tdir, "index"), [path], "_id")
+            self._auto_id.add(name)
+            del self.pending[name]
+            self._select_cache.clear()
         return [tbl.num_rows]
 
     def _cmd_delete(self, params: dict) -> bool:
@@ -438,6 +566,7 @@ class CommandServer:
                 return True
         with self._mutate_lock:
             build_mod.delete_documents(t.index_dir, docids)
+            self._select_cache.clear()
         return True
 
     def _cmd_defrag(self, params: dict) -> bool:
@@ -448,11 +577,205 @@ class CommandServer:
         t = self._table(params)
         with self._mutate_lock:
             build_mod.compact_index(t.index_dir)
+            self._select_cache.clear()
         return True
 
     def _cmd_shutdown(self, params: dict) -> bool:
         """``/d/shutdown`` (proc_shutdown): acknowledge, then stop."""
         return True
+
+    # -------------------------------------------------------- DDL commands
+    def _cmd_table_create(self, params: dict) -> bool:
+        """``/d/table_create?name=X&flags=...&key_type=...
+        &default_tokenizer=...&normalizer=...&token_filters=a,b``
+        (proc_table_create): registers a pending table; the first load
+        materializes it as a real index with server-assigned ``_id``
+        docids."""
+        name = params["name"]
+        if not name or name in self.tables or name in self.pending:
+            raise ValueError(f"table already exists or bad name: {name!r}")
+        self.pending[name] = TableDef(
+            name=name,
+            flags=params.get("flags") or "TABLE_PAT_KEY",
+            key_type=params.get("key_type") or "ShortText",
+            default_tokenizer=params.get("default_tokenizer") or "TokenBigram",
+            normalizer=params.get("normalizer") or "",
+            token_filters=tuple(
+                t.strip() for t in (params.get("token_filters") or "").split(",")
+                if t.strip()
+            ),
+        )
+        self._select_cache.clear()
+        return True
+
+    def _cmd_column_create(self, params: dict) -> bool:
+        """``/d/column_create?table=X&name=c&type=T&flags=...&source=s``
+        (proc_column_create). On a pending table: a COLUMN_INDEX flag
+        marks its source column(s) as indexed text sections; otherwise
+        records the scalar column. Built tables are immutable —
+        schema comes from the Parquet sources (documented divergence)."""
+        name = params.get("table")
+        td = self.pending.get(name or "")
+        if td is None:
+            raise ValueError(
+                "column_create requires a pending (not yet loaded) table"
+            )
+        if "COLUMN_INDEX" in (params.get("flags") or ""):
+            for src in (params.get("source") or params.get("sources") or "").split(","):
+                if src.strip():
+                    td.indexed.add(src.strip())
+        else:
+            td.columns[params["name"]] = params.get("type") or "ShortText"
+        return True
+
+    def _cmd_table_remove(self, params: dict) -> bool:
+        """``/d/table_remove?name=X`` (proc_table_remove). Removes the
+        catalog entry; on-disk data of server-created tables is
+        deleted, externally registered tables are only deregistered."""
+        import os
+        import shutil
+
+        name = params.get("name") or params.get("table")
+        if name in self.pending:
+            del self.pending[name]
+        elif name in self.tables:
+            t = self.tables.pop(name)
+            if self.data_dir and t.index_dir.startswith(
+                os.path.join(self.data_dir, "")
+            ):
+                shutil.rmtree(os.path.dirname(t.index_dir), ignore_errors=True)
+            self._auto_id.discard(name)
+        else:
+            raise ValueError(f"unknown table: {name}")
+        self._select_cache.clear()
+        return True
+
+    def _cmd_table_rename(self, params: dict) -> bool:
+        """``/d/table_rename?name=X&new_name=Y`` (proc_table_rename) —
+        catalog rename; files stay in place."""
+        name, new = params["name"], params["new_name"]
+        if new in self.tables or new in self.pending:
+            raise ValueError(f"table already exists: {new}")
+        if name in self.pending:
+            self.pending[new] = self.pending.pop(name)
+            self.pending[new].name = new
+        elif name in self.tables:
+            self.tables[new] = self.tables.pop(name)
+            if name in self._auto_id:
+                self._auto_id.discard(name)
+                self._auto_id.add(new)
+        else:
+            raise ValueError(f"unknown table: {name}")
+        self._select_cache.clear()
+        return True
+
+    def _cmd_table_tokenize(self, params: dict) -> list:
+        """``/d/table_tokenize?table=X&string=...&mode=GET`` —
+        proc_table_tokenize (lib/proc.c:4220): tokenize with the
+        table's configured tokenizer + token-filter chain."""
+        import os
+
+        from .tokenfilters import apply_chain_stream, build_chain
+        from .tokenize import tokenize
+
+        name = params.get("table")
+        mode = (params.get("mode") or "GET").lower()
+        if name in self.pending:
+            td = self.pending[name]
+            tok, tf, sw = td.default_tokenizer, td.token_filters, ()
+        else:
+            from .build import read_manifest
+
+            t = self._table(params)
+            cfg = read_manifest(os.path.join(t.index_dir, "meta.json"))["config"]
+            tok = cfg.get("tokenizer", "TokenCodeWord")
+            tf = tuple(cfg.get("token_filters", ()))
+            sw = tuple(cfg.get("stop_words", ()))
+        stream = tokenize(params["string"], tok, mode=mode)
+        if tf:
+            chain = build_chain({"token_filters": tf, "stop_words": sw})
+            stream = apply_chain_stream(chain, stream, mode)
+        return [{"value": t.term, "position": t.pos} for t in stream.tokens]
+
+    def _cmd_define_selector(self, params: dict) -> bool:
+        """``/d/define_selector?name=X&table=...&query=...``
+        (proc_define_selector): registers a new command that runs
+        select with these parameters as defaults; request parameters
+        override them."""
+        frozen = {k: v for k, v in params.items() if k != "name"}
+        name = params["name"]
+        if not name or name in self._commands:
+            raise ValueError(f"command already exists or bad name: {name!r}")
+
+        def selector(p: dict, _frozen=frozen) -> list:
+            merged = dict(_frozen)
+            merged.update(p)
+            return self._cmd_select(merged)
+
+        self._commands[name] = selector
+        return True
+
+    # ------------------------------------------------------ admin commands
+    def _cmd_tokenizer_list(self, params: dict) -> list:
+        from .tokenize import CUSTOM_TOKENIZERS, TOKENIZERS
+
+        names = sorted(set(TOKENIZERS) | set(CUSTOM_TOKENIZERS) | {"TokenCodeWord"})
+        return [{"name": n} for n in names]
+
+    def _cmd_normalizer_list(self, params: dict) -> list:
+        from .normalize import CUSTOM_NORMALIZERS
+
+        names = sorted(
+            {"NormalizerAuto", "NormalizerNFKC51"} | set(CUSTOM_NORMALIZERS)
+        )
+        return [{"name": n} for n in names]
+
+    def _cmd_cache_limit(self, params: dict) -> int:
+        """``/d/cache_limit?max=N`` (proc_cache_limit): returns the
+        previous max; with ``max`` sets a new one (0 disables)."""
+        prev = self._cache_max
+        if params.get("max") is not None and params.get("max") != "":
+            self._cache_max = int(params["max"])
+            while len(self._select_cache) > self._cache_max:
+                self._select_cache.popitem(last=False)
+        return prev
+
+    def _cmd_log_level(self, params: dict) -> bool:
+        """``/d/log_level?level=warning`` — maps to the package
+        logger's level (proc_log_level)."""
+        levels = {
+            "emergency": logging.CRITICAL, "alert": logging.CRITICAL,
+            "critical": logging.CRITICAL, "error": logging.ERROR,
+            "warning": logging.WARNING, "notice": logging.INFO,
+            "info": logging.INFO, "debug": logging.DEBUG, "dump": logging.DEBUG,
+        }
+        lv = params["level"].lower()
+        if lv not in levels:
+            raise ValueError(f"unknown log level: {lv}")
+        logging.getLogger("groonga_ray").setLevel(levels[lv])
+        return True
+
+    def _cmd_log_put(self, params: dict) -> bool:
+        """``/d/log_put?level=info&message=...`` (proc_log_put)."""
+        lv = {"error": logging.ERROR, "warning": logging.WARNING,
+              "info": logging.INFO, "debug": logging.DEBUG}.get(
+            (params.get("level") or "info").lower(), logging.INFO
+        )
+        logging.getLogger("groonga_ray").log(lv, params.get("message", ""))
+        return True
+
+    def _cmd_clearlock(self, params: dict) -> bool:
+        """``/d/clearlock`` / ``/d/lock_clear``: always true — the
+        index is immutable artifacts + manifests; there are no locks
+        to clear (the reference clears stale io locks after crashes)."""
+        return True
+
+    def _cmd_request_cancel(self, params: dict) -> dict:
+        """``/d/request_cancel?id=X``: requests here are synchronous —
+        by the time a cancel arrives the request has completed, so
+        ``canceled`` is always false (the reference flags an in-flight
+        ctx, lib/request_canceler.c)."""
+        return {"id": params.get("id"), "canceled": False}
 
     def _cmd_register(self, params: dict) -> bool:
         """``/d/register?path=<module-or-file>`` (proc_register →
@@ -473,12 +796,17 @@ class CommandServer:
             ["flags", "ShortText"], ["domain", "ShortText"],
         ]
         rows = []
-        for i, name in enumerate(sorted(self.tables), start=1):
-            t = self.tables[name]
-            rows.append(
-                [i, name, t.index_dir, "TABLE_PAT_KEY|PERSISTENT",
-                 t.docid_column or "_id"]
-            )
+        names = sorted(set(self.tables) | set(self.pending))
+        for i, name in enumerate(names, start=1):
+            if name in self.tables:
+                t = self.tables[name]
+                rows.append(
+                    [i, name, t.index_dir, "TABLE_PAT_KEY|PERSISTENT",
+                     t.docid_column or "_id"]
+                )
+            else:
+                td = self.pending[name]
+                rows.append([i, name, "", td.flags + "|PENDING", "_id"])
         return [[len(rows)], header, *rows]
 
     def _cmd_column_list(self, params: dict) -> list:

@@ -1,0 +1,328 @@
+"""Conformance runner: execute the reference's own command-suite test
+scripts (test/command/suite/**.test) against our command surface and
+compare semantic values with the paired ``.expected`` files.
+
+Reference harness: grntest-style scripts — each line is a command in
+the reference's command-line form (``cmd --name value positional``,
+lib/ctx.c:1529 ``grn_ctx_send`` command-line branch; positional args
+bind to the command's declared vars in order, lib/proc.c DEF_COMMAND
+tables), with ``load`` followed by a multi-line JSON values block.
+The ``.expected`` file interleaves the echoed script with one JSON
+envelope per command.
+
+Comparison is value-level: envelope heads (rc/time), column *type*
+names and column display names are ignored — row values, hit counts,
+normalized strings, types/checks arrays must match exactly. This keeps
+the check honest about semantics while tolerating representation
+differences (our Arrow type names vs groonga's, Int32 score encoding).
+"""
+
+from __future__ import annotations
+
+import json
+
+# positional parameter order per command (lib/proc.c:6749-7020 DEF_VAR
+# tables; select at 6759-6781, load 6785, normalize 6886, tokenize 6891)
+VAR_ORDERS: dict[str, list[str]] = {
+    "select": [
+        "table", "match_columns", "query", "filter", "scorer", "sortby",
+        "output_columns", "offset", "limit", "drilldown", "drilldown_sortby",
+        "drilldown_output_columns", "drilldown_offset", "drilldown_limit",
+        "cache", "match_escalation_threshold", "query_expansion",
+        "query_flags", "query_expander", "adjuster", "drilldown_calc_types",
+        "drilldown_calc_target",
+    ],
+    "define_selector": ["name"],  # + select's vars
+    "load": ["values", "table", "columns", "ifexists", "input_type", "each"],
+    "table_create": [
+        "name", "flags", "key_type", "value_type", "default_tokenizer",
+        "normalizer", "token_filters",
+    ],
+    "table_remove": ["name"],
+    "table_rename": ["name", "new_name"],
+    "column_create": ["table", "name", "flags", "type", "source"],
+    "column_list": ["table"],
+    "normalize": ["normalizer", "string", "flags"],
+    "tokenize": ["tokenizer", "string", "normalizer", "flags", "mode", "token_filters"],
+    "table_tokenize": ["table", "string", "flags", "mode"],
+    "delete": ["table", "key", "id", "filter"],
+    "cache_limit": ["max"],
+    "truncate": ["target_name", "table"],
+    "log_level": ["level"],
+    "log_put": ["level", "message"],
+    "defrag": ["target_name", "threshold"],
+    "clearlock": ["target_name"],
+    "lock_clear": ["target_name"],
+    "register": ["path"],
+    "plugin_register": ["name"],
+    "plugin_unregister": ["name"],
+    "request_cancel": ["id"],
+    "status": [], "table_list": [], "tokenizer_list": [],
+    "normalizer_list": [], "quit": [], "shutdown": [], "log_reopen": [],
+    "dump": ["tables"],
+}
+VAR_ORDERS["define_selector"] = ["name"] + VAR_ORDERS["select"]
+
+
+def split_command_line(line: str) -> list[str]:
+    """Tokenize a command line the way grn_ctx_send's command-line
+    branch does: whitespace-separated, with '...'/"..." quoting and
+    backslash escapes (\\n etc. inside quotes)."""
+    toks: list[str] = []
+    cur: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(line)
+    started = False
+    while i < n:
+        c = line[i]
+        if quote:
+            if c == "\\" and i + 1 < n:
+                nxt = line[i + 1]
+                cur.append({"n": "\n", "t": "\t", "r": "\r"}.get(nxt, nxt))
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+            else:
+                cur.append(c)
+            i += 1
+            continue
+        if c in "'\"":
+            quote = c
+            started = True
+            i += 1
+            continue
+        if c.isspace():
+            if cur or started:
+                toks.append("".join(cur))
+                cur, started = [], False
+            i += 1
+            continue
+        if c == "\\" and i + 1 < n:
+            cur.append(line[i + 1])
+            i += 2
+            continue
+        cur.append(c)
+        i += 1
+    if cur or started:
+        toks.append("".join(cur))
+    return toks
+
+
+def parse_command(line: str) -> tuple[str, dict]:
+    """Command line → (name, params) with positionals bound in the
+    command's declared var order (grn_expr parse_command + DEF_VAR)."""
+    toks = split_command_line(line)
+    if not toks:
+        raise ValueError("empty command")
+    name, toks = toks[0], toks[1:]
+    order = VAR_ORDERS.get(name, [])
+    params: dict[str, str] = {}
+    pos = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.startswith("--"):
+            key = t[2:]
+            val = toks[i + 1] if i + 1 < len(toks) else ""
+            params[key] = val
+            i += 2
+        else:
+            if pos < len(order):
+                params[order[pos]] = t
+            pos += 1
+            i += 1
+    return name, params
+
+
+def parse_script(text: str) -> list[tuple[str, dict]]:
+    """A .test script → [(command, params)]. Handles comment lines
+    (#...), blank lines, trailing-backslash continuations, and load's
+    following JSON values block (balanced-bracket scan)."""
+    lines = text.splitlines()
+    out: list[tuple[str, dict]] = []
+    i = 0
+    while i < len(lines):
+        line = lines[i].rstrip("\n")
+        i += 1
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        while line.rstrip().endswith("\\"):
+            line = line.rstrip()[:-1] + " " + (lines[i] if i < len(lines) else "")
+            i += 1
+        name, params = parse_command(line)
+        if name == "load" and "values" not in params:
+            block, depth, started = [], 0, False
+            while i < len(lines):
+                vline = lines[i]
+                i += 1
+                block.append(vline)
+                for ch in vline:
+                    if ch in "[{":
+                        depth += 1
+                        started = True
+                    elif ch in "]}":
+                        depth -= 1
+                if started and depth == 0:
+                    break
+            params["values"] = "\n".join(block)
+        out.append((name, params))
+    return out
+
+
+def parse_expected(text: str) -> list:
+    """A .expected file → the list of response envelopes, in command
+    order. Envelopes are the top-level JSON values whose first element
+    is the ``[rc, start, elapsed]`` head — the echoed load-values
+    blocks don't match that shape and are skipped."""
+    envs = []
+    dec = json.JSONDecoder()
+    i, n = 0, len(text)
+    while i < n:
+        # candidates start at a line beginning with [ (after stripping)
+        j = text.find("\n", i)
+        line_start = i
+        line = text[i:j if j != -1 else n]
+        i = (j + 1) if j != -1 else n
+        if not line.lstrip().startswith("["):
+            continue
+        start = line_start + (len(line) - len(line.lstrip()))
+        try:
+            val, end = dec.raw_decode(text[start:])
+        except json.JSONDecodeError:
+            continue
+        if (
+            isinstance(val, list) and val
+            and isinstance(val[0], list) and val[0]
+            and isinstance(val[0][0], list) and len(val[0][0]) in (3, 4)
+            and all(isinstance(x, (int, float)) for x in val[0][0][:3])
+        ):
+            # grntest error envelopes are double-wrapped, possibly with
+            # a trailing partial body: [[[-22, t, e], "message"], ""]
+            val = val[0]
+        if (
+            isinstance(val, list) and val
+            and isinstance(val[0], list) and len(val[0]) in (3, 4)
+            and all(isinstance(x, (int, float)) for x in val[0][:3])
+        ):
+            envs.append(val)
+            # skip past this envelope
+            consumed = start + end
+            nl = text.find("\n", consumed)
+            i = (nl + 1) if nl != -1 else n
+    return envs
+
+
+# ------------------------------------------------------------- comparator
+
+def _shape(cmd: str, body):
+    """Reduce a command's body to comparable semantic values."""
+    if cmd == "select":
+        # list of result sets (and labeled-set dicts)
+        shaped = []
+        for s in body:
+            if isinstance(s, dict):
+                shaped.append({k: _shape_set(v) for k, v in sorted(s.items())})
+            else:
+                shaped.append(_shape_set(s))
+        return shaped
+    if cmd in ("tokenize", "table_tokenize"):
+        return [(t["value"], t.get("position")) for t in body]
+    return body
+
+
+def _shape_set(s):
+    # [[nhits], [cols...], rows...] -> {"nhits": n, "rows": [...]}
+    nhits = s[0][0] if s and s[0] else 0
+    return {"nhits": nhits, "rows": [_cell(r) for r in s[2:]]}
+
+
+def _cell(v):
+    if isinstance(v, float) and v == int(v):
+        return int(v)
+    if isinstance(v, list):
+        return [_cell(x) for x in v]
+    return v
+
+
+def compare(cmd: str, ours, expected_env) -> tuple[bool, str]:
+    """Compare our command body against the reference envelope's body.
+    Returns (ok, detail)."""
+    if len(expected_env) < 2:
+        return (ours in (None, True), f"expected no body, got {ours!r}")
+    exp = expected_env[1]
+    a, b = _shape(cmd, ours), _shape(cmd, exp)
+    if cmd in ("tokenize", "table_tokenize"):
+        # reference token output: [{"value":..,"position":..}]
+        b = [(t["value"], t.get("position")) for t in exp]
+        a = [(t["value"], t.get("position")) for t in ours]
+    return (a == b, f"ours={a!r}\nexpected={b!r}")
+
+
+class ScriptRunner:
+    """Run reference .test scripts against a CommandServer's command
+    table (direct dispatch — the HTTP layer is tested separately)."""
+
+    def __init__(self, server):
+        self.server = server
+
+    def execute(self, name: str, params: dict):
+        fn = self.server._commands.get(name)
+        if fn is None:
+            raise ValueError(f"unsupported command: {name}")
+        # select: the reference's natural order is by _id unless sortby,
+        # and its default projection is "_id, _key, *" (proc.c
+        # DEFAULT_OUTPUT_COLUMNS; _key only for keyed tables)
+        if name == "select":
+            params = dict(params)
+            if not params.get("sortby") and not params.get("sort_keys"):
+                params["sortby"] = "_id"
+            if not params.get("output_columns"):
+                cols = "_id,*"
+                t = self.server.tables.get(params.get("table", ""))
+                if t is not None:
+                    import pyarrow.parquet as pq
+
+                    if "_key" in pq.read_schema(t.source_files[0]).names:
+                        cols = "_id,_key,*"
+                params["output_columns"] = cols
+        params.pop("command_version", None)
+        params.pop("output_type", None)
+        return fn(params)
+
+    def run_script(self, text: str) -> list:
+        return [
+            (name, params, self.execute(name, params))
+            for name, params in parse_script(text)
+        ]
+
+    def run_conformance(self, test_path: str, expected_path: str) -> list[dict]:
+        """Execute test_path; compare each command's output against
+        expected_path. Returns one record per command."""
+        with open(test_path) as fh:
+            script = fh.read()
+        with open(expected_path) as fh:
+            expected = parse_expected(fh.read())
+        cmds = parse_script(script)
+        if len(expected) != len(cmds):
+            raise ValueError(
+                f"{test_path}: {len(cmds)} commands vs {len(expected)} envelopes"
+            )
+        out = []
+        for (name, params), env in zip(cmds, expected):
+            err = None
+            try:
+                body = self.execute(name, params)
+            except Exception as e:  # noqa: BLE001 - reported as mismatch
+                body, err = None, f"{type(e).__name__}: {e}"
+            expected_err = bool(env and env[0] and env[0][0] != 0)
+            if err is None and not expected_err:
+                ok, detail = compare(name, body, env)
+            elif err is not None and expected_err:
+                ok, detail = True, "error == expected error"  # both errored
+            elif err is not None:
+                ok, detail = False, err
+            else:
+                ok, detail = False, f"we succeeded, reference errored: {env[0]!r}"
+            out.append({"command": name, "ok": ok, "detail": detail})
+        return out

@@ -1009,7 +1009,13 @@ def select(
     # lib/db.c:11187-11260)
     if "*" in output_columns:
         first = pq.ParquetFile(sorted(table.source_files)[0])
-        all_cols = [n for n in first.schema_arrow.names]
+        # internal columns (_dummy_text) are hidden; columns already
+        # named explicitly are not repeated
+        named = set(output_columns) - {"*"}
+        all_cols = [
+            n for n in first.schema_arrow.names
+            if n not in named and n != "_dummy_text"
+        ]
         output_columns = tuple(
             c for c in output_columns if c != "*"
         ) + tuple(all_cols)
@@ -1028,12 +1034,21 @@ def select(
         from .script import parse_filter as _pf
 
         for c in exprs:
-            m = _re.fullmatch(r"(snippet_html|highlight_html)\((\w+)\)", c.strip())
+            m = _re.fullmatch(r"(snippet_html|highlight_html)\((.+)\)", c.strip())
             if m:
                 # keyword-bearing output functions (lib/proc.c:3998,
-                # 4457): keywords come from the query's match terms
+                # 4457): keywords come from the query's match terms;
+                # the argument may be a column, a string literal, or
+                # any script expression (e.g. title + " " + content)
                 snippet_like[c] = (m.group(1), m.group(2))
-                expr_deps.add(m.group(2))
+                inner = m.group(2)
+                if _re.fullmatch(r"\w+", inner):
+                    expr_deps.add(inner)
+                elif not (inner[0] in "'\"" and inner[-1] in "'\""):
+                    expr_deps.update(
+                        x for x in _pred_columns(_pf(inner))
+                        if x not in ("_id", "_score")
+                    )
                 continue
             ast = _pf(c)
             expr_asts[c] = ast
@@ -1055,7 +1070,23 @@ def select(
                 kw_terms = _collect_query_keywords(query) if query else []
             fn_name, col_name = snippet_like[c]
             fn = _fn.snippet_html if fn_name == "snippet_html" else _fn.highlight_html
-            out[c] = fn(fetched.column(col_name), kw_terms)
+            if _re.fullmatch(r"\w+", col_name):
+                arg = fetched.column(col_name)
+            elif col_name[0] in "'\"" and col_name[-1] in "'\"":
+                arg = pa.array([col_name[1:-1]] * len(docids), pa.string())
+            else:
+                from .script import eval_filter as _ef2
+                from .script import parse_filter as _pf2
+
+                batch = (fetched if fetched is not None else pa.table({})).append_column(
+                    "_id", pa.array(docids, pa.uint64())
+                )
+                arg = _ef2(_pf2(col_name), batch)
+                if isinstance(arg, pa.Scalar):
+                    arg = pa.array([arg.as_py()] * len(docids), pa.string())
+                if isinstance(arg, pa.ChunkedArray):
+                    arg = arg.combine_chunks()
+            out[c] = fn(arg, kw_terms)
         elif c in expr_asts:
             from .script import eval_filter as _ef
 

@@ -28,48 +28,264 @@ __all__ = [
 ]
 
 
+def _norm_map(text: str) -> tuple[str, list[int], list[int]]:
+    """Per-char NFKC+lower view for keyword matching (the reference's
+    snip/highlight engines run over the normalizer's output and map
+    hits back through the checks array, lib/snip.c:133-248). Returns
+    ``(normalized, src_start, src_end)``: normalized char i came from
+    source span [src_start[i], src_end[i])."""
+    import unicodedata
+
+    chars: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for si, ch in enumerate(text):
+        mapped = unicodedata.normalize("NFKC", ch).lower() or ch
+        for mch in mapped:
+            chars.append(mch)
+            starts.append(si)
+            ends.append(si + 1)
+    return "".join(chars), starts, ends
+
+
+def _norm_keyword(k: str) -> str:
+    import unicodedata
+
+    return "".join(unicodedata.normalize("NFKC", c).lower() for c in k)
+
+
+def _keyword_spans(text: str, keywords: list[str]) -> list[tuple[int, int]]:
+    """Merged source-char spans of normalized keyword occurrences."""
+    norm, starts, ends = _norm_map(text)
+    spans: list[tuple[int, int]] = []
+    for k in keywords:
+        nk = _norm_keyword(k)
+        if not nk:
+            continue
+        at = norm.find(nk)
+        while at != -1:
+            spans.append((starts[at], ends[at + len(nk) - 1]))
+            at = norm.find(nk, at + 1)
+    spans.sort()
+    merged: list[tuple[int, int]] = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged
+
+
+def _esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _wrap_spans(text: str, spans: list[tuple[int, int]], offset: int = 0) -> str:
+    """HTML-escape ``text`` with the given absolute source spans
+    (shifted by ``offset``) wrapped in the keyword tag."""
+    out: list[str] = []
+    pos = 0
+    for s, e in spans:
+        s, e = s - offset, e - offset
+        if e <= 0 or s >= len(text):
+            continue
+        s, e = max(0, s), min(len(text), e)
+        out.append(_esc(text[pos:s]))
+        out.append(f'<span class="keyword">{_esc(text[s:e])}</span>')
+        pos = e
+    out.append(_esc(text[pos:]))
+    return "".join(out)
+
+
+def _byte_hits(text: str, keywords: list[str]) -> list[list[tuple[int, int]]]:
+    """Per keyword: source-BYTE spans of its occurrences in the
+    NFKC+lower, blank-removed view (grn_string WITH_CHECKS +
+    REMOVEBLANK is what grn_snip_exec searches over, snip.c:590)."""
+    import unicodedata
+
+    chars: list[str] = []
+    bstart: list[int] = []
+    bend: list[int] = []
+    bpos = 0
+    for ch in text:
+        blen = len(ch.encode("utf-8"))
+        if ch.isspace() or ch == "\x00":
+            bpos += blen
+            continue
+        mapped = unicodedata.normalize("NFKC", ch).lower() or ch
+        for mch in mapped:
+            chars.append(mch)
+            bstart.append(bpos)
+            bend.append(bpos + blen)
+        bpos += blen
+    norm = "".join(chars)
+    hits: list[list[tuple[int, int]]] = []
+    for k in keywords:
+        nk = "".join(
+            c
+            for ch in k
+            if not (ch.isspace() or ch == "\x00")
+            for c in (__import__("unicodedata").normalize("NFKC", ch).lower() or ch)
+        )
+        spans: list[tuple[int, int]] = []
+        if nk:
+            at = norm.find(nk)
+            while at != -1:
+                spans.append((bstart[at], bend[at + len(nk) - 1]))
+                at = norm.find(nk, at + len(nk))  # BM search resumes past the hit
+        hits.append(spans)
+    return hits
+
+
+def _snip_exec(
+    text: str, hits: list[list[tuple[int, int]]], width: int, max_results: int
+) -> list[tuple[int, int, list[tuple[int, int]]]]:
+    """grn_snip_exec (lib/snip.c:585-745) over precomputed hit spans:
+    returns [(win_start, win_end, [tag spans])] in source bytes."""
+    tb = text.encode("utf-8")
+    n = len(tb)
+    # char boundary byte offsets (grn_snip_find_firstbyte)
+    bounds = [0]
+    for ch in text:
+        bounds.append(bounds[-1] + len(ch.encode("utf-8")))
+    import bisect
+
+    def fwd(off):   # first char boundary >= off
+        i = bisect.bisect_left(bounds, off)
+        return bounds[i] if i < len(bounds) else n
+
+    def back(off):  # last char boundary <= off
+        i = bisect.bisect_right(bounds, off) - 1
+        return bounds[max(0, i)]
+
+    NONSTOP, STOP, ACROSS = 0, 1, 2
+    conds = [
+        {"spans": s, "i": 0, "count": 0, "flag": NONSTOP if s else STOP}
+        for s in hits
+    ]
+
+    def cur(c):
+        return c["spans"][c["i"]] if c["i"] < len(c["spans"]) else None
+
+    def advance(c):
+        c["i"] += 1
+        if c["i"] >= len(c["spans"]):
+            c["flag"] = STOP
+
+    unfound = len(conds)
+    results = []
+    last_last_end = 0
+    while True:
+        tags: list[tuple[int, int]] = []
+        found = False
+        snip_start = 0
+        last_tag_end = 0
+        last_end = 0
+        while True:
+            cand = None
+            for c in conds:
+                h = cur(c) if c["flag"] == NONSTOP else None
+                if h and (
+                    cand is None
+                    or h[0] < cur(cand)[0]
+                    or (h[0] == cur(cand)[0] and h[1] > cur(cand)[1])
+                ):
+                    cand = c
+            if cand is None:
+                break
+            h = cur(cand)
+            if not tags:
+                if max_results - len(results) <= unfound and cand["count"] > 0:
+                    exclude = all(
+                        not (
+                            c is not cand and c["flag"] != STOP and cur(c)
+                            and cur(c)[1] <= h[0] + width and c["count"] == 0
+                        )
+                        for c in conds
+                    )
+                    if exclude:
+                        advance(cand)
+                        continue
+                snip_start = h[0]
+            else:
+                if h[0] >= snip_start + width:
+                    break
+                if h[0] < last_tag_end:
+                    advance(cand)
+                    continue
+            if h[1] > snip_start + width:
+                cand["flag"] = ACROSS
+                advance(cand)
+            else:
+                found = True
+                if cand["count"] == 0:
+                    unfound -= 1
+                cand["count"] += 1
+                last_end = h[1]
+                tags.append(h)
+                last_tag_end = h[1]
+                advance(cand)
+        if not found:
+            break
+        if snip_start + last_end < width:
+            start = 0
+        else:
+            start = max(min((snip_start + last_end - width) // 2, n - width), last_last_end)
+        start = fwd(start)
+        end = start + width
+        end = back(end) if end < n else n
+        last_last_end = end
+        results.append((start, end, tags))
+        if len(results) == max_results:
+            break
+        for c in conds:
+            if c["flag"] == ACROSS:
+                c["flag"] = NONSTOP if cur(c) else STOP
+        if all(c["flag"] == STOP for c in conds):
+            break
+    return results
+
+
 def snippet_html(
     texts: pa.Array, keywords: list[str], width: int = 200, max_results: int = 3
 ) -> pa.Array:
-    """KWIC snippets with <span class="keyword"> tags (lib/proc.c:4905,
-    engine lib/snip.c): per document, up to ``max_results`` windows of
-    ``width`` chars centred on keyword hits, keywords highlighted."""
-    pats = [re.compile(re.escape(k), re.IGNORECASE) for k in keywords]
+    """snippet_html (lib/proc.c:4905, engine lib/snip.c): per document,
+    up to 3 windows of 200 source BYTES (char-boundary snapped) chosen
+    by grn_snip_exec's sweep, keyword hits wrapped, null when nothing
+    matched. Matching is over the NFKC+lower blank-removed view with
+    offsets mapped back to the source (WITH_CHECKS model)."""
     out = []
     for t in texts.to_pylist():
         if t is None:
             out.append(None)
             continue
+        wins = _snip_exec(t, _byte_hits(t, keywords), width, max_results)
+        if not wins:
+            out.append(None)
+            continue
+        tb = t.encode("utf-8")
         snips = []
-        for p in pats:
-            for m in p.finditer(t):
-                if len(snips) >= max_results:
-                    break
-                a = max(0, m.start() - width // 2)
-                b = min(len(t), m.end() + width // 2)
-                frag = t[a:b]
-                for q in pats:
-                    frag = q.sub(lambda mm: f'<span class="keyword">{mm.group(0)}</span>', frag)
-                snips.append(frag)
-            if len(snips) >= max_results:
-                break
+        for s, e, tags in wins:
+            frag = tb[s:e].decode("utf-8")
+            ctags = [
+                (len(tb[s:ts].decode("utf-8")), len(tb[s:te].decode("utf-8")))
+                for ts, te in tags
+                if ts >= s and te <= e
+            ]
+            snips.append(_wrap_spans(frag, ctags))
         out.append(snips)
     return pa.array(out, type=pa.list_(pa.string()))
 
 
 def highlight_html(texts: pa.Array, keywords: list[str]) -> pa.Array:
-    """highlight_html (lib/proc.c:5961): whole text with keywords
-    wrapped, HTML-escaped first."""
-    pats = [re.compile(re.escape(k), re.IGNORECASE) for k in keywords]
+    """highlight_html (lib/proc.c:5961): whole text HTML-escaped with
+    all (normalization-aware) keyword occurrences wrapped."""
     out = []
     for t in texts.to_pylist():
         if t is None:
             out.append(None)
             continue
-        s = t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-        for p in pats:
-            s = p.sub(lambda m: f'<span class="keyword">{m.group(0)}</span>', s)
-        out.append(s)
+        out.append(_wrap_spans(t, _keyword_spans(t, keywords)))
     return pa.array(out, type=pa.string())
 
 
@@ -78,7 +294,11 @@ _TAG = re.compile(r"<[^>]*>")
 
 def html_untag(texts: pa.Array) -> pa.Array:
     """html_untag (lib/proc.c:5294): strip tags, vectorized via
-    replace_substring_regex."""
+    replace_substring_regex; non-text operands are cast to text first
+    (grn_obj_cast semantics for scalar types)."""
+    t = getattr(texts, "type", None)
+    if t is not None and not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        texts = texts.cast(pa.string())
     return pc.replace_substring_regex(texts, pattern=_TAG.pattern, replacement="")
 
 

@@ -52,8 +52,8 @@ def _char_class(ch: str) -> int:
         return CHAR_ALPHA
     if cat.startswith("N"):
         return CHAR_DIGIT
-    if cat[0] in "PSM":
-        return CHAR_SYMBOL
+    if cat.startswith("P") or cat in ("Sm", "Sc", "Sk"):
+        return CHAR_SYMBOL  # "So" (emoji etc.) is others in the reference
     if cat.startswith("Z"):
         return CHAR_NULL
     return CHAR_OTHERS
@@ -85,6 +85,62 @@ def normalize(text: str, nfkc: bool = True) -> tuple[str, np.ndarray, np.ndarray
         classes.append(cls)
         blanks.append(False)
     return "".join(out_chars), np.array(classes, np.uint8), np.array(blanks, bool)
+
+
+TYPE_NAMES = {
+    CHAR_NULL: "null", CHAR_ALPHA: "alpha", CHAR_DIGIT: "digit",
+    CHAR_SYMBOL: "symbol", CHAR_HIRAGANA: "hiragana",
+    CHAR_KATAKANA: "katakana", CHAR_KANJI: "kanji", CHAR_OTHERS: "others",
+}
+
+
+def normalize_detailed(
+    text: str, remove_blank: bool = False, remove_tokenized_delimiter: bool = False
+) -> tuple[str, list[int], list[int]]:
+    """The normalize *command*'s view (proc_normalize,
+    lib/proc.c:3896-3955): returns ``(normalized, classes, checks)``
+    where ``classes`` has one char class per normalized character and
+    ``checks`` follows grn_string's per-normalized-byte offset scheme
+    (lib/str.c / normalizer.c WITH_CHECKS): the first byte of a
+    normalized char carries the number of source bytes consumed for it
+    (including preceding removed blanks), continuation bytes carry 0,
+    and extra chars expanded from the same source char carry -1.
+
+    Unlike :func:`normalize` (the tokenizer path, which always removes
+    blanks), blanks are kept unless ``remove_blank`` — the command's
+    default output keeps them, reference normalize/ascii.test.
+
+    Mapping is per source character (NFKC + lower per char), matching
+    the reference's table-per-character model."""
+    out: list[str] = []
+    classes: list[int] = []
+    checks: list[int] = []
+    pending_blank = 0
+    for ch in text:
+        if remove_tokenized_delimiter and ch == "￾":
+            # GRN_STRING_REMOVE_TOKENIZED_DELIMITER (U+FFFE markers)
+            pending_blank += len(ch.encode("utf-8"))
+            continue
+        if ch.isspace() or ch == "\x00":
+            if remove_blank:
+                pending_blank += len(ch.encode("utf-8"))
+                continue
+            mapped = ch
+        else:
+            mapped = unicodedata.normalize("NFKC", ch).lower()
+            if not mapped:
+                pending_blank += len(ch.encode("utf-8"))
+                continue
+        src_bytes = len(ch.encode("utf-8")) + pending_blank
+        pending_blank = 0
+        for j, mch in enumerate(mapped):
+            out.append(mch)
+            cls = _char_class(mch)
+            classes.append(CHAR_OTHERS if cls == CHAR_NULL else cls)
+            nbytes = len(mch.encode("utf-8"))
+            checks.append(src_bytes if j == 0 else -1)
+            checks.extend([0] * (nbytes - 1))
+    return "".join(out), classes, checks
 
 
 # ------------------------------------------------------------ registry

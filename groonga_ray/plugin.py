@@ -28,6 +28,17 @@ import threading
 _loaded: dict[str, object] = {}
 _lock = threading.Lock()
 
+# reference plugin names → the module that provides the same procs
+# here (these are built in, so "loading" them is an import + no-op —
+# matching the reference's idempotent re-register)
+BUILTIN_ALIASES = {
+    "token_filters/stem": "groonga_ray.tokenfilters",
+    "token_filters/stop_word": "groonga_ray.tokenfilters",
+    "tokenizers/regexp": "groonga_ray.tokenize",
+    "suggest/suggest": "groonga_ray.pipelines.suggest",
+    "functions/vector": "groonga_ray.functions",
+}
+
 
 def _canonical(name: str) -> str:
     if name.endswith(".py") or os.sep in name:
@@ -40,6 +51,7 @@ def register(name: str):
     ``plugin_register()`` hook. Returns the module. Idempotent: a
     second register of the same plugin returns the cached module
     without re-running the hook (lib/plugin.c ref-count semantics)."""
+    name = BUILTIN_ALIASES.get(name, name)
     key = _canonical(name)
     with _lock:
         if key in _loaded:

@@ -360,6 +360,27 @@ def _geo_arg(ev, node):
     return ev(node)
 
 
+def _is_stringy(v) -> bool:
+    if isinstance(v, str):
+        return True
+    t = getattr(v, "type", None)
+    return t is not None and (pa.types.is_string(t) or pa.types.is_large_string(t))
+
+
+def _as_string(v, peer):
+    """Cast an operand of string-+ to a string array, broadcasting
+    scalars to the peer's length."""
+    if isinstance(v, str):
+        n = len(peer) if hasattr(peer, "__len__") else 1
+        return pa.array([v] * n, pa.string())
+    if isinstance(v, pa.Scalar):
+        n = len(peer) if hasattr(peer, "__len__") else 1
+        return pa.array([str(v.as_py())] * n, pa.string())
+    if _is_stringy(v):
+        return v.cast(pa.string()) if not pa.types.is_string(v.type) else v
+    return v.cast(pa.string())
+
+
 def eval_filter(ast, batch: pa.Table):
     """Evaluate a filter AST against a record batch -> BooleanArray /
     value array, fully vectorized."""
@@ -387,11 +408,18 @@ def eval_filter(ast, batch: pa.Table):
             }[kind]
             return fn(ev(n[1]), ev(n[2]))
         if kind in ("+", "-", "*", "/", "%"):
+            a, b = ev(n[1]), ev(n[2])
+            if kind == "+" and (_is_stringy(a) or _is_stringy(b)):
+                # string + is concatenation (grn_operator OP_PLUS on
+                # text operands, lib/expr.c arithmetic dispatch)
+                return pc.binary_join_element_wise(
+                    _as_string(a, b), _as_string(b, a), ""
+                )
             fn = {
                 "+": pc.add, "-": pc.subtract, "*": pc.multiply,
                 "/": pc.divide, "%": lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b)),
             }[kind]
-            return fn(ev(n[1]), ev(n[2]))
+            return fn(a, b)
         if kind == "?:":
             return pc.if_else(ev(n[1]), ev(n[2]), ev(n[3]))
         if kind in ("bitand", "bitor", "bitxor"):
@@ -444,6 +472,10 @@ def eval_filter(ast, batch: pa.Table):
                 return pc.list_value_length(ev(args[0]))
             if name == "edit_distance":
                 return pa.array(edit_distance_batch(ev(args[0]), ev(args[1])))
+            if name == "html_untag":
+                from .functions import html_untag
+
+                return html_untag(ev(args[0]))
             if name == "geo_distance":
                 from .geo import geo_distance
 

@@ -362,23 +362,68 @@ class CommandServer:
         }
 
     def _cmd_tokenize(self, params: dict) -> list:
-        """``/d/tokenize`` (proc_tokenize, lib/proc.c:3779-3894)."""
+        """``/d/tokenize?tokenizer=..&string=..&normalizer=..&flags=..
+        &mode=ADD`` (proc_tokenize, lib/proc.c:3779-3894). Without a
+        normalizer the text is tokenized raw, like the reference;
+        ENABLE_TOKENIZED_DELIMITER activates U+FFFE splitting."""
         from .tokenize import tokenize
+
+        from .normalize import CUSTOM_NORMALIZERS
 
         tokenizer = params.get("tokenizer") or "TokenBigram"
         string = params["string"]
         mode = (params.get("mode") or "ADD").lower()
-        stream = tokenize(string, tokenizer, mode=mode)
+        if mode not in ("add", "get"):
+            raise ValueError(f"[tokenize] invalid mode: {params.get('mode')}")
+        flags = {f.strip() for f in (params.get("flags") or "").split("|") if f.strip()}
+        if flags - {"NONE", "ENABLE_TOKENIZED_DELIMITER"}:
+            raise ValueError(f"[tokenize] invalid flag: {params.get('flags')}")
+        norm_name = params.get("normalizer")
+        if norm_name and norm_name not in (
+            "NONE", "NormalizerAuto", "NormalizerNFKC51",
+        ) and norm_name not in CUSTOM_NORMALIZERS:
+            raise ValueError(f"[tokenize] unknown normalizer: {norm_name}")
+        stream = tokenize(
+            string, tokenizer, mode=mode,
+            normalizer=params.get("normalizer") or None,
+            enable_tokenized_delimiter="ENABLE_TOKENIZED_DELIMITER" in flags,
+        )
+        if params.get("token_filters"):
+            from .tokenfilters import apply_chain_stream, build_chain
+
+            chain = build_chain(
+                {"token_filters": [
+                    t.strip() for t in params["token_filters"].split(",") if t.strip()
+                ]}
+            )
+            stream = apply_chain_stream(chain, stream, mode)
         return [
             {"value": t.term, "position": t.pos} for t in stream.tokens
         ]
 
     def _cmd_normalize(self, params: dict) -> dict:
-        """``/d/normalize`` (proc_normalize, lib/proc.c:3896-3955)."""
-        from .normalize import normalize
+        """``/d/normalize?normalizer=..&string=..&flags=WITH_TYPES|...``
+        (proc_normalize, lib/proc.c:3896-3955). Blanks are kept unless
+        REMOVE_BLANK; types/checks are emitted only when requested,
+        matching the reference envelope exactly."""
+        from .normalize import CUSTOM_NORMALIZERS, TYPE_NAMES, normalize_detailed
 
-        norm, classes, _blanks = normalize(params["string"])
-        return {"normalized": norm, "types": classes.tolist()}
+        norm_name = params.get("normalizer") or "NormalizerAuto"
+        if norm_name not in (
+            "NormalizerAuto", "NormalizerNFKC51",
+        ) and norm_name not in CUSTOM_NORMALIZERS:
+            raise ValueError(f"[normalize] unknown normalizer: {norm_name}")
+        flags = {f.strip() for f in (params.get("flags") or "").split("|") if f.strip()}
+        norm, classes, checks = normalize_detailed(
+            params["string"],
+            remove_blank="REMOVE_BLANK" in flags,
+            remove_tokenized_delimiter="REMOVE_TOKENIZED_DELIMITER" in flags,
+        )
+        return {
+            "normalized": norm,
+            "types": [TYPE_NAMES[c] for c in classes] if "WITH_TYPES" in flags else [],
+            "checks": checks if "WITH_CHECKS" in flags else [],
+        }
 
     def _cmd_suggest(self, params: dict) -> dict:
         """``/d/suggest`` (plugins/suggest/suggest.c:548-627): one
@@ -427,7 +472,7 @@ class CommandServer:
         to include the new source file so filters/scans see the rows.
         Requires a docid-column table (rank-based tables renumber on
         re-sort, so incremental load is rejected for them); docids must
-        exceed the base's. Returns ``[n_loaded]`` like the reference."""
+        exceed the base's. Returns the loaded-record count like the reference."""
         import os
 
         import pyarrow.parquet as pq
@@ -439,8 +484,9 @@ class CommandServer:
         records = json.loads(params["values"])
         if isinstance(records, dict):
             records = [records]
+        records = self._records_to_dicts(records, params)
         if not records:
-            return [0]
+            return 0
         if name in self.pending:
             return self._materialize_load(name, records)
         t = self._table(params)
@@ -476,7 +522,21 @@ class CommandServer:
             else:
                 self.tables[next(iter(self.tables))] = new_t
             self._select_cache.clear()
-        return [tbl.num_rows]
+        return tbl.num_rows
+
+    @staticmethod
+    def _records_to_dicts(records: list, params: dict) -> list:
+        """load's array-of-arrays form (grn_load, lib/db.c:11451): the
+        column list comes from ``--columns`` or the first array."""
+        if not records or not isinstance(records[0], list):
+            return records
+        cols_param = params.get("columns")
+        if cols_param:
+            cols = [c.strip() for c in cols_param.split(",")]
+            data = records
+        else:
+            cols, data = records[0], records[1:]
+        return [dict(zip(cols, row)) for row in data]
 
     def _materialize_load(self, name: str, records: list) -> list:
         """First load of a table_create'd table: assign ``_id`` docids
@@ -517,7 +577,14 @@ class CommandServer:
                     if pa.types.is_string(f.type) and f.name != "_key"
                 ]
             if not text_cols:
-                raise ValueError("no text column to index")
+                # table with no text at all (e.g. numeric-only): index a
+                # hidden empty section so the engine has docids/doclens;
+                # filters and output expressions work as usual
+                tbl = tbl.append_column(
+                    "_dummy_text", pa.array([""] * tbl.num_rows, pa.string())
+                )
+                pq.write_table(tbl, path)
+                text_cols = ["_dummy_text"]
             cfg = BuildConfig(
                 text_columns=tuple(text_cols),
                 tokenizer=td.default_tokenizer,
@@ -536,7 +603,7 @@ class CommandServer:
             self._auto_id.add(name)
             del self.pending[name]
             self._select_cache.clear()
-        return [tbl.num_rows]
+        return tbl.num_rows
 
     def _cmd_delete(self, params: dict) -> bool:
         """``/d/delete?table=X&id=N | key=K | filter=EXPR`` —
@@ -554,8 +621,15 @@ class CommandServer:
                 if not t.docid_column:
                     raise ValueError("key delete requires a docid-column table")
                 kv = params["key"]
-                lit = kv if kv.lstrip("-").isdigit() else json.dumps(kv)
-                flt = f"{t.docid_column} == {lit}"
+                import pyarrow.parquet as pq
+
+                if "_key" in pq.read_schema(t.source_files[0]).names:
+                    # keyed table: key addresses _key (proc_delete →
+                    # grn_table_delete by key)
+                    flt = f"_key == {json.dumps(kv)}"
+                else:
+                    lit = kv if kv.lstrip("-").isdigit() else json.dumps(kv)
+                    flt = f"{t.docid_column} == {lit}"
             elif params.get("filter"):
                 flt = params["filter"]
             else:
@@ -616,16 +690,30 @@ class CommandServer:
         schema comes from the Parquet sources (documented divergence)."""
         name = params.get("table")
         td = self.pending.get(name or "")
+        if "COLUMN_INDEX" in (params.get("flags") or ""):
+            # reference form: the index column lives on a LEXICON table
+            # (``table``), ``type`` names the data table and ``source``
+            # its indexed column(s); the lexicon's tokenizer/normalizer
+            # config governs the index. Also accept the direct form
+            # (index declared on the data table itself).
+            data_td = self.pending.get(params.get("type") or "") or td
+            if data_td is None:
+                raise ValueError(
+                    "column_create COLUMN_INDEX requires a pending data table"
+                )
+            for src in (params.get("source") or params.get("sources") or "").split(","):
+                if src.strip():
+                    data_td.indexed.add(src.strip())
+            if td is not None and td is not data_td:
+                data_td.default_tokenizer = td.default_tokenizer
+                data_td.normalizer = td.normalizer
+                data_td.token_filters = td.token_filters
+            return True
         if td is None:
             raise ValueError(
                 "column_create requires a pending (not yet loaded) table"
             )
-        if "COLUMN_INDEX" in (params.get("flags") or ""):
-            for src in (params.get("source") or params.get("sources") or "").split(","):
-                if src.strip():
-                    td.indexed.add(src.strip())
-        else:
-            td.columns[params["name"]] = params.get("type") or "ShortText"
+        td.columns[params["name"]] = params.get("type") or "ShortText"
         return True
 
     def _cmd_table_remove(self, params: dict) -> bool:
@@ -735,7 +823,10 @@ class CommandServer:
         previous max; with ``max`` sets a new one (0 disables)."""
         prev = self._cache_max
         if params.get("max") is not None and params.get("max") != "":
-            self._cache_max = int(params["max"])
+            mx = params["max"]
+            if not mx.isdigit():
+                raise ValueError(f"max must be a non-negative integer: {mx!r}")
+            self._cache_max = int(mx)
             while len(self._select_cache) > self._cache_max:
                 self._select_cache.popitem(last=False)
         return prev
@@ -823,7 +914,11 @@ class CommandServer:
             ["flags", "ShortText"], ["source", "ShortText"],
         ]
         rows = []
-        for i, field in enumerate(schema, start=1):
+        i = 0
+        for field in schema:
+            if field.name == "_dummy_text":
+                continue
+            i += 1
             flags = "COLUMN_SCALAR|PERSISTENT"
             if field.name in sections:
                 flags += "|WITH_POSITION|INDEXED"

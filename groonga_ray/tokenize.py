@@ -151,6 +151,7 @@ def ngram_tokenize(
     ignore_blank: bool = False,
     nfkc: bool = True,
     max_token_bytes: int = 4096,
+    raw: bool = False,
 ) -> TokenStream:
     """TokenBigram-family tokenization (unit=1/2/3 → Unigram/Bigram/Trigram).
 
@@ -159,7 +160,18 @@ def ngram_tokenize(
     text, marks a trailing unmatured token as force-prefix) — the
     token-cursor rules of lib/token_cursor.c:241-252.
     """
-    norm, classes, blanks = normalize(text, nfkc=nfkc)
+    if raw:
+        # no normalizer (tokenize command without one): every char is
+        # type-less → no alpha/digit grouping, pure overlapping n-grams
+        # over the raw text including blanks (lib/proc.c proc_tokenize
+        # with a NULL normalizer)
+        from .normalize import CHAR_OTHERS
+
+        norm = text
+        classes = np.full(len(text), CHAR_OTHERS, np.uint8)
+        blanks = np.zeros(len(text), bool)
+    else:
+        norm, classes, blanks = normalize(text, nfkc=nfkc)
     stream = TokenStream()
     get = mode == "get"
     tpos = 0  # token ordinal, the reference's token_cursor->pos
@@ -196,16 +208,18 @@ def ngram_tokenize(
     return stream
 
 
-def delimit_tokenize(text: str, delimiter: str = " ", nfkc: bool = True) -> TokenStream:
+def delimit_tokenize(
+    text: str, delimiter: str = " ", nfkc: bool = True, raw: bool = False
+) -> TokenStream:
     """TokenDelimit / TokenDelimitNull (lib/tokenizers.c:101-236): split
     the *raw* text on a single-byte delimiter; tokens are then
-    normalized individually."""
+    normalized individually (or kept raw without a normalizer)."""
     stream = TokenStream()
     tpos = 0
     for piece in text.split(delimiter):
         if not piece:
             continue
-        norm, _, _ = normalize(piece, nfkc=nfkc)
+        norm = piece if raw else normalize(piece, nfkc=nfkc)[0]
         if norm:
             stream.tokens.append(Token(norm, tpos))
             tpos += 1
@@ -439,20 +453,46 @@ def register_tokenizer(name: str, fn) -> None:
     CUSTOM_TOKENIZERS[name] = fn
 
 
-def tokenize(text: str, tokenizer: str = "TokenBigram", mode: str = "add") -> TokenStream:
+def tokenize(
+    text: str,
+    tokenizer: str = "TokenBigram",
+    mode: str = "add",
+    normalizer: str | None = "NormalizerAuto",
+    enable_tokenized_delimiter: bool = False,
+) -> TokenStream:
     """Registry entry point mirroring the reference's named tokenizers
-    (registration: lib/tokenizers.c:783-828)."""
+    (registration: lib/tokenizers.c:783-828).
+
+    ``normalizer=None`` (or "NONE") is the tokenize command's raw path
+    — no case folding, no char classes, blanks tokenized. When
+    ``enable_tokenized_delimiter`` and the text contains U+FFFE, every
+    tokenizer switches to tokenized-delimiter mode
+    (grn_tokenizer_have_tokenized_delimiter,
+    lib/tokenizer.c: pieces between delimiters become the tokens)."""
+    raw = normalizer in (None, "", "NONE", "NormalizerNone")
+    if enable_tokenized_delimiter and "￾" in text:
+        from .normalize import normalize_detailed
+
+        stream = TokenStream()
+        tpos = 0
+        for piece in text.split("￾"):
+            if not raw:
+                piece = normalize_detailed(piece)[0]  # NFKC+lower, blanks kept
+            if piece:
+                stream.tokens.append(Token(piece, tpos))
+                tpos += 1
+        return stream
     if tokenizer in CUSTOM_TOKENIZERS:
         return CUSTOM_TOKENIZERS[tokenizer](text, mode)
     if tokenizer == "TokenRegexp":
         return regexp_tokenize(text, mode=mode)
     if tokenizer in ("TokenDelimit",):
-        return delimit_tokenize(text, " ")
+        return delimit_tokenize(text, " ", raw=raw)
     if tokenizer in ("TokenDelimitNull",):
-        return delimit_tokenize(text, "\x00")
+        return delimit_tokenize(text, "\x00", raw=raw)
     if tokenizer == "TokenCodeWord":
         ts = TokenStream()
         ts.tokens = [Token(t, i) for i, t in enumerate(WordTokenizer().tokenize_text(text))]
         return ts
     kwargs = TOKENIZERS[tokenizer]
-    return ngram_tokenize(text, mode=mode, **kwargs)
+    return ngram_tokenize(text, mode=mode, raw=raw, **kwargs)

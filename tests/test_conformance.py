@@ -1,0 +1,70 @@
+"""Reference-suite conformance: execute the reference's own command
+test scripts (test/command/suite/**.test) through our command surface
+and compare semantic values against the paired .expected files.
+
+The pinned list tests/data/reference_suite_passing.txt freezes the
+suites known to pass (74 scripts across normalize, tokenize,
+snippet_html, highlight_html, html_untag, all_records, cache_limit,
+request_cancel, normalizer_list, load) — a regression here means a
+semantic divergence from the reference. Suites comparing internal
+representations (dump streams, table metadata arrays, lexicon-table
+selects) are intentionally out of scope; the comparator ignores
+envelope heads and column/type names but requires exact row values.
+"""
+
+import os
+
+import pytest
+
+from groonga_ray.conformance import ScriptRunner, parse_command, parse_script
+from groonga_ray.server import CommandServer
+
+SUITE = "/root/reference/test/command/suite"
+PASS_LIST = os.path.join(os.path.dirname(__file__), "data", "reference_suite_passing.txt")
+
+with open(PASS_LIST) as _fh:
+    CASES = [ln.strip() for ln in _fh if ln.strip()]
+
+
+@pytest.mark.parametrize("rel", CASES)
+def test_reference_suite(rel, ray_session, tmp_path):
+    test = os.path.join(SUITE, rel + ".test")
+    if not os.path.exists(test):
+        pytest.skip(f"reference fixture gone: {rel}")
+    server = CommandServer(data_dir=str(tmp_path))
+    runner = ScriptRunner(server)
+    results = runner.run_conformance(test, test[: -len(".test")] + ".expected")
+    bad = [r for r in results if not r["ok"]]
+    assert not bad, f"{rel}: {bad[0]['command']}: {bad[0]['detail']}"
+
+
+def test_parse_command_line():
+    name, params = parse_command(
+        "select Entries --match_columns 'title' --query groonga --output_columns 'a, b'"
+    )
+    assert name == "select"
+    assert params == {
+        "table": "Entries", "match_columns": "title",
+        "query": "groonga", "output_columns": "a, b",
+    }
+    # positional binding follows the DEF_VAR order
+    name, params = parse_command('normalize NormalizerAuto "a b" REMOVE_BLANK')
+    assert params == {
+        "normalizer": "NormalizerAuto", "string": "a b", "flags": "REMOVE_BLANK",
+    }
+    # quoting: backslash escapes inside quotes
+    _, params = parse_command('tokenize TokenDelimit "a\\"b"')
+    assert params["string"] == 'a"b'
+
+
+def test_parse_script_load_block():
+    cmds = parse_script(
+        "table_create T TABLE_NO_KEY\n"
+        "# comment\n"
+        "load --table T\n"
+        "[\n{\"x\": 1},\n{\"x\": 2}\n]\n"
+        "select T \\\n  --query foo\n"
+    )
+    assert [c[0] for c in cmds] == ["table_create", "load", "select"]
+    assert '{"x": 1}' in cmds[1][1]["values"]
+    assert cmds[2][1]["query"] == "foo"

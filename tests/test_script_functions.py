@@ -145,7 +145,7 @@ def test_snippet_and_highlight():
     sn = snippet_html(texts, ["spark"], width=20, max_results=2).to_pylist()
     assert len(sn[0]) == 2
     assert '<span class="keyword">' in sn[0][0]
-    assert sn[1] == []
+    assert sn[1] is None  # no hit → null (snippet_html/none.expected)
     hl = highlight_html(pa.array(["a<b> spark"]), ["spark"]).to_pylist()[0]
     assert hl == 'a&lt;b&gt; <span class="keyword">spark</span>'
 

@@ -145,8 +145,13 @@ def test_status_tokenize_normalize(srv):
 
     status, env = _get(base, "/d/normalize?string=AbC%20%20D")
     assert status == 200
-    # NormalizerAuto downcases and removes blanks (tracked separately)
+    # the command keeps blanks unless REMOVE_BLANK (normalize/ascii.test)
+    assert env[1] == {"normalized": "abc  d", "types": [], "checks": []}
+    status, env = _get(
+        base, "/d/normalize?string=AbC%20%20D&flags=REMOVE_BLANK%7CWITH_TYPES"
+    )
     assert env[1]["normalized"] == "abcd"
+    assert env[1]["types"] == ["alpha"] * 4
 
 
 def test_error_envelopes(srv):

@@ -66,7 +66,7 @@ def test_create_load_select_lifecycle(srv, tmp_path):
 
     # first load materializes with server-assigned _id
     env = _post(base, "/d/load?table=Entries", json.dumps(RECORDS))
-    assert env[1] == [3]
+    assert env[1] == 3
     env = _get(base, "/d/select?table=Entries&query=parquet"
                      "&match_columns=title&output_columns=_id&limit=10")
     assert env[1][0][0][0] == 1  # only title indexed; 'parquet' in one title
@@ -79,7 +79,7 @@ def test_create_load_select_lifecycle(srv, tmp_path):
     env = _post(base, "/d/load?table=Entries", json.dumps(
         [{"_key": "d", "title": "parquet again", "body": "delta segment"}]
     ))
-    assert env[1] == [1]
+    assert env[1] == 1
     env = _get(base, "/d/select?table=Entries&query=parquet&match_columns=title"
                      "&output_columns=_id&sortby=_id&limit=10")
     assert [r[0] for r in env[1][0][2:]] == [3, 4]

@@ -66,7 +66,7 @@ def test_load_then_search(srv):
          "source": "web", "n_chars": 15},
     ]
     env = _post(base, "/d/load?table=documents", json.dumps(records))
-    assert env[1] == [2]
+    assert env[1] == 2
     assert _nhits(base, "zanzibar") == 2
     # the new rows also appear in filter scans over source files
     env = _get(base, "/d/select?table=documents"
@@ -125,5 +125,5 @@ def test_load_values_param_get(srv):
           "source": "web", "n_chars": 9}]
     ))
     env = _get(base, f"/d/load?table=documents&values={vals}")
-    assert env[1] == [1]
+    assert env[1] == 1
     assert _nhits(base, "xylophone") == 1

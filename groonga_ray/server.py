@@ -492,15 +492,8 @@ class CommandServer:
         t = self._table(params)
         if not t.docid_column:
             raise ValueError("load requires a docid-column table")
-        if t.docid_column not in records[0] and (name or next(iter(self.tables))) in self._auto_id:
-            if any(t.docid_column in r for r in records):
-                raise ValueError("mixed explicit/assigned docids in one load")
-            from .build import read_manifest
-
-            meta = read_manifest(os.path.join(t.index_dir, "meta.json"))
-            nxt = int(meta.get("next_docid", 1))
-            for i, r in enumerate(records):
-                r[t.docid_column] = nxt + i
+        if (name or next(iter(self.tables))) in self._auto_id:
+            return self._load_auto(name or next(iter(self.tables)), t, records)
         tbl = pa.Table.from_pylist(records)
         if t.docid_column not in tbl.column_names:
             raise ValueError(f"records must carry {t.docid_column}")
@@ -523,6 +516,131 @@ class CommandServer:
                 self.tables[next(iter(self.tables))] = new_t
             self._select_cache.clear()
         return tbl.num_rows
+
+    @staticmethod
+    def _cast_value(v, typ: str):
+        """grn_obj_cast analogue for loaded values against the declared
+        column type (lib/db.c cast dispatch): bool → "true"/"false" as
+        text, 1/0 as numbers, 1 microsecond as Time; numeric strings
+        parse; Time is epoch seconds (stored float)."""
+        if v is None:
+            return None
+        if typ in ("ShortText", "Text", "LongText"):
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return v if isinstance(v, str) else str(v)
+        if typ == "Bool":
+            return v != "" if isinstance(v, str) else bool(v)
+        if typ.startswith(("Int", "UInt")):
+            if isinstance(v, bool):
+                return 1 if v else 0
+            if isinstance(v, str):
+                s = v.strip()
+                return int(s) if s.lstrip("-").isdigit() else 0
+            return int(v)
+        if typ == "Float":
+            if isinstance(v, bool):
+                return 1.0 if v else 0.0
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return 0.0
+        if typ == "Time":
+            if isinstance(v, bool):
+                return 1e-06 if v else 0.0  # raw 1 μs (GRN_TIME unit)
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return 0.0
+        if typ.endswith("GeoPoint"):
+            if isinstance(v, str) and v:
+                return v
+            return "0x0"  # non-string casts degrade to the origin point
+        return v
+
+    def _cast_records(self, name: str, records: list) -> list:
+        types = getattr(self, "_created", {}).get(name)
+        if not types:
+            return records
+        for r in records:
+            for k, typ in types.items():
+                if k in r:
+                    r[k] = self._cast_value(r[k], typ)
+        return records
+
+    def _load_auto(self, name: str, t, records: list) -> int:
+        """load on a server-created (auto-_id) table: reference update
+        semantics (grn_load, lib/db.c:11451) — a record carrying ``_id``
+        updates that row in place; on keyed tables a matching ``_key``
+        updates its row keeping the ``_id``; everything else appends
+        with the next id. Unspecified columns keep their old values.
+        These tables are small command-surface artifacts, so the merge
+        rewrites + rebuilds; big externally-registered tables keep the
+        append-only LSM delta path."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from .build import BuildConfig, build_index, read_manifest, write_manifest
+        from .engine import IndexedTable
+
+        records = self._cast_records(name, records)
+        with self._mutate_lock:
+            old = pa.concat_tables(
+                [pq.read_table(f) for f in t.source_files], promote_options="default"
+            )
+            rows = old.to_pylist()
+            for r in rows:
+                r.pop("_dummy_text", None)
+            by_id = {int(r["_id"]): r for r in rows}
+            keyed = "_key" in old.column_names
+            by_key = {r["_key"]: r for r in rows} if keyed else {}
+            next_id = (max(by_id) + 1) if by_id else 1
+            for rec in records:
+                if rec.get("_id") is not None:
+                    rid = int(rec["_id"])
+                    tgt = by_id.get(rid)
+                    if tgt is None:
+                        tgt = {"_id": rid}
+                        by_id[rid] = tgt
+                        next_id = max(next_id, rid + 1)
+                    tgt.update({k: v for k, v in rec.items() if k != "_id"})
+                    if keyed and "_key" in rec:
+                        by_key[rec["_key"]] = tgt
+                elif keyed and rec.get("_key") is not None and rec["_key"] in by_key:
+                    by_key[rec["_key"]].update(rec)
+                else:
+                    rec2 = dict(rec)
+                    rec2["_id"] = next_id
+                    next_id += 1
+                    by_id[rec2["_id"]] = rec2
+                    if keyed and rec2.get("_key") is not None:
+                        by_key[rec2["_key"]] = rec2
+            merged_rows = [by_id[i] for i in sorted(by_id)]
+            meta = read_manifest(os.path.join(t.index_dir, "meta.json"))
+            cfg = BuildConfig.from_fingerprint(meta["config"])
+            tbl = pa.Table.from_pylist(merged_rows)
+            if "_dummy_text" in cfg.text_columns:
+                tbl = tbl.append_column(
+                    "_dummy_text", pa.array([""] * tbl.num_rows, pa.string())
+                )
+            tdir = os.path.dirname(t.index_dir)
+            loads_dir = os.path.join(tdir, "loads")
+            path = os.path.join(loads_dir, f"load_{len(os.listdir(loads_dir)):05d}.parquet")
+            pq.write_table(tbl, path)
+            shutil.rmtree(t.index_dir, ignore_errors=True)
+            build_index([path], t.index_dir, cfg)
+            meta2_path = os.path.join(t.index_dir, "meta.json")
+            meta2 = read_manifest(meta2_path)
+            meta2["next_docid"] = next_id
+            write_manifest(meta2_path, meta2)
+            from .index import open_index
+
+            open_index.cache_clear()  # rebuilt in place: cached readers are stale
+            self.tables[name] = IndexedTable(t.index_dir, [path], "_id")
+            self._select_cache.clear()
+        return len(records)
 
     @staticmethod
     def _records_to_dicts(records: list, params: dict) -> list:
@@ -552,6 +670,10 @@ class CommandServer:
         from .engine import IndexedTable
 
         td = self.pending[name]
+        if not hasattr(self, "_created"):
+            self._created: dict[str, dict] = {}
+        self._created[name] = dict(td.columns)
+        records = self._cast_records(name, records)
         if any("_id" in r for r in records):
             raise ValueError("_id is assigned by the server on load")
         for i, r in enumerate(records):
@@ -752,6 +874,8 @@ class CommandServer:
             if name in self._auto_id:
                 self._auto_id.discard(name)
                 self._auto_id.add(new)
+            if name in getattr(self, "_created", {}):
+                self._created[new] = self._created.pop(name)
         else:
             raise ValueError(f"unknown table: {name}")
         self._select_cache.clear()

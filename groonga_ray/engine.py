@@ -465,8 +465,13 @@ def _scan_one_file(path: str, base: int, docid_column: str | None, ast, columns:
         if isinstance(mask, (pa.Array, pa.ChunkedArray)):
             mask = pc.fill_null(mask, False)
             m = np.asarray(mask.to_numpy(zero_copy_only=False), bool)
+        elif isinstance(mask, pa.Scalar):
+            m = np.full(tbl.num_rows, bool(mask.as_py()))
         else:
             m = np.asarray(mask, bool)
+        if m.ndim == 0:
+            # constant predicate (--filter true): broadcast to all rows
+            m = np.full(tbl.num_rows, bool(m))
         if docid_column:
             ids = tbl.column(docid_column).to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
@@ -736,22 +741,37 @@ def _expand_query_ast(node, expander: dict):
     return node
 
 
-def _eval_scorer_expr(expr: str, docids, scores, table: IndexedTable) -> np.ndarray:
+def _unsigned_shift(tbl: pa.Table, target: str, bi: np.ndarray, oi: np.ndarray) -> np.ndarray:
+    """``col >>>= n`` at the column's declared integer width."""
+    width = 64
+    if target in tbl.column_names:
+        t = tbl.column(target).type
+        if pa.types.is_integer(t):
+            width = t.bit_width
+    mask = np.uint64(2**width - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    return ((bi.astype(np.uint64) & mask) >> oi.astype(np.uint64)).astype(
+        np.int64
+    ).astype(np.float64)
+
+
+def _eval_scorer_expr(expr: str, docids, scores, table: IndexedTable) -> tuple:
     """--scorer per-record expression (lib/proc.c:1126-1150), e.g.
-    ``_score = -n_chars``, ``_score *= 2``, or a full script expression
-    (``_score = n_chars > 300 ? _score * 2 : _score``). Parsed and
-    evaluated by the script-syntax engine, vectorized over the matched
-    rows only (docid-pruned fetch)."""
+    ``_score = -n_chars``, ``_score *= 2``, ``col &= mask``, or a full
+    script expression (``_score = n_chars > 300 ? _score * 2 :
+    _score``). The target may be ``_score`` or any column (the full
+    GRN_OP_ASSIGN family incl. bit/shift compounds). Returns
+    ``(target, values)`` aligned to ``docids``; parsed and evaluated by
+    the script-syntax engine, vectorized over the matched rows only
+    (docid-pruned fetch)."""
     from .script import eval_filter, parse_assignment
 
     target, op, rhs = parse_assignment(expr)
-    if target != "_score":
-        raise ValueError(f"scorer expression must assign _score: {expr!r}")
     names = [c for c in _pred_columns(rhs) if c != "_score"]
+    fetch_names = sorted(set(names) | ({target} if target != "_score" and op != "=" else set()))
     cols: dict[str, pa.Array] = {"_score": pa.array(scores, pa.float64())}
-    if names:
-        fetched = fetch_docs(table, docids, names)
-        for c in names:
+    if fetch_names:
+        fetched = fetch_docs(table, docids, fetch_names)
+        for c in fetch_names:
             cols[c] = fetched.column(c)
     tbl = pa.table(cols)
     out = eval_filter(rhs, tbl)
@@ -764,12 +784,33 @@ def _eval_scorer_expr(expr: str, docids, scores, table: IndexedTable) -> np.ndar
             np.float64,
         )
     if op == "=":
-        return out_np
-    base = np.asarray(scores, np.float64)
-    return {
-        "+=": base + out_np, "-=": base - out_np,
-        "*=": base * out_np, "/=": base / out_np,
-    }[op]
+        return target, out_np
+    if target == "_score":
+        base = np.asarray(scores, np.float64)
+    else:
+        base = np.asarray(
+            tbl.column(target).to_numpy(zero_copy_only=False), np.float64
+        )
+    bi, oi = base.astype(np.int64), out_np.astype(np.int64)
+    vals = {
+        "+=": lambda: base + out_np,
+        "-=": lambda: base - out_np,
+        "*=": lambda: base * out_np,
+        "/=": lambda: (
+            np.trunc(base / out_np)
+            if target in tbl.column_names
+            and pa.types.is_integer(tbl.column(target).type)
+            else base / out_np
+        ),
+        "%=": lambda: base - np.trunc(base / out_np) * out_np,
+        "&=": lambda: (bi & oi).astype(np.float64),
+        "|=": lambda: (bi | oi).astype(np.float64),
+        "^=": lambda: (bi ^ oi).astype(np.float64),
+        "<<=": lambda: (bi << oi).astype(np.float64),
+        ">>=": lambda: (bi >> oi).astype(np.float64),
+        ">>>=": lambda: _unsigned_shift(tbl, target, bi, oi),
+    }[op]()
+    return target, vals
 
 
 _ADJUSTER_RE = None
@@ -925,11 +966,18 @@ def select(
 
     if adjuster and result.nhits:
         result = _apply_adjuster(adjuster, result, reader)
+    computed_cols: dict[str, np.ndarray] = {}
+    computed_base: np.ndarray | None = None
     if scorer_expr and result.nhits:
-        result = MatchResult(
-            result.docids,
-            _eval_scorer_expr(scorer_expr, result.docids, result.scores, table),
-        )
+        tgt, vals = _eval_scorer_expr(scorer_expr, result.docids, result.scores, table)
+        if tgt == "_score":
+            result = MatchResult(result.docids, vals)
+        else:
+            # assignment to a regular column (the reference VM writes
+            # through to the column; here the computed values override
+            # the stored ones for this result's projection)
+            computed_cols[tgt] = vals
+            computed_base = result.docids.copy()
 
     nhits = result.nhits
     if limit < 0:
@@ -1025,7 +1073,11 @@ def select(
     def _is_plain(c: str) -> bool:
         return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c))
 
-    plain = [c for c in output_columns if c not in ("_id", "_score", "_score_int") and _is_plain(c)]
+    plain = [
+        c for c in output_columns
+        if c not in ("_id", "_score", "_score_int")
+        and c not in computed_cols and _is_plain(c)
+    ]
     exprs = [c for c in output_columns if not _is_plain(c) and c != "*"]
     expr_deps: set[str] = set()
     expr_asts: dict[str, object] = {}
@@ -1057,7 +1109,10 @@ def select(
     fetched = fetch_docs(table, docids, doc_cols) if doc_cols else None
     kw_terms: list[str] | None = None
     for c in output_columns:
-        if c == "_id":
+        if c in computed_cols:
+            idx = np.searchsorted(computed_base, docids)
+            out[c] = pa.array(computed_cols[c][idx])
+        elif c == "_id":
             out["_id"] = pa.array(docids, pa.uint64())
         elif c == "_score":
             out["_score"] = pa.array(scores, pa.float64())

@@ -181,6 +181,9 @@ class _P:
             if self.peek(2) == "<<":
                 self.i += 2
                 left = ("<<", left, self.parse_add())
+            elif self.peek(3) == ">>>":
+                self.i += 3
+                left = (">>>", left, self.parse_add())
             elif self.peek(2) == ">>":
                 self.i += 2
                 left = (">>", left, self.parse_add())
@@ -299,7 +302,9 @@ def parse_assignment(s: str) -> tuple[str, str, object]:
     if not target:
         raise ValueError(f"assignment needs a target: {s!r}")
     p.ws()
-    for op in ("+=", "-=", "*=", "/=", "="):
+    for op in (
+        ">>>=", "<<=", ">>=", "+=", "-=", "*=", "/=", "%=", "&=", "|=", "^=", "=",
+    ):
         if p.s[p.i : p.i + len(op)] == op and p.s[p.i : p.i + 2] != "==":
             p.i += len(op)
             rhs = p.parse_ternary()
@@ -360,6 +365,26 @@ def _geo_arg(ev, node):
     return ev(node)
 
 
+def unsigned_shift_right(a, b):
+    """``a >>> b``: logical shift on a's type width — an int16 -16
+    becomes 0xFFF0 (65520) before the shift, like the reference's
+    typed VM registers."""
+    width = 64
+    t = getattr(a, "type", None)
+    if t is not None and pa.types.is_integer(t):
+        width = t.bit_width
+    def _np(v):
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return v.to_numpy(zero_copy_only=False).astype(np.int64)
+        if isinstance(v, pa.Scalar):
+            return np.asarray(int(v.as_py()), np.int64)
+        return np.asarray(v, np.int64)
+
+    av, bv = _np(a), _np(b)
+    mask = np.uint64(2**width - 1) if width < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    return ((av.astype(np.uint64) & mask) >> bv.astype(np.uint64)).astype(np.int64)
+
+
 def _is_stringy(v) -> bool:
     if isinstance(v, str):
         return True
@@ -400,7 +425,16 @@ def eval_filter(ast, batch: pa.Table):
         if kind == "not":
             return pc.invert(ev(n[1]))
         if kind == "neg":
-            return pc.negate(ev(n[1]))
+            v = ev(n[1])
+            t = getattr(v, "type", None)
+            if t is not None and pa.types.is_unsigned_integer(t):
+                # promote so -uint doesn't wrap (the reference negates
+                # into a signed register)
+                try:
+                    v = v.cast(pa.int64())
+                except pa.ArrowInvalid:
+                    pass
+            return pc.negate(v)
         if kind in ("==", "!=", "<", ">", "<=", ">="):
             fn = {
                 "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
@@ -431,6 +465,11 @@ def eval_filter(ast, batch: pa.Table):
         if kind in ("<<", ">>"):
             fn = pc.shift_left if kind == "<<" else pc.shift_right
             return fn(ev(n[1]), ev(n[2]))
+        if kind == ">>>":
+            # unsigned (logical) right shift at the operand's declared
+            # width (GRN_OP_SHIFTRR, lib/operator.c)
+            a, b = ev(n[1]), ev(n[2])
+            return pa.array(unsigned_shift_right(a, b))
         if kind == "in":
             vals = n[2]
             if vals[0] != "list":

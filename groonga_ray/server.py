@@ -558,6 +558,30 @@ class CommandServer:
             return "0x0"  # non-string casts degrade to the origin point
         return v
 
+    _ARROW_TYPES = {
+        "Int8": pa.int8(), "Int16": pa.int16(), "Int32": pa.int32(),
+        "Int64": pa.int64(), "UInt8": pa.uint8(), "UInt16": pa.uint16(),
+        "UInt32": pa.uint32(), "UInt64": pa.uint64(), "Float": pa.float64(),
+        "Time": pa.float64(), "Bool": pa.bool_(),
+    }
+
+    def _apply_declared_types(self, name: str, tbl: pa.Table) -> pa.Table:
+        """Cast stored columns to their declared types (column_create
+        type=Int16 → arrow int16) so expressions see the real width —
+        the reference VM's registers are typed by the column."""
+        types = getattr(self, "_created", {}).get(name)
+        if not types:
+            return tbl
+        for col, typ in types.items():
+            at = self._ARROW_TYPES.get(typ)
+            if at is not None and col in tbl.column_names:
+                i = tbl.column_names.index(col)
+                try:
+                    tbl = tbl.set_column(i, col, tbl.column(col).cast(at))
+                except pa.ArrowInvalid:
+                    pass
+        return tbl
+
     def _cast_records(self, name: str, records: list) -> list:
         types = getattr(self, "_created", {}).get(name)
         if not types:
@@ -566,6 +590,10 @@ class CommandServer:
             for k, typ in types.items():
                 if k in r:
                     r[k] = self._cast_value(r[k], typ)
+                else:
+                    # declared columns exist on every record (unset →
+                    # null) so expressions/projections can reference them
+                    r.setdefault(k, None)
         return records
 
     def _load_auto(self, name: str, t, records: list) -> int:
@@ -621,6 +649,7 @@ class CommandServer:
             meta = read_manifest(os.path.join(t.index_dir, "meta.json"))
             cfg = BuildConfig.from_fingerprint(meta["config"])
             tbl = pa.Table.from_pylist(merged_rows)
+            tbl = self._apply_declared_types(name, tbl)
             if "_dummy_text" in cfg.text_columns:
                 tbl = tbl.append_column(
                     "_dummy_text", pa.array([""] * tbl.num_rows, pa.string())
@@ -679,6 +708,7 @@ class CommandServer:
         for i, r in enumerate(records):
             r["_id"] = i + 1
         tbl = pa.Table.from_pylist(records)
+        tbl = self._apply_declared_types(name, tbl)
         with self._mutate_lock:
             if self.data_dir is None:
                 self.data_dir = tempfile.mkdtemp(prefix="groonga_ray_srv_")

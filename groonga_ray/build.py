@@ -379,7 +379,9 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
     col = data.column(section)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if cfg.tokenizer != "TokenUvector":
+    if cfg.tokenizer != "TokenUvector" and not (
+        pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+    ):
         col = col.cast(pa.large_string())
     wt = WordTokenizer()
     chain = None
@@ -398,13 +400,18 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
 
     grouped = None
     n_truncated = 0
-    if cfg.tokenizer == "TokenCodeWord":
+    _ct = col.type
+    _is_vec = pa.types.is_list(_ct) or pa.types.is_large_list(_ct)
+    if cfg.tokenizer == "TokenCodeWord" and not _is_vec:
         res = _tokenize_group_word(cfg, col, docid_of_row, wt, chain)
         if res is not None:
             terms_arr, term_offsets, g_docid, tf, pos_offsets, s_pos, n_tokens, n_truncated = res
             grouped = True
     if grouped is None:
-        if cfg.tokenizer == "TokenUvector":
+        if cfg.tokenizer == "TokenUvector" or _is_vec:
+            # vector columns: elements are the tokens (uvector path,
+            # lib/tokenizers.c:26-99 — the reference's no-tokenizer
+            # vector index keys whole elements)
             terms, row_idx, positions, n_tokens = _tokenize_uvector(col)
         else:
             terms, row_idx, positions, n_tokens = _tokenize_column(cfg, col, wt, chain)

@@ -448,7 +448,10 @@ def _scan_pred(table: "IndexedTable", pred: DeferredPred) -> MatchResult:
         ]
         docids = np.concatenate(parts) if parts else np.empty(0, np.uint64)
     docids = np.sort(docids)
-    return MatchResult(docids, np.zeros(len(docids), np.float64))
+    # sequential-select matches carry score 1 (res_add with score 1,
+    # grn_table_select_sequential — the reference's `--filter true`
+    # baseline every adjuster/scorer then builds on)
+    return MatchResult(docids, np.ones(len(docids), np.float64))
 
 
 def _scan_one_file(path: str, base: int, docid_column: str | None, ast, columns: list[str]) -> np.ndarray:

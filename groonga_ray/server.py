@@ -485,6 +485,7 @@ class CommandServer:
         if isinstance(records, dict):
             records = [records]
         records = self._records_to_dicts(records, params)
+        records = self._normalize_weight_vectors(records)
         if not records:
             return 0
         if name in self.pending:
@@ -672,6 +673,26 @@ class CommandServer:
         return len(records)
 
     @staticmethod
+    def _normalize_weight_vectors(records: list) -> list:
+        """WITH_WEIGHT vector values load as ``{"element": weight}``
+        objects (grn_load weighted-vector form, lib/db.c:11451). Encode
+        each element repeated (weight+1) times: the index's tf then
+        equals weight+1, which is exactly what the reference's
+        WITH_WEIGHT index contributes to adjuster/match scores
+        (get_weight, lib/ii.c:5801-5833 — weight 0 scores 1)."""
+        for r in records:
+            for k, v in list(r.items()):
+                if (
+                    isinstance(v, dict) and v
+                    and all(isinstance(w, int) for w in v.values())
+                ):
+                    out: list[str] = []
+                    for elem, w in v.items():
+                        out.extend([elem] * (int(w) + 1))
+                    r[k] = out
+        return records
+
+    @staticmethod
     def _records_to_dicts(records: list, params: dict) -> list:
         """load's array-of-arrays form (grn_load, lib/db.c:11451): the
         column list comes from ``--columns`` or the first array."""
@@ -717,16 +738,23 @@ class CommandServer:
             os.makedirs(loads_dir, exist_ok=True)
             path = os.path.join(loads_dir, "load_00000.parquet")
             pq.write_table(tbl, path)
+            def _indexable(t):
+                return (
+                    pa.types.is_string(t)
+                    or ((pa.types.is_list(t) or pa.types.is_large_list(t))
+                        and pa.types.is_string(t.value_type))
+                )
+
             text_cols = sorted(
                 c for c in td.indexed
-                if c in tbl.column_names and pa.types.is_string(tbl.schema.field(c).type)
+                if c in tbl.column_names and _indexable(tbl.schema.field(c).type)
             )
             if not text_cols:
                 # no index column declared: index every string column so
                 # query search still works (scan semantics preserved)
                 text_cols = [
                     f.name for f in tbl.schema
-                    if pa.types.is_string(f.type) and f.name != "_key"
+                    if _indexable(f.type) and f.name != "_key"
                 ]
             if not text_cols:
                 # table with no text at all (e.g. numeric-only): index a

@@ -245,9 +245,12 @@ def _cell(v):
     return v
 
 
-def compare(cmd: str, ours, expected_env) -> tuple[bool, str]:
+def compare(cmd: str, ours, expected_env, ordered: bool = True) -> tuple[bool, str]:
     """Compare our command body against the reference envelope's body.
-    Returns (ok, detail)."""
+    Returns (ok, detail). ``ordered=False`` (select with no sort keys)
+    compares each result set's rows as a multiset — the reference's
+    no-sort output order is result-set hash insertion order, a
+    non-semantic artifact."""
     if len(expected_env) < 2:
         return (ours in (None, True), f"expected no body, got {ours!r}")
     exp = expected_env[1]
@@ -256,6 +259,11 @@ def compare(cmd: str, ours, expected_env) -> tuple[bool, str]:
         # reference token output: [{"value":..,"position":..}]
         b = [(t["value"], t.get("position")) for t in exp]
         a = [(t["value"], t.get("position")) for t in ours]
+    if cmd == "select" and not ordered:
+        for shaped in (a, b):
+            for s in shaped:
+                if isinstance(s, dict) and "rows" in s:
+                    s["rows"] = sorted(s["rows"], key=json.dumps)
     return (a == b, f"ours={a!r}\nexpected={b!r}")
 
 
@@ -311,13 +319,14 @@ class ScriptRunner:
         out = []
         for (name, params), env in zip(cmds, expected):
             err = None
+            ordered = bool(params.get("sortby") or params.get("sort_keys"))
             try:
                 body = self.execute(name, params)
             except Exception as e:  # noqa: BLE001 - reported as mismatch
                 body, err = None, f"{type(e).__name__}: {e}"
             expected_err = bool(env and env[0] and env[0][0] != 0)
             if err is None and not expected_err:
-                ok, detail = compare(name, body, env)
+                ok, detail = compare(name, body, env, ordered=ordered)
             elif err is not None and expected_err:
                 ok, detail = True, "error == expected error"  # both errored
             elif err is not None:

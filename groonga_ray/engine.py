@@ -733,8 +733,15 @@ def fetch_docs(table: IndexedTable, docids: np.ndarray, columns: list[str]) -> p
 def _expand_query_ast(node, expander: dict):
     """--query_expander (lib/proc.c:330-430): rewrite matching terms
     with their substitution query before evaluation."""
-    if isinstance(node, TermNode) and node.text in expander and node.mode == "match":
-        return parse_query(expander[node.text])
+    if isinstance(node, (TermNode, PhraseNode)) and getattr(node, "mode", "match") == "match":
+        key = node.text
+        if key not in expander:
+            # synonym tables normalize their keys (KEY_NORMALIZE)
+            from .normalize import normalize as _norm
+
+            key = _norm(key)[0]
+        if key in expander:
+            return parse_query(expander[key])
     for attr in ("children",):
         if hasattr(node, attr):
             setattr(node, attr, [_expand_query_ast(c, expander) for c in getattr(node, attr)])

@@ -125,7 +125,15 @@ class _Parser:
                 self.i + 2 >= len(self.s) or self.s[self.i + 2].isspace() or self.s[self.i + 2] == "("
             ):
                 self.i += 2
-                right = self.parse_and()
+                try:
+                    right = self.parse_and()
+                except QueryParseError:
+                    # trailing OR with no right operand is ignored
+                    # (get_expr tolerates it, lib/expr.c:5832)
+                    self.skip_ws()
+                    if self.i < len(self.s):
+                        self.i = save
+                    return left
                 if isinstance(left, OrNode):
                     left.children.append(right)
                 else:
@@ -148,7 +156,12 @@ class _Parser:
                 break
             op = self.default_op
             c = self.peek()
-            if c == "+":
+            nxt = self.s[self.i + 1 : self.i + 2]
+            if c in "+-~" and (not nxt or nxt.isspace()):
+                # a bare +/-/~ surrounded by spaces is a TERM (it can
+                # even be a query-expander key, lib/proc.c:330)
+                pass
+            elif c == "+":
                 op = "and"
                 self.i += 1
             elif c == "-":

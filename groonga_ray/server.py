@@ -300,6 +300,9 @@ class CommandServer:
         labeled = self._parse_labeled_drilldowns(params)
         if labeled:
             kwargs["drilldowns"] = labeled
+        qe = params.get("query_expander") or params.get("query_expansion")
+        if qe:
+            kwargs["query_expander"] = self._resolve_query_expander(qe)
         res = select(table, **kwargs)
         sets = [self._result_env(res)]
         if res.get("drilldown") is not None:
@@ -317,6 +320,36 @@ class CommandServer:
             while len(self._select_cache) > self._cache_max:
                 self._select_cache.popitem(last=False)
         return sets
+
+    def _resolve_query_expander(self, spec: str) -> dict:
+        """``--query_expander Synonyms.words`` (expand_query,
+        lib/proc.c:330-430): the named table's ``_key`` column maps
+        expandable terms to their substitution sub-queries."""
+        if "." not in spec:
+            raise ValueError(f"query_expander must be Table.column: {spec!r}")
+        import pyarrow.parquet as pq
+
+        tname, col = spec.split(".", 1)
+        st = self.tables.get(tname)
+        if st is None:
+            raise ValueError(f"unknown query expander table: {tname}")
+        tb = pa.concat_tables(
+            [pq.read_table(f, columns=["_key", col]) for f in st.source_files],
+            promote_options="default",
+        )
+        from .normalize import normalize as _norm
+
+        out: dict[str, str] = {}
+        for k, v in zip(tb.column("_key").to_pylist(), tb.column(col).to_pylist()):
+            if isinstance(v, list):
+                # vector synonym column: elements OR-ed (expand_query
+                # vector branch, lib/proc.c:376-398)
+                v = "(" + " OR ".join(f"({e})" for e in v) + ")" if v else ""
+            if not v:
+                continue
+            out[k] = v
+            out.setdefault(_norm(k)[0], v)  # KEY_NORMALIZE lookup form
+        return out
 
     @staticmethod
     def _parse_labeled_drilldowns(params: dict) -> dict:
@@ -526,6 +559,10 @@ class CommandServer:
         parse; Time is epoch seconds (stored float)."""
         if v is None:
             return None
+        if isinstance(v, (list, dict)):
+            # vector values: the declared type describes the ELEMENT
+            # type; elements pass through as loaded
+            return v
         if typ in ("ShortText", "Text", "LongText"):
             if isinstance(v, bool):
                 return "true" if v else "false"

@@ -85,7 +85,7 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
         if isinstance(node, NearNode):
             from .search import near_match
 
-            tokens = _query_tokens(node.text, reader.query_chain)
+            tokens = _query_tokens(node.text, reader)
             if not tokens:
                 continue
             m = near_match(si, tokens, node.max_interval, scorer=spec.scorer, **kw)
@@ -94,7 +94,7 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
 
             m = similar_match(si, node.text, **kw)
         elif isinstance(node, TermNode):
-            tokens = _query_tokens(node.text, reader.query_chain)
+            tokens = _query_tokens(node.text, reader)
             if not tokens:
                 continue
             m = term_match(
@@ -103,7 +103,7 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
                 escalation_threshold=spec.escalation_threshold, **kw,
             )
         else:  # PhraseNode
-            tokens = _query_tokens(node.text, reader.query_chain)
+            tokens = _query_tokens(node.text, reader)
             if not tokens:
                 continue
             m = term_match(reader.section(col), tokens, spec.scorer,
@@ -118,7 +118,7 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
                 n_docs=reader.n_docs, avgdl=reader.avgdl(sec),
                 doclens=reader.doclens(sec), weight=1.0,
             )
-            tokens = _query_tokens(node.text, reader.query_chain)
+            tokens = _query_tokens(node.text, reader)
             if tokens:
                 m = term_match(
                     si, tokens, spec.scorer,
@@ -138,17 +138,35 @@ def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
 _WT = WordTokenizer()
 
 
-def _query_tokens(text: str, chain: list = ()) -> list[tuple[str, int]]:
-    """GET-mode tokenization of query text (word tokenizer + the
-    index's token-filter chain: stop words drop, stems map; surviving
-    tokens keep their original ordinals so phrase offsets hold)."""
-    toks = _WT.tokenize_text(text)
+def _query_tokens(text: str, reader_or_chain=()) -> list[tuple[str, int]]:
+    """GET-mode tokenization of query text with the INDEX's configured
+    tokenizer + token-filter chain (token_cursor GET mode: a TokenBigram
+    table keeps symbol-run tokens, so escaped specials match literally;
+    stop words drop, stems map; surviving tokens keep their original
+    ordinals so phrase offsets hold)."""
+    chain: list = ()
+    tokenizer = "TokenCodeWord"
+    if isinstance(reader_or_chain, IndexReader):
+        chain = reader_or_chain.query_chain
+        tokenizer = reader_or_chain.meta.get("config", {}).get("tokenizer", "TokenCodeWord")
+    elif reader_or_chain:
+        chain = reader_or_chain
+    if tokenizer == "TokenCodeWord":
+        toks = [(t, i) for i, t in enumerate(_WT.tokenize_text(text))]
+    else:
+        from .tokenize import tokenize as _tok
+
+        stream = _tok(text, tokenizer, mode="get")
+        toks = [(t.term, t.pos) for t in stream.tokens]
     if not chain or not toks:
-        return [(t, i) for i, t in enumerate(toks)]
+        return toks
     from .tokenfilters import apply_chain
 
-    terms, idx = apply_chain(chain, pa.array(toks, type=pa.large_string()), "get")
-    return list(zip(terms.to_pylist(), idx.tolist()))
+    terms, idx = apply_chain(
+        chain, pa.array([t for t, _ in toks], type=pa.large_string()), "get"
+    )
+    pos = [toks[i][1] for i in idx.tolist()]
+    return list(zip(terms.to_pylist(), pos))
 
 
 def _collect_query_keywords(query: str) -> list[str]:
@@ -869,7 +887,7 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
             n_docs=reader.n_docs, avgdl=reader.avgdl(col),
             doclens=reader.doclens(col), weight=1.0,
         )
-        m = term_match(si, _query_tokens(text, reader.query_chain), spec.scorer, **kw)
+        m = term_match(si, _query_tokens(text, reader), spec.scorer, **kw)
         acc = m if acc is None else op_and(acc, m)
     pending_preds: list[DeferredPred] = []
     for col, pat in plan.regexps:

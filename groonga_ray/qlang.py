@@ -235,13 +235,41 @@ class _Parser:
             if self.peek() == '"':
                 self.i += 1
             return PhraseNode(text)
-        # bare word or col:op-value
+        # bare word or col:op-value; backslash escapes make specials
+        # literal term characters (get_word, lib/expr.c:5723-5831)
         start = self.i
-        while self.i < len(self.s) and not self.s[self.i].isspace() and self.s[self.i] not in '()"':
+        buf: list[str] = []
+        esc: list[bool] = []
+        while self.i < len(self.s):
+            ch = self.s[self.i]
+            if ch == "\\" and self.i + 1 < len(self.s):
+                buf.append(self.s[self.i + 1])
+                esc.append(True)
+                self.i += 2
+                continue
+            if ch.isspace() or ch in '()"':
+                break
+            buf.append(ch)
+            esc.append(False)
             self.i += 1
-        word = self.s[start : self.i]
+        word = "".join(buf)
+        raw = self.s[start : self.i]
         if not word:
             raise QueryParseError(f"expected term at {start}")
+        if self.allow_column and ":" in raw:
+            col_r, rest_r = raw.split(":", 1)
+            if rest_r.startswith("~") and "\\" not in col_r:
+                # col:~regexp — the pattern keeps its backslashes
+                # verbatim (REGEXP mode, lib/ii.c:6049)
+                return TermNode(rest_r[1:], "regexp", col_r)
+        if any(esc):
+            # escaped chars are literal: no col:/prefix interpretation
+            # except a trailing UNESCAPED *
+            if word.endswith("*") and not esc[-1] and len(word) > 1:
+                return TermNode(word[:-1], "prefix")
+            return TermNode(word)
+        if word == "*":
+            return TermNode(word)  # a lone * is a literal symbol term
         if ":" in word and self.allow_column:
             col, rest = word.split(":", 1)
             if rest.startswith("@"):

@@ -494,5 +494,12 @@ def tokenize(
         ts = TokenStream()
         ts.tokens = [Token(t, i) for i, t in enumerate(WordTokenizer().tokenize_text(text))]
         return ts
+    if tokenizer == "TokenUvector":
+        # vector-element index: query pieces (whitespace-split) are
+        # element keys with consecutive positions, so phrase queries
+        # match consecutive elements
+        ts = TokenStream()
+        ts.tokens = [Token(p, i) for i, p in enumerate(text.split()) if p]
+        return ts
     kwargs = TOKENIZERS[tokenizer]
     return ngram_tokenize(text, mode=mode, raw=raw, **kwargs)

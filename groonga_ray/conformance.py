@@ -41,6 +41,7 @@ VAR_ORDERS: dict[str, list[str]] = {
     "table_remove": ["name"],
     "table_rename": ["name", "new_name"],
     "column_create": ["table", "name", "flags", "type", "source"],
+    "column_remove": ["table", "name"],
     "column_list": ["table"],
     "normalize": ["normalizer", "string", "flags"],
     "tokenize": ["tokenizer", "string", "normalizer", "flags", "mode", "token_filters"],
@@ -57,6 +58,15 @@ VAR_ORDERS: dict[str, list[str]] = {
     "plugin_register": ["name"],
     "plugin_unregister": ["name"],
     "request_cancel": ["id"],
+    "logical_count": [
+        "logical_table", "shard_key", "min", "min_border", "max",
+        "max_border", "filter",
+    ],
+    "logical_range_filter": [
+        "logical_table", "shard_key", "min", "min_border", "max",
+        "max_border", "order", "filter", "offset", "limit",
+        "output_columns",
+    ],
     "status": [], "table_list": [], "tokenizer_list": [],
     "normalizer_list": [], "quit": [], "shutdown": [], "log_reopen": [],
     "dump": ["tables"],
@@ -135,17 +145,33 @@ def parse_command(line: str) -> tuple[str, dict]:
     return name, params
 
 
-def parse_script(text: str) -> list[tuple[str, dict]]:
-    """A .test script → [(command, params)]. Handles comment lines
-    (#...), blank lines, trailing-backslash continuations, and load's
-    following JSON values block (balanced-bracket scan)."""
+def parse_script(
+    text: str, include_dir: str | None = None, _included: bool = False
+) -> list[tuple[str, dict, bool]]:
+    """A .test script → [(command, params, from_include)]. Handles
+    comment lines (#...), blank lines, trailing-backslash
+    continuations, load's following JSON values block
+    (balanced-bracket scan), and — when ``include_dir`` is given —
+    grntest's ``#@include <path>`` directive (paths resolve against
+    ``include_dir``, the reference's ``test/command`` root; included
+    fixture commands execute but produce no envelopes in the
+    ``.expected`` file, hence the ``from_include`` flag)."""
     lines = text.splitlines()
-    out: list[tuple[str, dict]] = []
+    out: list[tuple[str, dict, bool]] = []
     i = 0
     while i < len(lines):
         line = lines[i].rstrip("\n")
         i += 1
         if not line.strip() or line.lstrip().startswith("#"):
+            stripped = line.strip()
+            if stripped.startswith("#@include") and include_dir is not None:
+                import os
+
+                rel = stripped[len("#@include"):].strip()
+                with open(os.path.join(include_dir, rel)) as fh:
+                    out.extend(
+                        parse_script(fh.read(), include_dir, _included=True)
+                    )
             continue
         while line.rstrip().endswith("\\"):
             line = line.rstrip()[:-1] + " " + (lines[i] if i < len(lines) else "")
@@ -166,7 +192,7 @@ def parse_script(text: str) -> list[tuple[str, dict]]:
                 if started and depth == 0:
                     break
             params["values"] = "\n".join(block)
-        out.append((name, params))
+        out.append((name, params, _included))
     return out
 
 
@@ -228,6 +254,9 @@ def _shape(cmd: str, body):
         return shaped
     if cmd in ("tokenize", "table_tokenize"):
         return [(t["value"], t.get("position")) for t in body]
+    if cmd == "logical_range_filter" and isinstance(body, list) and body:
+        # [[col defs], rows...] — no hit-count head; ignore type names
+        return {"rows": [_cell(r) for r in body[1:]]}
     return body
 
 
@@ -272,6 +301,15 @@ class ScriptRunner:
     table (direct dispatch — the HTTP layer is tested separately)."""
 
     def __init__(self, server):
+        import os
+        import time
+
+        # the reference suite's goldens are produced under
+        # TZ=Asia/Tokyo (test/command/run-test.sh:152); Time-text casts
+        # use localtime (grn_str2timeval), so pin it for parity
+        if os.environ.get("TZ") != "Asia/Tokyo":
+            os.environ["TZ"] = "Asia/Tokyo"
+            time.tzset()
         self.server = server
 
     def execute(self, name: str, params: dict):
@@ -298,26 +336,47 @@ class ScriptRunner:
         params.pop("output_type", None)
         return fn(params)
 
-    def run_script(self, text: str) -> list:
+    def run_script(self, text: str, include_dir: str | None = None) -> list:
         return [
             (name, params, self.execute(name, params))
-            for name, params in parse_script(text)
+            for name, params, _inc in parse_script(text, include_dir)
         ]
 
     def run_conformance(self, test_path: str, expected_path: str) -> list[dict]:
         """Execute test_path; compare each command's output against
-        expected_path. Returns one record per command."""
+        expected_path. Returns one record per command. ``#@include``
+        fixture paths resolve against the enclosing ``test/command``
+        directory; included commands run but aren't compared (their
+        output is not echoed into ``.expected``)."""
+        import os
+
+        include_dir: str | None = None
+        d = os.path.dirname(os.path.abspath(test_path))
+        while d != "/":
+            if os.path.basename(d) == "command" and os.path.isdir(
+                os.path.join(d, "fixture")
+            ):
+                include_dir = d
+                break
+            d = os.path.dirname(d)
         with open(test_path) as fh:
             script = fh.read()
         with open(expected_path) as fh:
             expected = parse_expected(fh.read())
-        cmds = parse_script(script)
-        if len(expected) != len(cmds):
+        all_cmds = parse_script(script, include_dir)
+        n_compared = sum(1 for c in all_cmds if not c[2])
+        if len(expected) != n_compared:
             raise ValueError(
-                f"{test_path}: {len(cmds)} commands vs {len(expected)} envelopes"
+                f"{test_path}: {n_compared} commands vs {len(expected)} envelopes"
             )
         out = []
-        for (name, params), env in zip(cmds, expected):
+        env_iter = iter(expected)
+        for name, params, inc in all_cmds:
+            if inc:
+                # fixture setup: run in order, don't compare
+                self.execute(name, params)
+                continue
+            env = next(env_iter)
             err = None
             ordered = bool(params.get("sortby") or params.get("sort_keys"))
             try:

@@ -60,6 +60,10 @@ class IndexedTable:
     # table's files, its key column) — the schema link grn_obj_get_range
     # provides in the reference (lib/proc.c:5198)
     refs: dict | None = None
+    # geo-indexed columns: col -> zkey-sorted geo index dir (the
+    # WGS84GeoPoint PAT-key index, lib/geo.c:687) — filters route
+    # geo_in_rectangle/in_circle on these columns to mesh-cover scans
+    geo_indexes: dict | None = None
 
     def reader(self) -> IndexReader:
         return open_index(self.index_dir)
@@ -67,13 +71,32 @@ class IndexedTable:
 
 # ------------------------------------------------------------- match eval
 
-def _eval_match_node(node, reader: IndexReader, spec: MatchSpec) -> MatchResult:
+def _eval_match_node(
+    node, reader: IndexReader, spec: MatchSpec, table: "IndexedTable | None" = None
+) -> MatchResult:
     """One term/phrase node across all match sections, scores summed
-    (WITH_SECTION accumulation, lib/db.c:2136-2158)."""
+    (WITH_SECTION accumulation, lib/db.c:2136-2158). A dotted section
+    ``col.sub`` matches THROUGH a reference column (nested index,
+    grn_column_index over reference paths, lib/db.c:8800): ``col._key``
+    matches the stored key text itself; ``col.sub`` runs the match on
+    the referenced table's index and semi-joins the matched keys back."""
     results = []
     for col, weight in spec.sections:
         if isinstance(node, (TermNode, PhraseNode)) and getattr(node, "section", None):
             if node.section != col:
+                continue
+        if "." in col:
+            base, sub = col.split(".", 1)
+            if sub == "_key" and base in reader.sections:
+                col = base  # reference column stores the key bytes
+            elif table is not None and table.refs and base in table.refs:
+                m = _nested_ref_match(node, table, base, sub, spec)
+                if m is not None:
+                    if weight != 1.0:
+                        m = MatchResult(m.docids, m.scores * weight)
+                    results.append(m)
+                continue
+            else:
                 continue
         si = reader.section(col)
         kw = dict(
@@ -548,6 +571,206 @@ def _sub_filter_keys(files: list[str], key_col: str, filter_str: str) -> pa.Arra
     return pa.concat_arrays(chunks)
 
 
+# --------------------------------------------------- nested ref columns
+
+def _ref_entry(table: "IndexedTable", col: str):
+    """refs[col] → (files, key_col, ref IndexedTable | None). The third
+    element (when present) is the referenced table's own handle, which
+    nested-index match needs (grn_column_index through a reference
+    path, lib/db.c:8800)."""
+    v = (table.refs or {}).get(col)
+    if v is None:
+        return None
+    files, key_col = list(v[0]), v[1]
+    ref_t = v[2] if len(v) > 2 else None
+    return files, key_col, ref_t
+
+
+def _nested_ref_match(node, table: "IndexedTable", base: str, sub: str, spec) -> MatchResult | None:
+    """Match ``base.sub``: run the node on the REFERENCED table's index
+    section ``sub``, then semi-join the matched keys' scores back
+    through this table's ``base`` values (scalar or vector). The
+    reference resolves this with the referenced table's index plus the
+    reverse COLUMN_INDEX (nested index, lib/expr.c:4360 scan_info +
+    lib/db.c:8800); here the matched key set is query-selective and
+    broadcast-small, so the reverse step is a streamed semi-join."""
+    import copy
+
+    ent = _ref_entry(table, base)
+    if ent is None or ent[2] is None:
+        return None
+    files, key_col, ref_t = ent
+    sub_node = copy.copy(node)
+    if hasattr(sub_node, "section"):
+        sub_node.section = None
+    sub_spec = MatchSpec([(sub, 1.0)])
+    sub_spec.scorer = spec.scorer
+    sub_spec.escalation_threshold = spec.escalation_threshold
+    ref_reader = ref_t.reader()
+    if "." not in sub and sub not in ref_reader.sections:
+        return None
+    m = _eval_match_node(sub_node, ref_reader, sub_spec, ref_t)
+    if m.nhits == 0:
+        return MatchResult.empty()
+    keys_tbl = fetch_docs(ref_t, m.docids, [key_col])
+    keys = keys_tbl.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return _ref_forward_join(table, base, keys, m.scores)
+
+
+def _ref_forward_join(
+    table: "IndexedTable", col: str, keys: pa.Array, key_scores: np.ndarray
+) -> MatchResult:
+    """Streamed semi-join: rows of this table whose ``col`` value (or
+    any vector element) is in ``keys``; each row scores the sum of its
+    matched keys' scores (nested accumulation, lib/db.c:2136-2158).
+    Column-pruned row-group scan — bytes read scale with ONE column,
+    and the key set rides along broadcast-style."""
+    files = sorted(table.source_files)
+    out_ids: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    base_rank = 1
+    for f in files:
+        pf = pq.ParquetFile(f)
+        need = [col] + ([table.docid_column] if table.docid_column else [])
+        rg_start = base_rank
+        for rg in range(pf.metadata.num_row_groups):
+            tbl = pf.read_row_group(rg, columns=sorted(set(need)))
+            arr = tbl.column(col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            nrows = len(arr)
+            if table.docid_column:
+                ids = tbl.column(table.docid_column).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.uint64)
+            else:
+                ids = np.arange(rg_start, rg_start + nrows, dtype=np.uint64)
+            rg_start += nrows
+            row_scores = np.zeros(nrows, np.float64)
+            try:
+                if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                    flat = pc.list_flatten(arr)
+                    parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+                    idx = pc.index_in(flat, value_set=keys.cast(flat.type))
+                    idx_np = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False)
+                    hitm = idx_np >= 0
+                    np.add.at(row_scores, parent[hitm], key_scores[idx_np[hitm]])
+                else:
+                    idx = pc.index_in(arr, value_set=keys.cast(arr.type))
+                    idx_np = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False)
+                    hitm = idx_np >= 0
+                    row_scores[hitm] = key_scores[idx_np[hitm]]
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass  # incomparable types: no matches from this group
+            keep = row_scores > 0
+            if keep.any():
+                out_ids.append(ids[keep])
+                out_scores.append(row_scores[keep])
+        base_rank = rg_start
+    if not out_ids:
+        return MatchResult.empty()
+    ids = np.concatenate(out_ids)
+    scores = np.concatenate(out_scores)
+    order = np.argsort(ids)
+    return MatchResult(ids[order], scores[order])
+
+
+def _strip_key_suffix(ast):
+    """Rewrite ``("col", "x._key")`` → ``("col", "x")``: a reference
+    column STORES the referenced key, so ``x._key`` reads the column
+    value itself (grn_obj accessor `column._key`, lib/db.c:8203)."""
+    if isinstance(ast, tuple):
+        if (
+            ast[0] == "col" and isinstance(ast[1], str)
+            and ast[1].endswith("._key") and ast[1].count(".") == 1
+        ):
+            return ("col", ast[1][: -len("._key")])
+        return tuple(
+            _strip_key_suffix(c) if isinstance(c, (tuple, list)) else c
+            for c in ast
+        )
+    if isinstance(ast, list):
+        return [_strip_key_suffix(c) for c in ast]
+    return ast
+
+
+def _strip_ref_prefix(ast, prefix: str):
+    """Rewrite ``("col", "owner.x")`` → ``("col", "x")`` throughout."""
+    if isinstance(ast, tuple):
+        if ast[0] == "col" and isinstance(ast[1], str) and ast[1].startswith(prefix):
+            return ("col", ast[1][len(prefix):])
+        return tuple(
+            _strip_ref_prefix(c, prefix) if isinstance(c, (tuple, list)) else c
+            for c in ast
+        )
+    if isinstance(ast, list):
+        return [_strip_ref_prefix(c, prefix) for c in ast]
+    return ast
+
+
+def _ref_pred_keys(files: list[str], key_col: str, ast) -> pa.Array:
+    """Keys of the referenced table's rows satisfying the predicate —
+    the referenced-side evaluation of a nested filter (streamed,
+    column-pruned row-group scan like _sub_filter_keys)."""
+    from .script import eval_filter
+
+    cols = sorted(set(_pred_columns(ast)) | {key_col})
+    chunks: list[pa.Array] = []
+    for f in sorted(files):
+        pf = pq.ParquetFile(f)
+        avail = set(pf.schema_arrow.names)
+        use = [c for c in cols if c in avail]
+        for rg in range(pf.metadata.num_row_groups):
+            tbl = pf.read_row_group(rg, columns=use)
+            mask = eval_filter(ast, tbl)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                mask = pc.fill_null(mask, False)
+            keys = tbl.column(key_col).filter(mask)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            chunks.append(keys)
+    if not chunks:
+        return pa.array([], pa.large_string())
+    return pa.concat_arrays(chunks)
+
+
+def _ref_map_column(table: "IndexedTable", base: str, sub: str, values) -> pa.Array:
+    """Projection through a reference: map this table's ``base`` values
+    (keys of the referenced table) to the referenced table's ``sub``
+    column (accessor chains, lib/db.c:11187-11260). The referenced side
+    is a broadcast-small dimension table."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if sub == "_key":
+        return values  # the stored value IS the referenced key
+    ent = _ref_entry(table, base)
+    if ent is None:
+        raise ValueError(f"no reference target declared for column {base!r}")
+    files, key_col, ref_t = ent
+    if "." in sub and ref_t is not None:
+        b2, s2 = sub.split(".", 1)
+        if ref_t.refs and b2 in ref_t.refs:
+            mapped = _ref_map_column(table, base, b2, values)
+            return _ref_map_column(ref_t, b2, s2, mapped)
+    need = [key_col, sub]
+    mapping = pa.concat_tables(
+        pq.read_table(f, columns=[c for c in need if c in pq.read_schema(f).names])
+        for f in sorted(files)
+    )
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    mkeys = mapping.column(key_col)
+    if isinstance(mkeys, pa.ChunkedArray):
+        mkeys = mkeys.combine_chunks()
+    vals = mapping.column(sub)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    idx = pc.index_in(values.cast(mkeys.type), value_set=mkeys)
+    return pc.take(vals, idx)
+
+
 def _as_match(x, table: "IndexedTable") -> MatchResult:
     return _scan_pred(table, x) if isinstance(x, DeferredPred) else x
 
@@ -562,16 +785,16 @@ def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
     set to filter; only a predicate that reaches the top (or an OR/
     ADJUST operand) unbounded pays a scan."""
     if isinstance(node, (NearNode, SimilarNode)):
-        return _eval_match_node(node, reader, spec)
+        return _eval_match_node(node, reader, spec, table)
     if isinstance(node, (TermNode, PhraseNode)):
         sec = getattr(node, "section", None)
         if isinstance(node, TermNode) and node.mode == "regexp":
             return _regexp_match(node.text, sec or spec.sections[0][0], reader, table)
-        if sec and sec not in reader.sections:
+        if sec and sec not in reader.sections and "." not in sec:
             # col:value on an unindexed scalar column = equality filter
             # (grn_table_select key search, lib/db.c:2641)
             return _pred_of_range(RangeNode(sec, "==", node.text))
-        return _eval_match_node(node, reader, spec)
+        return _eval_match_node(node, reader, spec, table)
     if isinstance(node, AndNode):
         parts = [_eval_node_lazy(c, reader, spec, table) for c in node.children]
         matches = [p for p in parts if isinstance(p, MatchResult)]
@@ -872,8 +1095,22 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
     lib/expr.c:5038/4673)."""
     from .script import eval_filter, parse_filter, split_filter
 
-    plan = split_filter(parse_filter(filter_str))
+    ast = _strip_key_suffix(parse_filter(filter_str))
+    plan = split_filter(ast, geo_columns=set(table.geo_indexes or ()))
     acc: MatchResult | None = None
+    for unit in plan.geo:
+        # geo selector via the mesh-cover index scan (grn_geo_select_
+        # in_rectangle/in_circle, lib/geo.c:687-1016); score 1 per match
+        # like res_add with score=1
+        from .geoindex import open_geo_index
+
+        gi = open_geo_index(table.geo_indexes[unit[1]])
+        if unit[0] == "rect":
+            docids = gi.search_rectangle(unit[2], unit[3])
+        else:
+            docids = gi.search_circle(unit[2], unit[3], unit[4])
+        m = MatchResult(docids, np.ones(len(docids), np.float64))
+        acc = m if acc is None else op_and(acc, m)
     for mc, q in plan.subqueries:
         # query("cols", "q") — nested sub-select as a predicate
         # (lib/proc.c:5138-5268)
@@ -882,6 +1119,22 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
         m = _eval_node(parse_query(q), reader, sub_spec, table)
         acc = m if acc is None else op_and(acc, m)
     for col, text in plan.matches:
+        if "." in col:
+            base, sub = col.split(".", 1)
+            if sub == "_key" and base in reader.sections:
+                col = base  # reference column stores the key bytes
+            else:
+                # nested index match through the reference column
+                # (select/index/nested, lib/db.c:8800)
+                from .qlang import TermNode
+
+                m = _nested_ref_match(TermNode(text), table, base, sub, spec)
+                if m is None:
+                    raise ValueError(
+                        f"{col}: no reference target declared for {base!r}"
+                    )
+                acc = m if acc is None else op_and(acc, m)
+                continue
         si = reader.section(col)
         kw = dict(
             n_docs=reader.n_docs, avgdl=reader.avgdl(col),
@@ -911,7 +1164,23 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
         keys = _sub_filter_keys(list(ref_files), key_col, sub)
         pending_preds.append(DeferredPred(("in_set", ("col", col), keys), (col,)))
     if plan.predicate is not None:
-        pending_preds.append(DeferredPred(plan.predicate, _pred_columns(plan.predicate)))
+        pred = DeferredPred(plan.predicate, _pred_columns(plan.predicate))
+        dotted = {c.split(".", 1)[0] for c in pred.columns if "." in c}
+        if len(dotted) == 1 and all("." in c for c in pred.columns):
+            # predicate entirely over one reference path (e.g.
+            # owner.birthday >= a && owner.birthday < b): evaluate it on
+            # the REFERENCED table, then keep `base in keys` here —
+            # sub_filter semantics (lib/proc.c:5269-5293); valid because
+            # the reference is scalar-or-vector keyed and conjunction
+            # distributes over the key join
+            base = next(iter(dotted))
+            ent = _ref_entry(table, base)
+            if ent is not None:
+                files, key_col, _ref_t = ent
+                sub_ast = _strip_ref_prefix(plan.predicate, base + ".")
+                keys = _ref_pred_keys(files, key_col, sub_ast)
+                pred = DeferredPred(("in_set", ("col", base), keys), (base,))
+        pending_preds.append(pred)
     for pred in pending_preds:
         if acc is None:
             # no index part anywhere: streaming scan (never a whole-
@@ -1086,12 +1355,14 @@ def select(
     if "*" in output_columns:
         first = pq.ParquetFile(sorted(table.source_files)[0])
         # internal columns (_dummy_text) are hidden; columns already
-        # named explicitly are not repeated
+        # named explicitly are not repeated. Name-sorted: the reference
+        # iterates the DB's column catalog, a name-keyed PAT
+        # (grn_obj_columns → grn_table_columns, lib/db.c:11187)
         named = set(output_columns) - {"*"}
-        all_cols = [
+        all_cols = sorted(
             n for n in first.schema_arrow.names
-            if n not in named and n != "_dummy_text"
-        ]
+            if n not in named and n != "_dummy_text" and n != "_key"
+        )
         output_columns = tuple(
             c for c in output_columns if c != "*"
         ) + tuple(all_cols)
@@ -1101,12 +1372,37 @@ def select(
     def _is_plain(c: str) -> bool:
         return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c))
 
+    def _is_dotted(c: str) -> bool:
+        return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z0-9_.]+", c))
+
+    _schema_names = set(
+        pq.read_schema(sorted(table.source_files)[0]).names
+    )
+    # a named column that doesn't exist is silently dropped from the
+    # output (grn_obj_columns skips unresolvable names, lib/db.c:11187
+    # — e.g. `_key` on a TABLE_NO_KEY table)
+    output_columns = tuple(
+        c for c in output_columns
+        if not (_is_plain(c) and c not in _schema_names
+                and c not in ("_id", "_score", "_score_int")
+                and c not in computed_cols)
+    )
     plain = [
         c for c in output_columns
         if c not in ("_id", "_score", "_score_int")
         and c not in computed_cols and _is_plain(c)
     ]
-    exprs = [c for c in output_columns if not _is_plain(c) and c != "*"]
+    dotted = [
+        c for c in output_columns
+        if _is_dotted(c) and (
+            (table.refs and c.split(".", 1)[0] in table.refs)
+            or (c.endswith("._key") and c.split(".", 1)[0] in _schema_names)
+        )
+    ]
+    exprs = [
+        c for c in output_columns
+        if not _is_plain(c) and c not in dotted and c != "*"
+    ]
     expr_deps: set[str] = set()
     expr_asts: dict[str, object] = {}
     snippet_like: dict[str, tuple[str, str]] = {}
@@ -1133,7 +1429,7 @@ def select(
             ast = _pf(c)
             expr_asts[c] = ast
             expr_deps.update(x for x in _pred_columns(ast) if x not in ("_id", "_score"))
-    doc_cols = sorted(set(plain) | expr_deps)
+    doc_cols = sorted(set(plain) | expr_deps | {c.split(".", 1)[0] for c in dotted})
     fetched = fetch_docs(table, docids, doc_cols) if doc_cols else None
     kw_terms: list[str] | None = None
     for c in output_columns:
@@ -1146,6 +1442,9 @@ def select(
             out["_score"] = pa.array(scores, pa.float64())
         elif c == "_score_int":
             out["_score_int"] = pa.array(score_mod.score_int32(scores), pa.int32())
+        elif c in dotted:
+            base, sub = c.split(".", 1)
+            out[c] = _ref_map_column(table, base, sub, fetched.column(base))
         elif c in snippet_like:
             from . import functions as _fn
 

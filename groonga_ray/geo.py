@@ -27,9 +27,11 @@ _GRS_C1, _GRS_C2, _GRS_C3 = 6335439.0, 6378137.0, 0.006694
 
 
 def parse_geopoint(col) -> tuple[np.ndarray, np.ndarray]:
-    """``"<lat_ms>x<lon_ms>"`` strings -> (lat_ms, lon_ms) int64 arrays
-    (grn_obj_cast text->GeoPoint analogue). Accepts an Arrow array, a
-    numpy/str list, or a single string."""
+    """``"<lat>x<lon>"`` strings -> (lat_ms, lon_ms) int64 arrays
+    (grn_obj_cast text->GeoPoint analogue). Coordinates are integer
+    milliseconds-of-degree, or decimal DEGREES when they contain a
+    ``.`` (grn_geo_point parsing, lib/geo.c:1860-1900). Accepts an
+    Arrow array, a numpy/str list, or a single string."""
     import pyarrow.compute as pc
 
     if isinstance(col, str):
@@ -39,9 +41,45 @@ def parse_geopoint(col) -> tuple[np.ndarray, np.ndarray]:
     if not isinstance(col, pa.Array):
         col = pa.array(list(col), pa.large_string())
     parts = pc.split_pattern(pc.fill_null(col, "0x0"), "x")
-    lat = pc.list_element(parts, 0).cast(pa.int64()).to_numpy(zero_copy_only=False)
-    lon = pc.list_element(parts, 1).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _coord(a: pa.Array) -> np.ndarray:
+        try:
+            return a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        except pa.ArrowInvalid:
+            # degree form: 35.6846 -> msec (value * 3600 * 1000)
+            deg = a.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            return np.round(deg * GEO_RESOLUTION).astype(np.int64)
+
+    lat = _coord(pc.list_element(parts, 0))
+    lon = _coord(pc.list_element(parts, 1))
     return lat, lon
+
+
+def validate_rectangle(tl_lat: int, tl_lon: int, br_lat: int, br_lon: int) -> None:
+    """Query-argument bounds check (grn_geo_in_rectangle's corner
+    validation, lib/geo.c:1094-1166; bounds lib/grn_geo.h:54-57):
+    latitude strictly inside ±324000000, longitude strictly inside
+    ±647999999."""
+    max_lat = 90 * GEO_RESOLUTION
+    max_lon = 180 * GEO_RESOLUTION - 1
+    for name, v, m in (
+        ("latitude", tl_lat, max_lat), ("latitude", br_lat, max_lat),
+        ("longitude", tl_lon, max_lon), ("longitude", br_lon, max_lon),
+    ):
+        if v >= m or v <= -m:
+            raise ValueError(f"geo_in_rectangle(): {name} {v} out of range (+-{m})")
+
+
+def geo_radius(center, radius, approx: str = "rectangle") -> float:
+    """Circle radius argument: a number is meters; a GeoPoint is a rim
+    point whose distance to the center is the radius
+    (grn_geo_in_circle's domain dispatch, lib/geo.c:2099-2148)."""
+    if isinstance(radius, (int, float)):
+        return float(radius)
+    s = str(radius)
+    if "x" in s:
+        return float(geo_distance(center, s, approx)[0])
+    return float(s)
 
 
 def _rad(ms: np.ndarray) -> np.ndarray:
@@ -62,11 +100,11 @@ def geo_distance(p1, p2, approx: str = "rectangle") -> np.ndarray:
         x = (lo2 - lo1) * np.cos((la1 + la2) * 0.5)
         y = la2 - la1
         return np.sqrt(x * x + y * y) * GEO_RADIUS
-    if approx == "sphere":
+    if approx in ("sphere", "sphr"):
         x = np.sin(np.abs(lo2 - lo1) * 0.5)
         y = np.sin(np.abs(la2 - la1) * 0.5)
         return np.arcsin(np.sqrt(y * y + np.cos(la1) * np.cos(la2) * x * x)) * 2 * GEO_RADIUS
-    if approx == "ellipsoid":
+    if approx in ("ellipsoid", "ellip"):
         p = (la1 + la2) * 0.5
         q = 1 - _GRS_C3 * np.sin(p) ** 2
         r = np.sqrt(q)
@@ -84,6 +122,7 @@ def geo_in_rectangle(points, top_left, bottom_right) -> np.ndarray:
     lat, lon = parse_geopoint(points)
     tl_lat, tl_lon = (int(v[0]) for v in parse_geopoint(top_left))
     br_lat, br_lon = (int(v[0]) for v in parse_geopoint(bottom_right))
+    validate_rectangle(tl_lat, tl_lon, br_lat, br_lon)
     ok_lat = (lat <= tl_lat) & (lat >= br_lat)
     if tl_lon > br_lon:      # GRN_GEO_LONGITUDE_IS_WRAPPED (crosses 180°)
         ok_lon = (lon >= tl_lon) | (lon <= br_lon)
@@ -92,7 +131,7 @@ def geo_in_rectangle(points, top_left, bottom_right) -> np.ndarray:
     return ok_lat & ok_lon
 
 
-def geo_in_circle(points, center, radius_m: float, approx: str = "rectangle") -> np.ndarray:
-    """Bool mask: distance(point, center) <= radius in meters
-    (grn_geo_in_circle's distance form, lib/geo.c:2099-2148)."""
-    return geo_distance(points, center, approx) <= float(radius_m)
+def geo_in_circle(points, center, radius_m, approx: str = "rectangle") -> np.ndarray:
+    """Bool mask: distance(point, center) <= radius — meters, or a rim
+    GeoPoint (grn_geo_in_circle, lib/geo.c:2099-2148)."""
+    return geo_distance(points, center, approx) <= geo_radius(center, radius_m, approx)

@@ -37,6 +37,7 @@ BUILTIN_ALIASES = {
     "tokenizers/regexp": "groonga_ray.tokenize",
     "suggest/suggest": "groonga_ray.pipelines.suggest",
     "functions/vector": "groonga_ray.functions",
+    "sharding": "groonga_ray.server",  # logical_* commands are built in
 }
 
 

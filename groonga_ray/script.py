@@ -31,6 +31,7 @@ class FilterPlan:
     subqueries: list[tuple[str, str]] = None  # query("cols","q") units (lib/proc.c:5138)
     regexps: list[tuple[str, str]] = None   # (column, pattern) from `col @~ "pat"`
     sub_filters: list[tuple[str, str]] = None  # sub_filter(col, "f") (lib/proc.c:5168-5293)
+    geo: list[tuple] = None  # index-capable geo selector units (lib/geo.c:687)
     conjunctive: bool = True
 
     def __post_init__(self):
@@ -40,6 +41,8 @@ class FilterPlan:
             self.regexps = []
         if self.sub_filters is None:
             self.sub_filters = []
+        if self.geo is None:
+            self.geo = []
 
 
 class _P:
@@ -315,14 +318,61 @@ def parse_assignment(s: str) -> tuple[str, str, object]:
     raise ValueError(f"not an assignment: {s!r}")
 
 
-def split_filter(ast) -> FilterPlan:
+def split_filter(ast, geo_columns: set | frozenset = frozenset()) -> FilterPlan:
     """Route top-level AND-ed `col @ "text"` terms to the index; keep
     the rest as a columnar predicate (scan_info_build analogue).
-    Non-AND shapes fall back entirely to the columnar scan."""
+    Non-AND shapes fall back entirely to the columnar scan.
+
+    ``geo_columns``: columns with a geo index — top-level
+    ``geo_in_rectangle(col, tl, br)`` / ``geo_in_circle(col, c, r)``
+    conjuncts (bare or ``... > 0``) on those columns become geo
+    scan-info units served by the mesh-cover index scan (the selector
+    path grn_geo_select_in_rectangle, lib/geo.c:687-1016; scan_info
+    routing lib/expr.c:4360-4660). Other columns keep the sequential
+    kernel."""
     matches: list[tuple[str, str]] = []
     subqueries: list[tuple[str, str]] = []
     regexps: list[tuple[str, str]] = []
     sub_filters: list[tuple[str, str]] = []
+    geo: list[tuple] = []
+
+    def geo_unit(n):
+        """Recognize an index-capable geo selector call; return the geo
+        scan-info tuple or None. A BARE geo call (no ``> 0`` wrapper)
+        is the selector-only form and REQUIRES the index — the
+        reference errors rc -22 "index column is missing" without one
+        (grn_geo_select_* selector registration, lib/proc.c:4696-4788;
+        the ``> 0`` form falls back to sequential evaluation)."""
+        bare = n[0] == "call"
+        if n[0] == ">" and n[2] == ("num", 0):
+            n = n[1]  # `geo_fn(...) > 0` — the sequential-form wrapper
+        if n[0] != "call" or not isinstance(n[2], list):
+            return None
+        args = n[2]
+        if n[1] in ("geo_in_rectangle", "geo_in_circle") and args and (
+            args[0][0] == "col" and args[0][1] not in geo_columns
+        ):
+            if bare:
+                raise ValueError(f"{n[1]}(): index column is missing")
+            return None
+        if (
+            n[1] == "geo_in_rectangle" and len(args) == 3
+            and args[0][0] == "col" and args[0][1] in geo_columns
+            and args[1][0] == "str" and args[2][0] == "str"
+        ):
+            return ("rect", args[0][1], args[1][1], args[2][1])
+        if (
+            n[1] == "geo_in_circle" and len(args) in (3, 4)
+            and args[0][0] == "col" and args[0][1] in geo_columns
+            and args[1][0] == "str" and args[2][0] in ("num", "str")
+        ):
+            approx = "rectangle"
+            if len(args) == 4 and args[3][0] == "str":
+                approx = args[3][1]
+            # radius: meters, or a rim GeoPoint string (resolved at
+            # evaluation time, geo.geo_radius)
+            return ("circle", args[0][1], args[1][1], args[2][1], approx)
+        return None
 
     def walk(n):
         if n[0] == "and":
@@ -351,10 +401,14 @@ def split_filter(ast) -> FilterPlan:
         ):
             sub_filters.append((n[2][0][1], n[2][1][1]))
             return None
+        g = geo_unit(n)
+        if g is not None:
+            geo.append(g)
+            return None
         return n
 
     residual = walk(ast)
-    return FilterPlan(matches, residual, subqueries, regexps, sub_filters)
+    return FilterPlan(matches, residual, subqueries, regexps, sub_filters, geo)
 
 
 def _geo_arg(ev, node):
@@ -406,6 +460,33 @@ def _as_string(v, peer):
     return v.cast(pa.string())
 
 
+def _coerce_cmp(a, b):
+    """Comparison-operand casts the reference VM performs on typed
+    registers (lib/expr.c:2330-2780): a datetime TEXT literal compared
+    against a numeric (Time) column parses via grn_str2timeval
+    (localtime, lib/str.c:2889); a plain numeric string parses as a
+    number."""
+    from .utils import parse_time_text
+
+    def _num_type(x):
+        t = getattr(x, "type", None)
+        return t is not None and (pa.types.is_integer(t) or pa.types.is_floating(t))
+
+    def _cast_lit(lit, other):
+        if not isinstance(lit, pa.Scalar) or not pa.types.is_string(lit.type):
+            return lit
+        if not _num_type(other):
+            return lit
+        s = lit.as_py()
+        try:
+            return pa.scalar(float(s))
+        except (TypeError, ValueError):
+            t = parse_time_text(s) if isinstance(s, str) else None
+            return lit if t is None else pa.scalar(t)
+
+    return _cast_lit(a, b), _cast_lit(b, a)
+
+
 def eval_filter(ast, batch: pa.Table):
     """Evaluate a filter AST against a record batch -> BooleanArray /
     value array, fully vectorized."""
@@ -440,7 +521,9 @@ def eval_filter(ast, batch: pa.Table):
                 "==": pc.equal, "!=": pc.not_equal, "<": pc.less,
                 ">": pc.greater, "<=": pc.less_equal, ">=": pc.greater_equal,
             }[kind]
-            return fn(ev(n[1]), ev(n[2]))
+            a, b = ev(n[1]), ev(n[2])
+            a, b = _coerce_cmp(a, b)
+            return fn(a, b)
         if kind in ("+", "-", "*", "/", "%"):
             a, b = ev(n[1]), ev(n[2])
             if kind == "+" and (_is_stringy(a) or _is_stringy(b)):
@@ -536,7 +619,7 @@ def eval_filter(ast, batch: pa.Table):
                 approx = args[3][1] if len(args) > 3 else "rectangle"
                 return pa.array(
                     geo_in_circle(
-                        _geo_arg(ev, args[0]), _geo_arg(ev, args[1]), float(args[2][1]), approx
+                        _geo_arg(ev, args[0]), _geo_arg(ev, args[1]), args[2][1], approx
                     )
                 )
             from .functions import CUSTOM_FUNCTIONS

@@ -79,6 +79,8 @@ class TableDef:
     token_filters: tuple = ()
     columns: dict = field(default_factory=dict)   # name -> type
     indexed: set = field(default_factory=set)     # sources with an index column
+    geo_indexed: set = field(default_factory=set)  # GeoPoint sources with a geo index
+    vector_columns: set = field(default_factory=set)  # COLUMN_VECTOR columns
 
 
 class CommandServer:
@@ -121,6 +123,7 @@ class CommandServer:
             "defrag": self._cmd_defrag,
             "table_create": self._cmd_table_create,
             "column_create": self._cmd_column_create,
+            "column_remove": self._cmd_column_remove,
             "table_remove": self._cmd_table_remove,
             "table_rename": self._cmd_table_rename,
             "table_tokenize": self._cmd_table_tokenize,
@@ -135,6 +138,8 @@ class CommandServer:
             "lock_clear": self._cmd_clearlock,
             "quit": lambda p: True,
             "request_cancel": self._cmd_request_cancel,
+            "logical_count": self._cmd_logical_count,
+            "logical_range_filter": self._cmd_logical_range_filter,
         }
         self._mutate_lock = threading.Lock()
         self._started = time.time()
@@ -249,15 +254,91 @@ class CommandServer:
             threading.Thread(target=self.stop, daemon=True).start()
 
     # ------------------------------------------------------------- commands
+    @staticmethod
+    def _validate_pending_filter(td: "TableDef", flt: str) -> None:
+        """Compile-time checks a select on an EMPTY (pending) table
+        still performs: geo_in_rectangle corner bounds
+        (lib/geo.c:1094-1166) and the selector-form index requirement."""
+        from .geo import parse_geopoint, validate_rectangle
+        from .script import parse_filter, split_filter
+
+        ast = parse_filter(flt)
+
+        def walk(n):
+            if isinstance(n, tuple):
+                if (
+                    n[0] == "call" and n[1] == "geo_in_rectangle"
+                    and isinstance(n[2], list) and len(n[2]) == 3
+                    and n[2][1][0] == "str" and n[2][2][0] == "str"
+                ):
+                    tl_lat, tl_lon = (int(v[0]) for v in parse_geopoint(n[2][1][1]))
+                    br_lat, br_lon = (int(v[0]) for v in parse_geopoint(n[2][2][1]))
+                    validate_rectangle(tl_lat, tl_lon, br_lat, br_lon)
+                for c in n[1:]:
+                    walk(c)
+            elif isinstance(n, list):
+                for c in n:
+                    walk(c)
+
+        walk(ast)
+        split_filter(ast, geo_columns=set(td.geo_indexed))
+
+    def _invalidate(self) -> None:
+        """After any catalog/data mutation: drop the select cache and
+        the lazily resolved reference links (a reload swaps the
+        referenced table's files, so cached links would be stale)."""
+        from dataclasses import replace
+
+        self._select_cache.clear()
+        created = getattr(self, "_created", {})
+        for n, t in list(self.tables.items()):
+            if created.get(n) and t.refs:
+                self.tables[n] = replace(t, refs=None)
+
     def _table(self, params: dict):
         name = params.get("table")
         if not name:
             if len(self.tables) == 1:
-                return next(iter(self.tables.values()))
-            raise KeyError("table is required")
+                name = next(iter(self.tables))
+            else:
+                raise KeyError("table is required")
         if name not in self.tables:
             raise KeyError(f"unknown table: {name}")
-        return self.tables[name]
+        return self._resolve_refs(name, self.tables[name])
+
+    def _resolve_refs(self, name: str, t, _seen: frozenset = frozenset()):
+        """Attach reference-column links: a column whose declared type
+        is another LOADED table references it by ``_key`` (the schema
+        link grn_obj_get_range provides, lib/db.c) — this is what
+        nested match / sub_filter / dotted projections traverse.
+        Resolution is lazy (the referenced table may load after this
+        one) and cached back into the catalog."""
+        import pyarrow.parquet as pq
+        from dataclasses import replace
+
+        decls = getattr(self, "_created", {}).get(name)
+        if not decls or name in _seen:
+            return t
+        refs = dict(t.refs or {})
+        changed = False
+        for col, typ in decls.items():
+            if col in refs or typ == name:
+                continue
+            ref_t = self.tables.get(typ)
+            if ref_t is None:
+                continue
+            ref_t = self._resolve_refs(typ, ref_t, _seen | {name})
+            key_col = (
+                "_key"
+                if "_key" in pq.read_schema(ref_t.source_files[0]).names
+                else "_id"
+            )
+            refs[col] = (list(ref_t.source_files), key_col, ref_t)
+            changed = True
+        if changed:
+            t = replace(t, refs=refs)
+            self.tables[name] = t
+        return t
 
     def _cmd_select(self, params: dict) -> list:
         """``/d/select`` (grn_select surface, lib/proc.c:876-1195).
@@ -267,7 +348,13 @@ class CommandServer:
         from .engine import select
 
         if params.get("table") in self.pending:
-            # created but never loaded: empty result set
+            # created but never loaded: argument validation still runs
+            # (the reference compiles the filter expression before
+            # scanning — invalid geo args error even on empty tables)
+            if params.get("filter"):
+                self._validate_pending_filter(
+                    self.pending[params["table"]], params["filter"]
+                )
             return [[[0], [["_id", "UInt32"], ["_score", "Int32"]]]]
         use_cache = params.get("cache") != "no"
         cache_key = None
@@ -548,8 +635,32 @@ class CommandServer:
                 self.tables[name] = new_t
             else:
                 self.tables[next(iter(self.tables))] = new_t
-            self._select_cache.clear()
+            self._invalidate()
         return tbl.num_rows
+
+    def _build_geo_indexes(self, tdir: str, files: list, geo_cols: list) -> dict | None:
+        """(Re)build the zkey-sorted geo index for each geo-indexed
+        column (grn_geo's PAT-key index analogue, lib/geo.c:687)."""
+        import os
+        import shutil
+
+        if not geo_cols:
+            return None
+        import pyarrow.parquet as pq
+
+        from .geoindex import build_geo_index, invalidate_geo_cache
+
+        present = set(pq.read_schema(files[0]).names)
+        out = {}
+        for col in geo_cols:
+            if col not in present:
+                continue
+            gdir = os.path.join(tdir, f"geoindex_{col}")
+            shutil.rmtree(gdir, ignore_errors=True)
+            build_geo_index(files, gdir, col, "_id")
+            invalidate_geo_cache(gdir)
+            out[col] = gdir
+        return out
 
     @staticmethod
     def _cast_value(v, typ: str):
@@ -589,7 +700,10 @@ class CommandServer:
             try:
                 return float(v)
             except (TypeError, ValueError):
-                return 0.0
+                from .utils import parse_time_text
+
+                t = parse_time_text(v) if isinstance(v, str) else None
+                return 0.0 if t is None else t
         if typ.endswith("GeoPoint"):
             if isinstance(v, str) and v:
                 return v
@@ -624,14 +738,58 @@ class CommandServer:
         types = getattr(self, "_created", {}).get(name)
         if not types:
             return records
+        vectors = getattr(self, "_vector_cols", {}).get(name, ())
         for r in records:
+            for k in vectors:
+                # scalar into a COLUMN_VECTOR casts to a vector: "" and
+                # null become empty (grn_obj_cast bulk->vector,
+                # lib/db.c:11451 load path)
+                if k in r and not isinstance(r[k], (list, dict)):
+                    v = r[k]
+                    r[k] = [] if v in ("", None) else [v]
             for k, typ in types.items():
                 if k in r:
                     r[k] = self._cast_value(r[k], typ)
                 else:
                     # declared columns exist on every record (unset →
-                    # null) so expressions/projections can reference them
-                    r.setdefault(k, None)
+                    # null) so expressions/projections can reference
+                    # them. An unset REFERENCE column holds record id 0
+                    # (GRN_ID_NIL) which renders as the key-type zero
+                    # (lib/output.c reference rendering)
+                    r.setdefault(
+                        k, [] if k in vectors else self._ref_default(typ)
+                    )
+        return records
+
+    def _ref_default(self, typ: str):
+        """Default (zero) value of an unset scalar column: the
+        reference's ra arrays are zero-initialized, so unset values
+        read as the type's zero — 0 / 0.0 / false / "" — and an unset
+        reference column holds GRN_ID_NIL rendering as the referenced
+        key type's zero."""
+        if typ.startswith(("Int", "UInt")):
+            return 0
+        if typ in ("Float", "Time"):
+            return 0.0
+        if typ == "Bool":
+            return False
+        if typ in ("ShortText", "Text", "LongText"):
+            return ""
+        if typ.endswith("GeoPoint"):
+            return None
+        ref_td = self.pending.get(typ)
+        key_type = ref_td.key_type if ref_td else getattr(
+            self, "_key_types", {}
+        ).get(typ)
+        if key_type is None:
+            return None
+        if key_type.startswith(("Int", "UInt")):
+            return 0
+        if key_type in ("Float", "Time"):
+            return 0.0
+        if key_type in ("ShortText", "Text", "LongText"):
+            return ""
+        return None
         return records
 
     def _load_auto(self, name: str, t, records: list) -> int:
@@ -705,8 +863,13 @@ class CommandServer:
             from .index import open_index
 
             open_index.cache_clear()  # rebuilt in place: cached readers are stale
-            self.tables[name] = IndexedTable(t.index_dir, [path], "_id")
-            self._select_cache.clear()
+            geo_indexes = self._build_geo_indexes(
+                tdir, [path], getattr(self, "_geo_cols", {}).get(name, [])
+            )
+            self.tables[name] = IndexedTable(
+                t.index_dir, [path], "_id", geo_indexes=geo_indexes
+            )
+            self._invalidate()
         return len(records)
 
     @staticmethod
@@ -741,7 +904,10 @@ class CommandServer:
             data = records
         else:
             cols, data = records[0], records[1:]
-        return [dict(zip(cols, row)) for row in data]
+        # a row with fewer values than the header is rejected and NOT
+        # loaded (grn_load bracket form value-count check — the record
+        # is skipped and consumes no id, db.c:11451 load path)
+        return [dict(zip(cols, row)) for row in data if len(row) >= len(cols)]
 
     def _materialize_load(self, name: str, records: list) -> list:
         """First load of a table_create'd table: assign ``_id`` docids
@@ -759,7 +925,13 @@ class CommandServer:
         td = self.pending[name]
         if not hasattr(self, "_created"):
             self._created: dict[str, dict] = {}
+        if not hasattr(self, "_vector_cols"):
+            self._vector_cols: dict[str, set] = {}
         self._created[name] = dict(td.columns)
+        self._vector_cols[name] = set(td.vector_columns)
+        if not hasattr(self, "_key_types"):
+            self._key_types: dict[str, str] = {}
+        self._key_types[name] = td.key_type
         records = self._cast_records(name, records)
         if any("_id" in r for r in records):
             raise ValueError("_id is assigned by the server on load")
@@ -782,6 +954,9 @@ class CommandServer:
                         and pa.types.is_string(t.value_type))
                 )
 
+            geo_cols = sorted(
+                c for c in td.geo_indexed if c in tbl.column_names
+            )
             text_cols = sorted(
                 c for c in td.indexed
                 if c in tbl.column_names and _indexable(tbl.schema.field(c).type)
@@ -792,6 +967,8 @@ class CommandServer:
                 text_cols = [
                     f.name for f in tbl.schema
                     if _indexable(f.type) and f.name != "_key"
+                    and f.name not in geo_cols
+                    and not self._created[name].get(f.name, "").endswith("GeoPoint")
                 ]
             if not text_cols:
                 # table with no text at all (e.g. numeric-only): index a
@@ -816,10 +993,17 @@ class CommandServer:
             meta = read_manifest(meta_path)
             meta["next_docid"] = tbl.num_rows + 1
             write_manifest(meta_path, meta)
-            self.tables[name] = IndexedTable(os.path.join(tdir, "index"), [path], "_id")
+            geo_indexes = self._build_geo_indexes(tdir, [path], geo_cols)
+            if not hasattr(self, "_geo_cols"):
+                self._geo_cols: dict[str, list] = {}
+            self._geo_cols[name] = geo_cols
+            self.tables[name] = IndexedTable(
+                os.path.join(tdir, "index"), [path], "_id",
+                geo_indexes=geo_indexes,
+            )
             self._auto_id.add(name)
             del self.pending[name]
-            self._select_cache.clear()
+            self._invalidate()
         return tbl.num_rows
 
     def _cmd_delete(self, params: dict) -> bool:
@@ -857,7 +1041,7 @@ class CommandServer:
                 return True
         with self._mutate_lock:
             build_mod.delete_documents(t.index_dir, docids)
-            self._select_cache.clear()
+            self._invalidate()
         return True
 
     def _cmd_defrag(self, params: dict) -> bool:
@@ -868,8 +1052,176 @@ class CommandServer:
         t = self._table(params)
         with self._mutate_lock:
             build_mod.compact_index(t.index_dir)
-            self._select_cache.clear()
+            self._invalidate()
         return True
+
+    # ------------------------------------------------- sharding commands
+    # plugins/sharding/*.rb: a LOGICAL table "Logs" is the family of
+    # physical tables "Logs_YYYYMMDD"; the commands enumerate the
+    # shards in date order, prune whole shards outside the requested
+    # range (logical_enumerator.rb), run the residual range/filter only
+    # on boundary shards, and merge. Ray-native reading: the shards ARE
+    # the partitions — a 100 TB deployment maps each day-partition to
+    # its own Parquet dataset and these commands never touch shards
+    # outside the range.
+
+    def _logical_shards(self, logical: str, command: str) -> list[tuple[str, str]]:
+        """Date-ordered (suffix, table_name) shard list; errors when no
+        shard exists (logical_enumerator.rb initialize)."""
+        import re
+
+        pat = re.compile(re.escape(logical) + r"_(\d{8})$")
+        out = [
+            (m.group(1), n)
+            for n in list(self.tables) + list(self.pending)
+            if (m := pat.match(n))
+        ]
+        if not out:
+            raise ValueError(
+                f"[{command}] no shard exists: logical_table: <{logical}>"
+            )
+        out.sort()
+        return out
+
+    @staticmethod
+    def _shard_day_bounds(suffix: str) -> tuple[float, float]:
+        """[start, end) epoch seconds of the shard's day, localtime
+        (logical_enumerator.rb shard ranges use day granularity)."""
+        import datetime
+
+        d = datetime.datetime.strptime(suffix, "%Y%m%d")
+        return d.timestamp(), (d + datetime.timedelta(days=1)).timestamp()
+
+    @staticmethod
+    def _parse_range(params: dict, command: str):
+        """(min_epoch, min_op, max_epoch, max_op) from min/max +
+        borders; None epoch = unbounded."""
+        from .utils import parse_time_text
+
+        def _epoch(v):
+            if not v:
+                return None
+            t = parse_time_text(v)
+            if t is None:
+                try:
+                    t = float(v)
+                except ValueError:
+                    raise ValueError(f"[{command}] invalid time: <{v}>")
+            return t
+
+        def _border(v, name):
+            if v in (None, "", "include"):
+                return "include"
+            if v == "exclude":
+                return "exclude"
+            raise ValueError(
+                f'[{command}] {name} must be "include" or "exclude": <{v}>'
+            )
+
+        mn = _epoch(params.get("min"))
+        mx = _epoch(params.get("max"))
+        min_op = ">" if _border(params.get("min_border"), "min_border") == "exclude" else ">="
+        max_op = "<" if _border(params.get("max_border"), "max_border") == "exclude" else "<="
+        return mn, min_op, mx, max_op
+
+    def _shard_residual(self, suffix, key, mn, min_op, mx, max_op):
+        """Per-shard decision: None = shard disjoint from the range
+        (skip), "" = fully covered (no range predicate), else the
+        residual predicate string for this boundary shard."""
+        lo, hi = self._shard_day_bounds(suffix)
+        conds = []
+        if mn is not None:
+            if mn >= hi or (mn == hi and min_op == ">="):
+                return None  # whole shard below min
+            if not (mn < lo or (mn == lo and min_op == ">=")):
+                conds.append(f"{key} {min_op} {mn!r}")
+        if mx is not None:
+            if mx < lo or (mx == lo and max_op == "<"):
+                return None  # whole shard above max
+            if not (mx >= hi):
+                conds.append(f"{key} {max_op} {mx!r}")
+        return " && ".join(conds)
+
+    def _cmd_logical_count(self, params: dict) -> int:
+        """``logical_count Logs timestamp --min ... --max ...``
+        (plugins/sharding/logical_count.rb:1-60): sum of matching rows
+        across the date shards, whole shards pruned by range."""
+        from .engine import select
+
+        logical = params.get("logical_table")
+        key = params.get("shard_key") or "timestamp"
+        mn, min_op, mx, max_op = self._parse_range(params, "logical_count")
+        total = 0
+        for suffix, name in self._logical_shards(logical, "logical_count"):
+            if name in self.pending:
+                continue  # created but empty
+            residual = self._shard_residual(suffix, key, mn, min_op, mx, max_op)
+            if residual is None:
+                continue
+            flt = params.get("filter") or ""
+            if residual and flt:
+                flt = f"({residual}) && ({flt})"
+            else:
+                flt = residual or flt
+            t = self._resolve_refs(name, self.tables[name])
+            res = select(t, filter=flt or None, output_columns=("_id",), limit=0)
+            total += res["hits"]
+        return total
+
+    def _cmd_logical_range_filter(self, params: dict) -> list:
+        """``logical_range_filter Logs timestamp --order ... --offset
+        --limit`` (plugins/sharding/logical_range_filter.rb): stream
+        shards in shard-key order with early exit once offset+limit
+        rows are found — later shards are never read."""
+        logical = params.get("logical_table")
+        key = params.get("shard_key") or "timestamp"
+        mn, min_op, mx, max_op = self._parse_range(params, "logical_range_filter")
+        order = params.get("order") or "ascending"
+        if order not in ("ascending", "descending"):
+            raise ValueError(
+                '[logical_range_filter] order must be "ascending" or '
+                f'"descending": <{order}>'
+            )
+        offset = int(params.get("offset") or 0)
+        limit = int(params.get("limit") if params.get("limit") not in (None, "") else 10)
+        out_cols = params.get("output_columns") or "_key, *"
+        shards = self._logical_shards(logical, "logical_range_filter")
+        if order == "descending":
+            shards = shards[::-1]
+        needed = None if limit < 0 else offset + limit
+        cols_def: list | None = None
+        rows: list = []
+        for suffix, name in shards:
+            if needed is not None and len(rows) >= needed:
+                break  # early exit: later shards never read
+            if name in self.pending:
+                continue
+            residual = self._shard_residual(suffix, key, mn, min_op, mx, max_op)
+            if residual is None:
+                continue
+            flt = params.get("filter") or ""
+            if residual and flt:
+                flt = f"({residual}) && ({flt})"
+            else:
+                flt = residual or flt
+            sub = {
+                "table": name,
+                "output_columns": out_cols,
+                "sortby": ("-" if order == "descending" else "") + key,
+                "limit": str(needed - len(rows)) if needed is not None else "-1",
+                "cache": "no",
+            }
+            if flt:
+                sub["filter"] = flt
+            sets = self._cmd_select(sub)
+            st = sets[0]
+            if cols_def is None:
+                cols_def = st[1]
+            rows.extend(st[2:])
+        if cols_def is None:
+            cols_def = []
+        rows = rows[offset:] if limit < 0 else rows[offset:offset + limit]
+        return [cols_def, *rows]
 
     def _cmd_shutdown(self, params: dict) -> bool:
         """``/d/shutdown`` (proc_shutdown): acknowledge, then stop."""
@@ -896,7 +1248,7 @@ class CommandServer:
                 if t.strip()
             ),
         )
-        self._select_cache.clear()
+        self._invalidate()
         return True
 
     def _cmd_column_create(self, params: dict) -> bool:
@@ -918,10 +1270,25 @@ class CommandServer:
                 raise ValueError(
                     "column_create COLUMN_INDEX requires a pending data table"
                 )
-            for src in (params.get("source") or params.get("sources") or "").split(","):
-                if src.strip():
-                    data_td.indexed.add(src.strip())
-            if td is not None and td is not data_td:
+            # a GeoPoint-keyed lexicon table declares a GEO index over
+            # the source column (grn_geo_select_in_rectangle's index,
+            # lib/geo.c:687) — built as the zkey-sorted Parquet dataset
+            is_geo = td is not None and td.key_type.endswith("GeoPoint")
+            srcs = [
+                s.strip()
+                for s in (params.get("source") or params.get("sources") or "").split(",")
+                if s.strip()
+            ]
+            for src in srcs:
+                (data_td.geo_indexed if is_geo else data_td.indexed).add(src)
+            # provenance for column_remove (grn_obj_remove of an index
+            # column drops the index, lib/db.c:8900)
+            if not hasattr(self, "_index_cols"):
+                self._index_cols: dict = {}
+            self._index_cols[(name, params["name"])] = (
+                params.get("type") or name, srcs, is_geo
+            )
+            if td is not None and td is not data_td and not is_geo:
                 data_td.default_tokenizer = td.default_tokenizer
                 data_td.normalizer = td.normalizer
                 data_td.token_filters = td.token_filters
@@ -931,7 +1298,50 @@ class CommandServer:
                 "column_create requires a pending (not yet loaded) table"
             )
         td.columns[params["name"]] = params.get("type") or "ShortText"
+        if "COLUMN_VECTOR" in (params.get("flags") or ""):
+            td.vector_columns.add(params["name"])
         return True
+
+    def _cmd_column_remove(self, params: dict) -> bool:
+        """``/d/column_remove?table=X&name=c`` (proc_column_remove →
+        grn_obj_remove): removing an INDEX column drops the index (the
+        data stays); removing a data column drops it from the pending
+        schema / declared types."""
+        from dataclasses import replace
+
+        table, name = params.get("table"), params.get("name")
+        info = getattr(self, "_index_cols", {}).pop((table, name), None)
+        if info is not None:
+            data_name, srcs, is_geo = info
+            dtd = self.pending.get(data_name)
+            for src in srcs:
+                if dtd is not None:
+                    (dtd.geo_indexed if is_geo else dtd.indexed).discard(src)
+                if is_geo:
+                    if src in getattr(self, "_geo_cols", {}).get(data_name, []):
+                        self._geo_cols[data_name] = [
+                            c for c in self._geo_cols[data_name] if c != src
+                        ]
+                    t = self.tables.get(data_name)
+                    if t is not None and t.geo_indexes and src in t.geo_indexes:
+                        gi = {k: v for k, v in t.geo_indexes.items() if k != src}
+                        self.tables[data_name] = replace(
+                            t, geo_indexes=gi or None
+                        )
+            self._invalidate()
+            return True
+        td = self.pending.get(table or "")
+        if td is not None and name in td.columns:
+            del td.columns[name]
+            td.vector_columns.discard(name)
+            td.indexed.discard(name)
+            self._invalidate()
+            return True
+        if table in self.tables and name in getattr(self, "_created", {}).get(table, {}):
+            del self._created[table][name]
+            self._invalidate()
+            return True
+        raise ValueError(f"column_remove: unknown column {table}.{name}")
 
     def _cmd_table_remove(self, params: dict) -> bool:
         """``/d/table_remove?name=X`` (proc_table_remove). Removes the
@@ -952,7 +1362,7 @@ class CommandServer:
             self._auto_id.discard(name)
         else:
             raise ValueError(f"unknown table: {name}")
-        self._select_cache.clear()
+        self._invalidate()
         return True
 
     def _cmd_table_rename(self, params: dict) -> bool:
@@ -973,7 +1383,7 @@ class CommandServer:
                 self._created[new] = self._created.pop(name)
         else:
             raise ValueError(f"unknown table: {name}")
-        self._select_cache.clear()
+        self._invalidate()
         return True
 
     def _cmd_table_tokenize(self, params: dict) -> list:

@@ -118,3 +118,27 @@ def read_manifest(path: str) -> dict | None:
 
 def file_fingerprint(paths: list[str]) -> list[list]:
     return [[p, os.path.getsize(p)] for p in sorted(paths)]
+
+
+def parse_time_text(s: str) -> float | None:
+    """``"YYYY-MM-DD hh:mm:ss[.ffffff]"`` (or ``/``-separated) text →
+    epoch seconds in the PROCESS-LOCAL timezone — grn_str2timeval
+    (lib/str.c:2889-2956) uses localtime fields; the reference's own
+    test suite pins TZ=Asia/Tokyo (test/command/run-test.sh:152).
+    Returns None if the text isn't a datetime."""
+    import time
+
+    txt = s.strip().replace("/", "-")
+    frac = 0.0
+    if "." in txt:
+        txt, _, fr = txt.partition(".")
+        try:
+            frac = float("0." + fr)
+        except ValueError:
+            return None
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+        try:
+            return time.mktime(time.strptime(txt, fmt)) + frac
+        except ValueError:
+            continue
+    return None

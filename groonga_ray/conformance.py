@@ -159,11 +159,21 @@ def parse_script(
     lines = text.splitlines()
     out: list[tuple[str, dict, bool]] = []
     i = 0
+    logging_off = False  # inside #@disable-logging .. #@enable-logging
     while i < len(lines):
         line = lines[i].rstrip("\n")
         i += 1
         if not line.strip() or line.lstrip().startswith("#"):
             stripped = line.strip()
+            # grntest logging directives: commands while logging is
+            # disabled execute but emit nothing into .expected — same
+            # treatment as #@include fixtures (run, don't compare)
+            if stripped.startswith("#@disable-logging"):
+                logging_off = True
+                continue
+            if stripped.startswith("#@enable-logging"):
+                logging_off = False
+                continue
             if stripped.startswith("#@include") and include_dir is not None:
                 import os
 
@@ -192,7 +202,7 @@ def parse_script(
                 if started and depth == 0:
                     break
             params["values"] = "\n".join(block)
-        out.append((name, params, _included))
+        out.append((name, params, _included or logging_off))
     return out
 
 
@@ -373,8 +383,15 @@ class ScriptRunner:
         env_iter = iter(expected)
         for name, params, inc in all_cmds:
             if inc:
-                # fixture setup: run in order, don't compare
-                self.execute(name, params)
+                # fixture setup: run in order, don't compare. Errors are
+                # tolerated — fixtures deliberately include failing DDL
+                # (e.g. sharding/logical_range_filter/index/schema.grn's
+                # misspelled TokenizerBigram) whose failure shapes the
+                # schema the test then exercises.
+                try:
+                    self.execute(name, params)
+                except Exception:  # noqa: BLE001 - fixture errors expected
+                    pass
                 continue
             env = next(env_iter)
             err = None

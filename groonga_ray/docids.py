@@ -24,6 +24,7 @@ Two paths:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -96,15 +97,172 @@ def read_shard(shard: Shard, columns: list[str] | None = None):
 
 def compute_rank_mapping(files: list[str], key_columns: list[str], n_ranges: int = 64):
     """General-input global rank: returns a pyarrow table
-    ``(key..., docid)`` sorted by key. Intended for moderate key
-    cardinality (the mapping must be joinable); at extreme scale prefer
-    pre-sorted inputs + :func:`sorted_file_shards`.
+    ``(key..., docid)`` sorted by key. Small-input utility (the mapping
+    is materialized); the scale path for unsorted inputs is
+    :func:`sort_input_files` (distributed range-partitioned sort) +
+    :func:`sorted_file_shards`.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if total > 5_000_000:
+        raise ValueError(
+            f"compute_rank_mapping materializes all keys on the driver "
+            f"({total} rows); use sort_input_files + sorted_file_shards "
+            f"for large unsorted inputs"
+        )
     tables = [pq.read_table(f, columns=key_columns) for f in sorted(files)]
     keys = pa.concat_tables(tables)
     order = pc.sort_indices(keys, sort_keys=[(c, "ascending") for c in key_columns])
     ranked = keys.take(order)
     return ranked.append_column("docid", pa.array(np.arange(1, len(ranked) + 1, dtype=np.uint64)))
+
+
+def _composite_key(tbl, key_columns: list[str]):
+    """NUL-joined binary composite of the key columns (keys are text;
+    NUL sorts below every other byte, so composite order == tuple
+    order)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = [pc.cast(tbl.column(c), pa.large_binary()) for c in key_columns]
+    if len(cols) == 1:
+        return cols[0]
+    sep = pa.scalar(b"\x00", type=pa.large_binary())
+    return pc.binary_join_element_wise(*cols, sep)
+
+
+def sort_input_files(
+    files: list[str],
+    key_columns: list[str],
+    out_dir: str,
+    n_ranges: int | None = None,
+    target_rows_per_range: int = 500_000,
+) -> list[str]:
+    """Distributed range-partitioned sort of *unsorted* input files into
+    key-sorted Parquet files whose lexical filename order is the global
+    key order — ready for :func:`sorted_file_shards` (metadata-only
+    docid bases). No driver materialization at any stage:
+
+    1. **Sample** — a bounded key sample (column-pruned reads) picks
+       ``n_ranges - 1`` composite-key split boundaries on the driver
+       (a few KB). Any boundary choice yields the same final order.
+    2. **Scatter** — ``map_batches`` over the full input tags each row
+       with its range id and writes each output batch as one run file
+       with *one row group per range* (same layout trick as the build's
+       bucket runs: the partitioned write replaces a runtime shuffle,
+       and Parquet column stats let stage 3 read exactly its rows).
+    3. **Finalize** — one task per range: read that range's row groups
+       from the runs, in-memory sort (bounded: ~total/n_ranges rows),
+       write ``sorted-NNNNN.parquet``.
+
+    Mirrors grn_ii_build's external sort-merge shape (lib/ii.c:8029:
+    blocks → sorted runs → key-order merge) applied to docid
+    assignment instead of terms.
+    """
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    files = sorted(files)
+    os.makedirs(out_dir, exist_ok=True)
+    runs_dir = os.path.join(out_dir, "_sort_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if n_ranges is None:
+        n_ranges = max(1, min(4096, -(-total // target_rows_per_range)))
+
+    # ---- stage 1: boundary sample (driver holds only the sample)
+    sample_ds = ray.data.read_parquet(files, columns=key_columns)
+    k = max(1, total // max(1, n_ranges * 64))
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        return batch.take(np.arange(0, batch.num_rows, k, dtype=np.int64))
+
+    sample = pa.concat_tables(
+        ray.get(
+            sample_ds.map_batches(
+                _sample, batch_format="pyarrow", batch_size=64 * 1024
+            ).to_arrow_refs()
+        ),
+        promote_options="default",
+    )
+    keys = _composite_key(sample, key_columns)
+    keys = keys.take(pc.sort_indices(keys))
+    if len(keys) and n_ranges > 1:
+        idx = np.linspace(0, len(keys) - 1, n_ranges + 1).astype(np.int64)[1:-1]
+        boundaries = [keys[int(i)].as_py() for i in idx]
+    else:
+        boundaries = []
+    bnd_np = np.array(boundaries, dtype=object)
+
+    # ---- stage 2: scatter (map_batches; one run file per output batch,
+    # one row group per range inside it)
+    def _scatter(batch: pa.Table) -> pa.Table:
+        ck = _composite_key(batch, key_columns).to_numpy(zero_copy_only=False)
+        rng = np.searchsorted(bnd_np, ck, side="right").astype(np.uint32)
+        batch = batch.append_column("bucket", pa.array(rng))
+        order = np.argsort(rng, kind="stable")
+        batch = batch.take(order)
+        path = os.path.join(runs_dir, f"run-{uuid.uuid4().hex}.parquet")
+        from .build import _write_run_bucket_rowgroups
+
+        _write_run_bucket_rowgroups(batch, path)
+        return pa.table({"rows": pa.array([batch.num_rows], type=pa.int64())})
+
+    ds = ray.data.read_parquet(files)
+    ds.map_batches(
+        _scatter, batch_format="pyarrow", batch_size=128 * 1024
+    ).materialize()
+
+    # ---- stage 3: per-range sorted write (tasks; each reads only its
+    # row groups via parquet stats)
+    run_files = sorted(
+        os.path.join(runs_dir, f)
+        for f in os.listdir(runs_dir)
+        if f.endswith(".parquet")
+    )
+
+    @ray.remote
+    def _finalize(range_id: int) -> str | None:
+        parts = []
+        for rf in run_files:
+            pf = pq.ParquetFile(rf)
+            meta = pf.metadata
+            bcol = [
+                i for i in range(meta.num_columns)
+                if meta.schema.column(i).path == "bucket"
+            ][0]
+            grps = [
+                i for i in range(meta.num_row_groups)
+                if (st := meta.row_group(i).column(bcol).statistics) is not None
+                and st.min <= range_id <= st.max
+            ]
+            if grps:
+                t = pf.read_row_groups(grps)
+                mask = pc.equal(t.column("bucket"), pa.scalar(range_id, pa.uint32()))
+                t = t.filter(mask)
+                if t.num_rows:
+                    parts.append(t.drop_columns(["bucket"]))
+        if not parts:
+            return None
+        tbl = pa.concat_tables(parts, promote_options="default")
+        order = pc.sort_indices(
+            tbl.select(key_columns),
+            sort_keys=[(c, "ascending") for c in key_columns],
+        )
+        tbl = tbl.take(order)
+        path = os.path.join(out_dir, f"sorted-{range_id:05d}.parquet")
+        pq.write_table(tbl, path, row_group_size=64 * 1024)
+        return path
+
+    out = [p for p in ray.get([_finalize.remote(i) for i in range(n_ranges)]) if p]
+    import shutil
+
+    shutil.rmtree(runs_dir, ignore_errors=True)
+    return sorted(out)

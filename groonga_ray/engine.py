@@ -1359,9 +1359,13 @@ def select(
         # iterates the DB's column catalog, a name-keyed PAT
         # (grn_obj_columns → grn_table_columns, lib/db.c:11187)
         named = set(output_columns) - {"*"}
+        # pseudo columns (leading underscore: _id/_key/_score, plus our
+        # internal _dummy_text) never come from `*` — grn_table_columns
+        # enumerates only data columns (lib/db.c:11187); users cannot
+        # create `_`-prefixed columns in the reference
         all_cols = sorted(
             n for n in first.schema_arrow.names
-            if n not in named and n != "_dummy_text" and n != "_key"
+            if n not in named and not n.startswith("_")
         )
         output_columns = tuple(
             c for c in output_columns if c != "*"

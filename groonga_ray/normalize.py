@@ -157,6 +157,14 @@ def register_normalizer(name: str, fn) -> None:
     CUSTOM_NORMALIZERS[name] = fn
 
 
+def is_known_normalizer(name: str) -> bool:
+    """True iff ``name`` is a built-in or registered normalizer."""
+    return name in CUSTOM_NORMALIZERS or name in (
+        "NormalizerAuto", "NormalizerNFKC100", "NormalizerNFKC51",
+        "NormalizerNone",
+    )
+
+
 def normalize_as(text: str, normalizer: str = "NormalizerAuto"):
     """Dispatch by normalizer name (NormalizerAuto/NormalizerNFKC100
     are the built-in; custom names resolve via the registry)."""

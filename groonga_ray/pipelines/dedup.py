@@ -328,6 +328,13 @@ def embedding_dup_pairs(
     :func:`embedding_dedup_lsh` (bucketed candidates, no n^2)."""
     from .ann import _to_matrix
 
+    n = ds.count()
+    if n > 2_000_000:
+        raise ValueError(
+            f"embedding_dup_pairs is the exact O(n^2) path and broadcasts "
+            f"the full corpus matrix ({n} rows); use embedding_dedup_lsh "
+            f"for large corpora"
+        )
     ids_chunks, mats = [], []
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
         ids_chunks.append(b.column(id_col).to_numpy(zero_copy_only=False))

@@ -192,40 +192,88 @@ def _item_increments(batch: pa.Table) -> pa.Table:
 
 def _replay_sequence(group: "pa.Table") -> pa.Table:
     """Replay one sequence's events in append order, emitting pair
-    increments (suggest.c:848-955). The walk back from each submit is
-    bounded by the 60 s gap / first prior submit, so cost is linear in
-    practice; sequences are user sessions and fit a group."""
-    import pandas as pd
-
-    g = group if isinstance(group, pd.DataFrame) else group.to_pandas()
-    g = g.sort_values(["doc_id", "ord"], kind="mergesort")
-    times = g["time_us"].to_numpy()
-    items_ = g["item"].to_numpy()
-    sub = g["is_submit"].to_numpy()
-    pre: list[str] = []
-    post: list[str] = []
-    kind: list[int] = []
-    for i in np.flatnonzero(sub):
-        j = i - 1
-        while j >= 0:
-            if times[i] - times[j] >= MIN_LEARN_DISTANCE_US:
-                break
-            pre.append(items_[j])
-            post.append(items_[i])
-            if sub[j]:
-                kind.append(1)
-                break
-            kind.append(0)
-            j -= 1
-        for t in _split_tokens_with_stop(items_[i]):
-            pre.append(t)
-            post.append(items_[i])
-            kind.append(2)
-    k = np.asarray(kind, np.int64)
+    increments (suggest.c:848-955). Vectorized: the walk back from each
+    submit covers the indices inside its 60 s window (searchsorted,
+    valid because session timestamps are appended nondecreasing),
+    cut at the first prior submit — which pairs with kind 1. Token
+    pairs (kind 2) come from one batched split. A non-monotone log
+    falls back to the literal per-event walk."""
+    g = group if isinstance(group, pa.Table) else pa.Table.from_pandas(group)
+    order = pc.sort_indices(
+        g.select(["doc_id", "ord"]),
+        sort_keys=[("doc_id", "ascending"), ("ord", "ascending")],
+    )
+    g = g.take(order)
+    times = g.column("time_us").to_numpy(zero_copy_only=False).astype(np.int64)
+    items_arr = g.column("item").combine_chunks()
+    sub = g.column("is_submit").to_numpy(zero_copy_only=False).astype(bool)
+    subs = np.flatnonzero(sub)
+    pre_idx: list[np.ndarray] = []
+    post_idx: list[np.ndarray] = []
+    kind_parts: list[np.ndarray] = []
+    if len(subs):
+        if np.all(np.diff(times) >= 0):
+            # window start: first j with times[i]-times[j] < 60 s
+            lo = np.searchsorted(
+                times, times[subs] - MIN_LEARN_DISTANCE_US, side="right"
+            )
+            # last submit strictly before i (or -1)
+            last_sub = np.full(len(times), -1, np.int64)
+            last_sub[subs] = subs
+            last_sub = np.maximum.accumulate(last_sub)
+            psub = np.where(subs > 0, last_sub[np.maximum(subs - 1, 0)], -1)
+            start = np.where(psub >= lo, psub, lo)
+            counts = subs - start  # pairs per submit (j in [start, i))
+            if counts.sum() > 0:
+                rep_i = np.repeat(subs, counts)
+                # j runs start..i-1 for each i
+                base = np.repeat(start, counts)
+                offs = np.arange(counts.sum()) - np.repeat(
+                    np.cumsum(counts) - counts, counts
+                )
+                js = base + offs
+                pre_idx.append(js)
+                post_idx.append(rep_i)
+                kind_parts.append(np.where(sub[js], 1, 0).astype(np.int64))
+        else:  # rare: out-of-order session log — literal walk
+            for i in subs:
+                j = i - 1
+                while j >= 0 and times[i] - times[j] < MIN_LEARN_DISTANCE_US:
+                    pre_idx.append(np.array([j]))
+                    post_idx.append(np.array([i]))
+                    kind_parts.append(np.array([1 if sub[j] else 0]))
+                    if sub[j]:
+                        break
+                    j -= 1
+    if pre_idx:
+        js = np.concatenate(pre_idx)
+        is_ = np.concatenate(post_idx)
+        kinds = np.concatenate(kind_parts)
+        pre_vals = items_arr.take(pa.array(js))
+        post_vals = items_arr.take(pa.array(is_))
+    else:
+        kinds = np.zeros(0, np.int64)
+        pre_vals = pa.array([], pa.string())
+        post_vals = pa.array([], pa.string())
+    # kind-2 token pairs: batched split of the submitted keys
+    tok_pre: list[str] = []
+    tok_post: list[str] = []
+    for i in subs:
+        it = items_arr[int(i)].as_py()
+        for t in _split_tokens_with_stop(it):
+            tok_pre.append(t)
+            tok_post.append(it)
+    k = np.concatenate([kinds, np.full(len(tok_pre), 2, np.int64)])
+    pre_all = pa.concat_arrays(
+        [pc.cast(pre_vals, pa.string()), pa.array(tok_pre, pa.string())]
+    )
+    post_all = pa.concat_arrays(
+        [pc.cast(post_vals, pa.string()), pa.array(tok_post, pa.string())]
+    )
     return pa.table(
         {
-            "pre": pa.array(pre, pa.string()),
-            "post": pa.array(post, pa.string()),
+            "pre": pre_all,
+            "post": post_all,
             "freq0": pa.array((k == 0).astype(np.int64)),
             "freq1": pa.array((k == 1).astype(np.int64)),
             "freq2": pa.array((k == 2).astype(np.int64)),

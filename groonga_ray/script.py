@@ -581,9 +581,58 @@ def eval_filter(ast, batch: pa.Table):
         if kind == "call":
             name, args = n[1], n[2]
             if name == "between":
+                # between(col, min[, min_border], max[, max_border])
+                # (lib/proc.c:5570-5960): borders are "include"/"exclude"
+                # strings; string bounds cast to the column's type
+                # (grn_obj_cast semantics — "20" vs Int32, time text vs
+                # Time)
                 col = ev(args[0])
-                lo, hi = ev(args[1]), ev(args[2])
-                return pc.and_(pc.greater_equal(col, lo), pc.less_equal(col, hi))
+                if len(args) >= 5:
+                    lo, lo_b = ev(args[1]), str(args[2][1])
+                    hi, hi_b = ev(args[3]), str(args[4][1])
+                else:
+                    lo, lo_b = ev(args[1]), "include"
+                    hi, hi_b = ev(args[2]), "include"
+
+                def _bound(v, ct):
+                    if isinstance(v, pa.Scalar) and pa.types.is_string(v.type):
+                        v = v.as_py()
+                    if not isinstance(v, str):
+                        return v
+                    if pa.types.is_integer(ct):
+                        return int(float(v))
+                    if pa.types.is_floating(ct):
+                        from .utils import parse_time_text
+
+                        t = parse_time_text(v)
+                        if t is not None:
+                            return t
+                        return float(v)
+                    if pa.types.is_timestamp(ct):
+                        from .utils import parse_time_text
+
+                        t = parse_time_text(v)
+                        if t is not None:
+                            return pa.scalar(
+                                int(t * 1e6), pa.timestamp("us")
+                            )
+                    return v
+
+                ct = col.type if hasattr(col, "type") else None
+                if ct is not None:
+                    lo, hi = _bound(lo, ct), _bound(hi, ct)
+                ge = pc.greater if lo_b == "exclude" else pc.greater_equal
+                le = pc.less if hi_b == "exclude" else pc.less_equal
+                return pc.and_(ge(col, lo), le(col, hi))
+            if name in ("max", "min"):
+                # N-ary element-wise max/min (lib/proc.c:4586-4678);
+                # zero args -> 0 (the reference leaves _score at the
+                # GRN_INT32_INIT default)
+                if not args:
+                    return pa.array(np.zeros(batch.num_rows, np.int64))
+                vals = [ev(a) for a in args]
+                fn = pc.max_element_wise if name == "max" else pc.min_element_wise
+                return vals[0] if len(vals) == 1 else fn(*vals)
             if name == "in_values":
                 col = ev(args[0])
                 vals = pa.array([a[1] for a in args[1:]])

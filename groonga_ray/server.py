@@ -811,6 +811,16 @@ class CommandServer:
 
         records = self._cast_records(name, records)
         with self._mutate_lock:
+            total = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in t.source_files
+            )
+            if total > 1_000_000:
+                raise ValueError(
+                    f"load-with-update rewrites the whole table ({total} "
+                    f"rows) — this path is for command-created tables; "
+                    f"corpus-scale tables must use the append-only delta "
+                    f"path (build.add_documents)"
+                )
             old = pa.concat_tables(
                 [pq.read_table(f) for f in t.source_files], promote_options="default"
             )
@@ -1220,7 +1230,14 @@ class CommandServer:
             rows.extend(st[2:])
         if cols_def is None:
             cols_def = []
-        rows = rows[offset:] if limit < 0 else rows[offset:offset + limit]
+        if limit < 0:
+            # negative limit wraps against the post-offset match count
+            # (logical_range_filter.rb:38-43: limit = n_records+limit+1;
+            # -1 = all, -3 = all but the last two)
+            rows = rows[offset:]
+            rows = rows[: max(len(rows) + limit + 1, 0)]
+        else:
+            rows = rows[offset:offset + limit]
         return [cols_def, *rows]
 
     def _cmd_shutdown(self, params: dict) -> bool:
@@ -1237,6 +1254,25 @@ class CommandServer:
         name = params["name"]
         if not name or name in self.tables or name in self.pending:
             raise ValueError(f"table already exists or bad name: {name!r}")
+        # grn_table_create resolves tokenizer/normalizer/filter names at
+        # DDL time and fails the whole create on an unknown name (the
+        # sharding fixtures rely on this: an invalid default_tokenizer
+        # means the lexicon table never exists)
+        from .normalize import is_known_normalizer
+        from .tokenize import is_known_tokenizer
+        from .tokenfilters import TOKEN_FILTERS
+
+        tok = params.get("default_tokenizer")
+        if tok and not is_known_tokenizer(tok):
+            raise ValueError(f"[table][create] unknown tokenizer: <{tok}>")
+        nrm = params.get("normalizer")
+        if nrm and not is_known_normalizer(nrm):
+            raise ValueError(f"[table][create] unknown normalizer: <{nrm}>")
+        for tf in (params.get("token_filters") or "").split(","):
+            if tf.strip() and tf.strip() not in TOKEN_FILTERS:
+                raise ValueError(
+                    f"[table][create] unknown token filter: <{tf.strip()}>"
+                )
         self.pending[name] = TableDef(
             name=name,
             flags=params.get("flags") or "TABLE_PAT_KEY",
@@ -1265,6 +1301,11 @@ class CommandServer:
             # its indexed column(s); the lexicon's tokenizer/normalizer
             # config governs the index. Also accept the direct form
             # (index declared on the data table itself).
+            if name not in self.pending and name not in self.tables:
+                # the lexicon table must already exist (grn_column_create
+                # resolves ``table`` first; the sharding fixtures create
+                # indexes on a Terms table whose table_create failed)
+                raise ValueError(f"[column][create] table doesn't exist: <{name}>")
             data_td = self.pending.get(params.get("type") or "") or td
             if data_td is None:
                 raise ValueError(
@@ -1274,13 +1315,23 @@ class CommandServer:
             # the source column (grn_geo_select_in_rectangle's index,
             # lib/geo.c:687) — built as the zkey-sorted Parquet dataset
             is_geo = td is not None and td.key_type.endswith("GeoPoint")
+            # a non-text, non-geo keyed lexicon (e.g. TABLE_PAT_KEY Time
+            # over a timestamp column) is a RANGE index in the reference;
+            # our Parquet layout already serves range scans, so record
+            # provenance but don't mark the column for tokenization
+            is_range = (
+                td is not None
+                and not is_geo
+                and td.key_type not in ("ShortText", "Text", "LongText")
+            )
             srcs = [
                 s.strip()
                 for s in (params.get("source") or params.get("sources") or "").split(",")
                 if s.strip()
             ]
-            for src in srcs:
-                (data_td.geo_indexed if is_geo else data_td.indexed).add(src)
+            if not is_range:
+                for src in srcs:
+                    (data_td.geo_indexed if is_geo else data_td.indexed).add(src)
             # provenance for column_remove (grn_obj_remove of an index
             # column drops the index, lib/db.c:8900)
             if not hasattr(self, "_index_cols"):
@@ -1288,7 +1339,7 @@ class CommandServer:
             self._index_cols[(name, params["name"])] = (
                 params.get("type") or name, srcs, is_geo
             )
-            if td is not None and td is not data_td and not is_geo:
+            if td is not None and td is not data_td and not (is_geo or is_range):
                 data_td.default_tokenizer = td.default_tokenizer
                 data_td.normalizer = td.normalizer
                 data_td.token_filters = td.token_filters

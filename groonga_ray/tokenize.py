@@ -453,6 +453,21 @@ def register_tokenizer(name: str, fn) -> None:
     CUSTOM_TOKENIZERS[name] = fn
 
 
+def is_known_tokenizer(name: str) -> bool:
+    """True iff ``name`` resolves to a tokenizer (built-in table,
+    special dispatches below, or the plugin registry). table_create
+    rejects unknown names exactly like grn_table_create's
+    default-tokenizer lookup failing (lib/db.c)."""
+    return (
+        name in TOKENIZERS
+        or name in CUSTOM_TOKENIZERS
+        or name in (
+            "TokenRegexp", "TokenDelimit", "TokenDelimitNull",
+            "TokenCodeWord", "TokenUvector",
+        )
+    )
+
+
 def tokenize(
     text: str,
     tokenizer: str = "TokenBigram",

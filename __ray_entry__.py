@@ -250,6 +250,43 @@ def _orders_index_for(sf_dir: str) -> "Any":
     )
 
 
+def _customer_index_for(sf_dir: str) -> "Any":
+    """Index over customer.c_mktsegment (docid = c_custkey) — the
+    referenced side of the nested-index match gate."""
+    from groonga_ray.build import BuildConfig, build_index
+    from groonga_ray.engine import IndexedTable
+
+    files = _files(sf_dir, "customer")
+    cfg = BuildConfig(
+        text_columns=("c_mktsegment",),
+        docid_column="c_custkey",
+        n_buckets=4,
+        target_rows_per_shard=4096,
+    )
+    key = hashlib.md5(
+        json.dumps([sf_dir, cfg.fingerprint(), [os.path.getsize(f) for f in files]]).encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"custidx_{key}")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_index(files, index_dir, cfg)
+    return IndexedTable(index_dir, files, "c_custkey")
+
+
+def _orders_nested_index_for(sf_dir: str) -> "Any":
+    """Orders index whose o_custkey reference carries the referenced
+    table's own index handle — the nested COLUMN_INDEX path
+    (select/index/nested; grn_column_index through a reference column,
+    lib/db.c:8800)."""
+    from groonga_ray.engine import IndexedTable
+
+    base = _orders_index_for(sf_dir)
+    cust = _customer_index_for(sf_dir)
+    return IndexedTable(
+        base.index_dir, list(base.source_files), "o_orderkey",
+        refs={"o_custkey": (tuple(_files(sf_dir, "customer")), "c_custkey", cust)},
+    )
+
+
 def _uvec_index_for(sf_dir: str) -> "Any":
     """tags = [lang, source] list column synthesized from documents,
     indexed with TokenUvector (one token per element)."""
@@ -978,6 +1015,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"o_orderkey": res["rows"].column("_id").cast(pa.int64())})
 
+    def ft_nested_ref(sf_dir):
+        # match THROUGH a reference column: o_custkey.c_mktsegment runs
+        # the term on the referenced customer index, then semi-joins the
+        # matched keys back through o_custkey (select/index/nested;
+        # grn_column_index + index cursor, lib/db.c:8800)
+        from groonga_ray.engine import select
+
+        t = _orders_nested_index_for(sf_dir)
+        res = select(
+            t,
+            filter='o_custkey.c_mktsegment @ "building" && o_totalprice > 50000',
+            limit=-1,
+        )
+        return pa.table({"o_orderkey": res["rows"].column("_id").cast(pa.int64())})
+
     def _cust_points(b: pa.Table) -> tuple[pa.Table, "Any"]:
         # deterministic synthetic WGS84 points from c_custkey (no geo
         # columns in the TPC-H-ish testdata): |lat| <= 80 deg
@@ -1235,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_delete": ft_delete,
         "ft_compact": ft_compact,
         "ft_sub_filter": ft_sub_filter,
+        "ft_nested_ref": ft_nested_ref,
         "ft_uvector": ft_uvector,
         "embed_dup_pairs": embed_dup_pairs,
         "embed_dedup_lsh": embed_dedup_lsh,
@@ -1447,6 +1500,12 @@ SELECT o_orderkey FROM orders
 WHERE lower(o_orderpriority) LIKE '%urgent%'
   AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
   AND o_totalprice > 100000
+""",
+        "ft_nested_ref": """
+SELECT o_orderkey FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE lower(c_mktsegment) = 'building')
+  AND o_totalprice > 50000
 """,
         "ft_uvector": """
 SELECT doc_id,

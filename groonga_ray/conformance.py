@@ -371,14 +371,35 @@ class ScriptRunner:
             d = os.path.dirname(d)
         with open(test_path) as fh:
             script = fh.read()
+        if any(
+            ln.lstrip().startswith("#@omit") for ln in script.splitlines()
+        ):
+            # grntest's omit directive: the reference itself skips this
+            # script (feature not supported in this version)
+            return [{"command": "#@omit", "ok": True, "detail": "omitted"}]
         with open(expected_path) as fh:
             expected = parse_expected(fh.read())
+        with open(expected_path) as fh:
+            expected_raw = fh.read()
         all_cmds = parse_script(script, include_dir)
-        n_compared = sum(1 for c in all_cmds if not c[2])
+        # dump outputs a raw command stream, not a JSON envelope: pair
+        # the k-th dump command with the text after the k-th echoed
+        # `dump` line (up to the next echoed dump / EOF)
+        n_compared = sum(1 for c in all_cmds if not c[2] and c[0] != "dump")
         if len(expected) != n_compared:
             raise ValueError(
                 f"{test_path}: {n_compared} commands vs {len(expected)} envelopes"
             )
+        exp_lines = expected_raw.splitlines()
+        dump_marks = [
+            i for i, ln in enumerate(exp_lines)
+            if ln == "dump" or ln.startswith("dump ")
+        ]
+        dump_expected: list[str] = []
+        for k, mi in enumerate(dump_marks):
+            end = dump_marks[k + 1] if k + 1 < len(dump_marks) else len(exp_lines)
+            dump_expected.append("\n".join(exp_lines[mi + 1:end]).strip("\n"))
+        dump_i = 0
         out = []
         env_iter = iter(expected)
         for name, params, inc in all_cmds:
@@ -392,6 +413,29 @@ class ScriptRunner:
                     self.execute(name, params)
                 except Exception:  # noqa: BLE001 - fixture errors expected
                     pass
+                continue
+            if name == "dump":
+                exp_text = (
+                    dump_expected[dump_i] if dump_i < len(dump_expected) else ""
+                )
+                dump_i += 1
+                try:
+                    body = self.execute(name, params)
+                except Exception as e:  # noqa: BLE001
+                    out.append(
+                        {"command": name, "ok": False,
+                         "detail": f"{type(e).__name__}: {e}"}
+                    )
+                    continue
+                got = (body or "").strip("\n")
+                ok = got == exp_text
+                out.append(
+                    {
+                        "command": name,
+                        "ok": ok,
+                        "detail": "ok" if ok else f"ours:\n{got}\nexpected:\n{exp_text}",
+                    }
+                )
                 continue
             env = next(env_iter)
             err = None

@@ -31,6 +31,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlsplit
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 SUCCESS = 0
 GRN_INVALID_ARGUMENT = -22  # include/groonga/groonga.h rc values
@@ -140,7 +141,14 @@ class CommandServer:
             "request_cancel": self._cmd_request_cancel,
             "logical_count": self._cmd_logical_count,
             "logical_range_filter": self._cmd_logical_range_filter,
+            "dump": self._cmd_dump,
+            "plugin_register": self._cmd_plugin_register,
         }
+        # DDL journal: creation-order record of tables/columns/plugins,
+        # exactly what proc_dump walks by object id (lib/proc.c:3296).
+        self._ddl_tables: list[dict] = []
+        self._ddl_cols: list[dict] = []
+        self._plugins: list[str] = []
         self._mutate_lock = threading.Lock()
         self._started = time.time()
         self._n_queries = 0
@@ -1244,6 +1252,247 @@ class CommandServer:
         """``/d/shutdown`` (proc_shutdown): acknowledge, then stop."""
         return True
 
+    # ----------------------------------------------------------- dump
+    def _cmd_plugin_register(self, params: dict) -> bool:
+        """``plugin_register <name>`` (proc_register → grn_plugin_
+        register): journal the name for dump; python plugin modules
+        load, reference plugin names whose semantics are built in
+        (token_filters/*, sharding, ...) are accepted as no-ops."""
+        import re as _re
+
+        pname = params.get("name") or params.get("path") or ""
+        try:
+            from . import plugin
+
+            plugin.register(pname)
+        except Exception:
+            if not _re.fullmatch(r"[A-Za-z0-9_]+(/[A-Za-z0-9_]+)*", pname):
+                raise
+        if pname not in self._plugins:
+            self._plugins.append(pname)
+        return True
+
+    @staticmethod
+    def _dump_flags(flags: str) -> str:
+        return "|".join(
+            f for f in flags.split("|") if f.strip() and f.strip() != "PERSISTENT"
+        )
+
+    def _dump_table_line(self, t: dict) -> str:
+        """table_create line (dump_table, lib/proc.c:3180-3270)."""
+        parts = ["table_create", t["name"], self._dump_flags(t["flags"])]
+        no_key = "NO_KEY" in t["flags"]
+        if not no_key and t["key_type"]:
+            parts.append(t["key_type"])
+        if t["value_type"]:
+            if no_key:
+                parts.append("--value_type")
+            parts.append(t["value_type"])
+        if t["default_tokenizer"]:
+            parts += ["--default_tokenizer", t["default_tokenizer"]]
+        if t["normalizer"]:
+            parts += ["--normalizer", t["normalizer"]]
+        if not no_key and t["token_filters"]:
+            parts += ["--token_filters", t["token_filters"]]
+        return " ".join(parts)
+
+    def _dump_col_line(self, c: dict) -> str:
+        parts = [
+            "column_create", c["table"], c["name"],
+            self._dump_flags(c["flags"]), c["type"],
+        ]
+        if c["is_index"] and c["source"]:
+            parts.append(c["source"])
+        return " ".join(parts)
+
+    def _dump_rows(self, t: dict) -> tuple[list[str], list[list]] | None:
+        """(header, rows) for one table's load block, or None to skip
+        (dump_records, lib/proc.c:2989-3051: empty tables and pure
+        lexicons — index column but no data column — are skipped)."""
+        name = t["name"]
+        no_key = "NO_KEY" in t["flags"]
+        own_cols = [
+            c for c in self._ddl_cols if c["table"] == name and not c["is_index"]
+        ]
+        has_index = any(
+            c["table"] == name and c["is_index"] for c in self._ddl_cols
+        )
+        if has_index and not own_cols:
+            return None
+        data_names = sorted(c["name"] for c in own_cols)
+        weight_cols = {
+            c["name"] for c in own_cols if "WITH_WEIGHT" in c["flags"]
+        }
+        header = (["_id"] if no_key else ["_key"]) + data_names
+        rows: list[list] = []
+        if name in self.tables:
+            import pyarrow.parquet as pq
+
+            tb = pa.concat_tables(
+                [pq.read_table(f) for f in self.tables[name].source_files],
+                promote_options="default",
+            )
+            if "_id" in tb.column_names:
+                tb = tb.take(pc.sort_indices(tb, sort_keys=[("_id", "ascending")]))
+            for r in tb.to_pylist():
+                row = []
+                for h in header:
+                    v = r.get(h)
+                    if h in weight_cols and isinstance(v, list):
+                        # repeated-element encoding back to {elem: w}
+                        # (elements were extended (w+1) times at load)
+                        out, seen = [], {}
+                        for e in v:
+                            if e in seen:
+                                seen[e] += 1
+                            else:
+                                seen[e] = 0
+                                out.append(e)
+                        v = [{e: seen[e]} for e in out]
+                    if isinstance(v, float) and v == int(v) and abs(v) < 2**53:
+                        v = int(v)
+                    row.append(v)
+                rows.append(row)
+        else:
+            # never loaded: keys may exist via lexicon auto-population
+            # (indexing interns tokens) or reference-key interning
+            keys = self._derived_keys(t)
+            if not keys:
+                return None
+            defaults = {
+                c["name"]: (
+                    0 if c["type"].startswith(("Int", "UInt"))
+                    else 0.0 if c["type"] in ("Float", "Time") else ""
+                )
+                for c in own_cols
+            }
+            rows = [[k] + [defaults[n] for n in data_names] for k in keys]
+        return (header, rows) if rows else None
+
+    def _derived_keys(self, t: dict) -> list:
+        """Keys of a never-loaded keyed table: tokens interned by its
+        index columns (ADD-mode tokenize of the source columns, in _id
+        order) plus values interned through reference columns typed to
+        it. HASH keys keep first-appearance (id) order; PAT/DAT sort."""
+        import pyarrow.parquet as pq
+
+        from .tokenize import tokenize as _tok
+
+        name = t["name"]
+        if "NO_KEY" in t["flags"]:
+            return []
+        seen: dict = {}
+
+        def _table_rows(tbl_name: str, cols: list[str]):
+            st = self.tables.get(tbl_name)
+            if st is None:
+                return None
+            tb = pa.concat_tables(
+                [pq.read_table(f) for f in st.source_files],
+                promote_options="default",
+            )
+            if "_id" in tb.column_names:
+                tb = tb.take(pc.sort_indices(tb, sort_keys=[("_id", "ascending")]))
+            return tb
+
+        for c in self._ddl_cols:
+            if c["table"] == name and c["is_index"]:
+                data = c["type"]
+                srcs = [s.strip() for s in c["source"].split(",") if s.strip()]
+                tb = _table_rows(data, srcs)
+                if tb is None:
+                    continue
+                for src in srcs:
+                    col = "_key" if src == "_key" else src
+                    if col not in tb.column_names:
+                        continue
+                    for v in tb.column(col).to_pylist():
+                        if v is None:
+                            continue
+                        vals = v if isinstance(v, list) else [v]
+                        for txt in vals:
+                            if not isinstance(txt, str):
+                                seen.setdefault(txt, None)
+                                continue
+                            stream = _tok(
+                                txt,
+                                t["default_tokenizer"] or "TokenBigram",
+                                mode="add",
+                                normalizer=t["normalizer"] or None,
+                            )
+                            for tk in stream.tokens:
+                                seen.setdefault(tk.term, None)
+            elif c["type"] == name and not c["is_index"]:
+                tb = _table_rows(c["table"], [c["name"]])
+                if tb is None or c["name"] not in tb.column_names:
+                    continue
+                for v in tb.column(c["name"]).to_pylist():
+                    if v is None:
+                        continue
+                    for e in v if isinstance(v, list) else [v]:
+                        seen.setdefault(e, None)
+        keys = list(seen)
+        if "PAT_KEY" in t["flags"] or "DAT_KEY" in t["flags"]:
+            keys.sort()
+        return keys
+
+    def _cmd_dump(self, params: dict) -> str:
+        """``dump [tables] [--dump_plugins/schema/records/indexes no]``
+        (proc_dump, lib/proc.c:3492-3541): reloadable command stream —
+        plugins, schema (reference-typed columns deferred past all
+        table_creates), records as load blocks, index columns last."""
+
+        def _yes(key: str) -> bool:
+            return (params.get(key) or "yes") != "no"
+
+        only = {
+            s.strip()
+            for s in (params.get("tables") or "").replace(",", " ").split()
+            if s.strip()
+        }
+        sections: list[str] = []
+        if _yes("dump_plugins") and self._plugins:
+            sections.append("\n".join(f"plugin_register {p}" for p in self._plugins))
+        if _yes("dump_schema"):
+            pending_refs: list[dict] = []
+            table_names = {t["name"] for t in self._ddl_tables}
+            for t in self._ddl_tables:
+                block = [self._dump_table_line(t)]
+                for c in self._ddl_cols:
+                    if c["table"] != t["name"] or c["is_index"]:
+                        continue
+                    if c["type"] in table_names:
+                        pending_refs.append(c)
+                    else:
+                        block.append(self._dump_col_line(c))
+                sections.append("\n".join(block))
+            if pending_refs:
+                sections.append(
+                    "\n".join(self._dump_col_line(c) for c in pending_refs)
+                )
+        if _yes("dump_records"):
+            for t in self._ddl_tables:
+                if only and t["name"] not in only:
+                    continue
+                hr = self._dump_rows(t)
+                if hr is None:
+                    continue
+                header, rows = hr
+                lines = [f"load --table {t['name']}", "["]
+                body = [json.dumps(header, ensure_ascii=False, separators=(",", ":"))]
+                body += [
+                    json.dumps(r, ensure_ascii=False, separators=(",", ":"))
+                    for r in rows
+                ]
+                lines.append(",\n".join(body))
+                lines.append("]")
+                sections.append("\n".join(lines))
+        if _yes("dump_indexes"):
+            idx = [self._dump_col_line(c) for c in self._ddl_cols if c["is_index"]]
+            if idx:
+                sections.append("\n".join(idx))
+        return "\n\n".join(sections)
+
     # -------------------------------------------------------- DDL commands
     def _cmd_table_create(self, params: dict) -> bool:
         """``/d/table_create?name=X&flags=...&key_type=...
@@ -1273,6 +1522,17 @@ class CommandServer:
                 raise ValueError(
                     f"[table][create] unknown token filter: <{tf.strip()}>"
                 )
+        self._ddl_tables.append(
+            {
+                "name": name,
+                "flags": params.get("flags") or "TABLE_HASH_KEY",
+                "key_type": params.get("key_type") or "",
+                "value_type": params.get("value_type") or "",
+                "default_tokenizer": tok or "",
+                "normalizer": nrm or "",
+                "token_filters": params.get("token_filters") or "",
+            }
+        )
         self.pending[name] = TableDef(
             name=name,
             flags=params.get("flags") or "TABLE_PAT_KEY",
@@ -1293,6 +1553,21 @@ class CommandServer:
         marks its source column(s) as indexed text sections; otherwise
         records the scalar column. Built tables are immutable —
         schema comes from the Parquet sources (documented divergence)."""
+        ok = self._column_create_inner(params)
+        if ok:
+            self._ddl_cols.append(
+                {
+                    "table": params.get("table"),
+                    "name": params.get("name"),
+                    "flags": params.get("flags") or "COLUMN_SCALAR",
+                    "type": params.get("type") or "ShortText",
+                    "source": params.get("source") or params.get("sources") or "",
+                    "is_index": "COLUMN_INDEX" in (params.get("flags") or ""),
+                }
+            )
+        return ok
+
+    def _column_create_inner(self, params: dict) -> bool:
         name = params.get("table")
         td = self.pending.get(name or "")
         if "COLUMN_INDEX" in (params.get("flags") or ""):
@@ -1354,6 +1629,16 @@ class CommandServer:
         return True
 
     def _cmd_column_remove(self, params: dict) -> bool:
+        ok = self._column_remove_inner(params)
+        if ok:
+            t, n = params.get("table"), params.get("name")
+            self._ddl_cols = [
+                c for c in self._ddl_cols
+                if not (c["table"] == t and c["name"] == n)
+            ]
+        return ok
+
+    def _column_remove_inner(self, params: dict) -> bool:
         """``/d/column_remove?table=X&name=c`` (proc_column_remove →
         grn_obj_remove): removing an INDEX column drops the index (the
         data stays); removing a data column drops it from the pending
@@ -1390,6 +1675,10 @@ class CommandServer:
             return True
         if table in self.tables and name in getattr(self, "_created", {}).get(table, {}):
             del self._created[table][name]
+            self._ddl_cols = [
+                c for c in self._ddl_cols
+                if not (c["table"] == table and c["name"] == name)
+            ]
             self._invalidate()
             return True
         raise ValueError(f"column_remove: unknown column {table}.{name}")
@@ -1402,6 +1691,8 @@ class CommandServer:
         import shutil
 
         name = params.get("name") or params.get("table")
+        self._ddl_tables = [t for t in self._ddl_tables if t["name"] != name]
+        self._ddl_cols = [c for c in self._ddl_cols if c["table"] != name]
         if name in self.pending:
             del self.pending[name]
         elif name in self.tables:
@@ -1434,6 +1725,14 @@ class CommandServer:
                 self._created[new] = self._created.pop(name)
         else:
             raise ValueError(f"unknown table: {name}")
+        for t in self._ddl_tables:
+            if t["name"] == name:
+                t["name"] = new
+        for c in self._ddl_cols:
+            if c["table"] == name:
+                c["table"] = new
+            if c["type"] == name:
+                c["type"] = new
         self._invalidate()
         return True
 

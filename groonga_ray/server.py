@@ -951,10 +951,19 @@ class CommandServer:
             self._key_types: dict[str, str] = {}
         self._key_types[name] = td.key_type
         records = self._cast_records(name, records)
-        if any("_id" in r for r in records):
+        if all("_id" in r for r in records) and records:
+            # dump reload path: explicit dense 1-based ids are honored
+            # (grn_load sets records by _id); anything else is rejected
+            ids = sorted(int(r["_id"]) for r in records)
+            if ids != list(range(1, len(records) + 1)):
+                raise ValueError("explicit _id load must be dense 1..n")
+            for r in records:
+                r["_id"] = int(r["_id"])
+        elif any("_id" in r for r in records):
             raise ValueError("_id is assigned by the server on load")
-        for i, r in enumerate(records):
-            r["_id"] = i + 1
+        else:
+            for i, r in enumerate(records):
+                r["_id"] = i + 1
         tbl = pa.Table.from_pylist(records)
         tbl = self._apply_declared_types(name, tbl)
         with self._mutate_lock:

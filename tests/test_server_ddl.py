@@ -147,3 +147,41 @@ def test_log_lock_quit_cancel(srv):
     assert _get(base, "/d/lock_clear")[1] is True
     assert _get(base, "/d/quit")[1] is True
     assert _get(base, "/d/request_cancel?id=42")[1] == {"id": "42", "canceled": False}
+
+
+def test_dump_command_stream_roundtrip(ray_session, tmp_path):
+    """dump emits a reloadable command stream (proc_dump,
+    lib/proc.c:3492): feeding a dump into a FRESH server reproduces the
+    same schema + records, so dumping again is byte-identical."""
+    from groonga_ray.conformance import ScriptRunner
+    from groonga_ray.server import CommandServer
+
+    script = (
+        "table_create Memos TABLE_NO_KEY\n"
+        "column_create Memos content COLUMN_SCALAR ShortText\n"
+        "table_create Terms TABLE_PAT_KEY ShortText "
+        "--default_tokenizer TokenBigram --normalizer NormalizerAuto\n"
+        "column_create Terms memos_content_index "
+        "COLUMN_INDEX|WITH_POSITION Memos content\n"
+        "load --table Memos\n"
+        '[\n{"content": "Groonga is fast!"},\n{"content": "Ray is wide."}\n]\n'
+    )
+    s1 = CommandServer(data_dir=str(tmp_path / "a"))
+    r1 = ScriptRunner(s1)
+    r1.run_script(script)
+    dump1 = s1.execute_command("dump", {}) if hasattr(s1, "execute_command") else s1._commands["dump"]({})
+    assert "table_create Memos TABLE_NO_KEY" in dump1
+    assert 'load --table Memos' in dump1
+    assert dump1.rstrip().endswith(
+        "column_create Terms memos_content_index COLUMN_INDEX|WITH_POSITION Memos content"
+    )
+
+    s2 = CommandServer(data_dir=str(tmp_path / "b"))
+    r2 = ScriptRunner(s2)
+    r2.run_script(dump1)
+    dump2 = s2._commands["dump"]({})
+    assert dump2 == dump1
+    # and the reloaded index answers the same query
+    res = s2._commands["select"]({"table": "Memos", "query": "fast",
+                                  "match_columns": "content"})
+    assert res[0][0] == [1]

@@ -3,13 +3,12 @@ test scripts (test/command/suite/**.test) through our command surface
 and compare semantic values against the paired .expected files.
 
 The pinned list tests/data/reference_suite_passing.txt freezes the
-suites known to pass (74 scripts across normalize, tokenize,
-snippet_html, highlight_html, html_untag, all_records, cache_limit,
-request_cancel, normalizer_list, load) — a regression here means a
-semantic divergence from the reference. Suites comparing internal
-representations (dump streams, table metadata arrays, lexicon-table
-selects) are intentionally out of scope; the comparator ignores
-envelope heads and column/type names but requires exact row values.
+suites known to pass (select/filter incl. the geo_in_rectangle/
+geo_in_circle index scans, select/function incl. between/min/max,
+sharding, dump command streams, normalize, tokenize, load, ...) — a
+regression here means a semantic divergence from the reference. The
+comparator ignores envelope heads and column/type names but requires
+exact row values; dump output is compared as raw command-stream text.
 """
 
 import os

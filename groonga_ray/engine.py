@@ -1494,19 +1494,41 @@ def select(
             drilldown_limit, drilldown_sortby, drilldown_calc_types,
             drilldown_calc_target,
         )
-    if drilldowns:
+    if drilldowns is not None:
         out: dict[str, pa.Table] = {}
         for label, spec in drilldowns.items():
             keys = spec["keys"]
             if isinstance(keys, str):
                 keys = [k.strip() for k in keys.split(",")]
+            if not keys:
+                # empty keys: the reference silently omits the labeled
+                # drilldown from the output map (lib/proc.c:806)
+                continue
             out[label] = _run_drilldown(
                 table, result, list(keys),
-                spec.get("limit", 10), spec.get("sortby", "-_nsubrecs"),
+                spec.get("limit", 10), spec.get("sortby"),
                 tuple(spec.get("calc_types", ())), spec.get("calc_target"),
+                spec.get("output_columns"),
             )
         result_dict["drilldowns"] = out
     return result_dict
+
+
+def _dd_resolve(name: str, keys: list[str], cols: dict) -> list[str]:
+    """Resolve a drilldown output/sort accessor to grouped-table
+    columns: ``_key`` → the group key(s), ``_key[i]`` → the i-th key of
+    a multi-key drilldown, ``_value.col`` / ``col._key`` → the key
+    sub-value column (lib/proc.c:705-780 accessor forms)."""
+    if name.startswith("_value."):
+        name = name[len("_value."):]
+    if name.endswith("._key"):
+        name = name[: -len("._key")]
+    if name.startswith("_key[") and name.endswith("]"):
+        i = int(name[5:-1])
+        return [keys[i]] if i < len(keys) else []
+    if name == "_key" and name not in cols:
+        return list(keys)
+    return [name] if name in cols else []
 
 
 def _run_drilldown(
@@ -1514,24 +1536,47 @@ def _run_drilldown(
     result: MatchResult,
     keys: list[str],
     limit: int,
-    sortby: str,
+    sortby: str | None,
     calc_types: tuple[str, ...],
     calc_target: str | None,
+    output_columns: list[str] | None = None,
 ) -> pa.Table:
     """Group the FULL result set by one or more doc columns
     (grn_table_group, lib/db.c:3812-3895; multi-key packing
     lib/db.c:3555-3811) with optional MAX/MIN/SUM/AVG calc types on a
     calc target (lib/rset.c:19-200), then sort by the drilldown sort
     spec (drilldown_sortby, lib/proc.c:705-780: _nsubrecs, _key or any
-    output column, +/- prefixed)."""
+    output column, +/- prefixed; ``sortby=None`` keeps the reference's
+    grn_hash insertion order). ``output_columns`` projects with the
+    ``_key[i]`` / ``_value.col`` accessor forms."""
     need = list(keys) + ([calc_target] if calc_target else [])
     dd_tbl = fetch_docs(table, result.docids, need)
+    for vk in keys:
+        # vector drilldown key: each element is its own group member
+        # (grn_table_group on a vector column iterates elements,
+        # lib/db.c:3812 GRN_OBJ_VECTOR branch); explode the rows,
+        # repeating the scalar columns per element
+        if not pa.types.is_list(dd_tbl.column(vk).type):
+            continue
+        lst = dd_tbl.column(vk).combine_chunks()
+        parents = pc.list_parent_indices(lst)
+        dd_tbl = pa.table(
+            {
+                c: pc.list_flatten(lst)
+                if c == vk
+                else dd_tbl.column(c).take(parents)
+                for c in dd_tbl.column_names
+            }
+        )
     aggs = [("_one", "sum")]
     dd_tbl = dd_tbl.append_column("_one", pa.array(np.ones(dd_tbl.num_rows, np.int64)))
     calc_map = {"MAX": "max", "MIN": "min", "SUM": "sum", "AVG": "mean"}
     for ct in calc_types:
         aggs.append((calc_target, calc_map[ct.upper()]))
-    grouped = dd_tbl.group_by(keys).aggregate(aggs)
+    # single-threaded group-by keeps first-occurrence order — the
+    # reference's grn_hash insertion order, which IS the drilldown
+    # output order when no sort spec is given
+    grouped = dd_tbl.group_by(keys, use_threads=False).aggregate(aggs)
     # arrow names aggregates "<col>_<agg>"; map to _nsubrecs/_max/...
     out_cols = {k: grouped.column(k) for k in keys}
     out_cols["_nsubrecs"] = grouped.column("_one_sum")
@@ -1539,22 +1584,70 @@ def _run_drilldown(
         src = f"{calc_target}_{calc_map[ct.upper()]}"
         dst = "_avg" if ct.upper() == "AVG" else f"_{ct.lower()}"
         out_cols[dst] = grouped.column(src)
+    # _id = group insertion order (1-based), addressable in sort specs
+    out_cols["_id"] = pa.array(np.arange(1, grouped.num_rows + 1, dtype=np.int32))
     grouped = pa.table(out_cols)
-    # sort: user spec first, group keys ascending as the tiebreak
-    sort_keys = []
-    for part in sortby.split(","):
-        part = part.strip()
-        if not part:
-            continue
-        direction = "descending" if part.startswith("-") else "ascending"
-        name = part.lstrip("+-")
-        if name == "_key":
-            sort_keys.extend((k, direction) for k in keys)
-        else:
-            sort_keys.append((name, direction))
-    sort_keys.extend((k, "ascending") for k in keys if k not in [n for n, _ in sort_keys])
-    order = pc.sort_indices(grouped, sort_keys=sort_keys)
-    return grouped.take(order).slice(0, limit)
+    if sortby:
+        # sort: user spec first, group keys ascending as the tiebreak
+        sort_keys = []
+        for part in sortby.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            direction = "descending" if part.startswith("-") else "ascending"
+            sort_keys.extend(
+                (c, direction) for c in _dd_resolve(part.lstrip("+-"), keys, out_cols)
+            )
+        seen = [n for n, _ in sort_keys]
+        sort_keys.extend((k, "ascending") for k in keys if k not in seen)
+        if "_id" not in seen:
+            sort_keys.append(("_id", "ascending"))
+        order = pc.sort_indices(grouped, sort_keys=sort_keys)
+        grouped = grouped.take(order)
+    n = grouped.num_rows
+    eff = max(0, n + limit + 1) if limit < 0 else limit
+    grouped = grouped.slice(0, eff)
+    if output_columns:
+        cols = {c: None for c in grouped.column_names}
+        names, arrays = [], []
+        for name in output_columns:
+            resolved = _dd_resolve(name, keys, cols)
+            if not resolved and len(keys) == 1 and table.refs and keys[0] in table.refs:
+                # a column OF the referenced table: the group key is a
+                # reference id, so ``label`` reads Tags[key].label
+                # (accessor chains through the key table, lib/proc.c:747)
+                col = _ref_column_lookup(table, keys[0], name, grouped.column(keys[0]))
+                if col is not None:
+                    names.append(name)
+                    arrays.append(col)
+                    continue
+            for c in resolved:
+                names.append(name.removeprefix("_value.") if len(resolved) == 1 else c)
+                arrays.append(grouped.column(c))
+        return pa.table(arrays, names=names)
+    return grouped.drop_columns(["_id"])
+
+
+def _ref_column_lookup(
+    table: IndexedTable, ref_col: str, name: str, keys_arr
+) -> pa.Array | None:
+    """Map group keys (values of a reference column) to ``name`` in the
+    referenced table via its key column — the drilldown accessor walk
+    through a reference type (lib/proc.c:747)."""
+    import pyarrow.parquet as pq
+
+    files, key_col, _ref_t = table.refs[ref_col]
+    try:
+        ref_tbl = pa.concat_tables(
+            [pq.read_table(f, columns=[key_col, name]) for f in files],
+            promote_options="default",
+        )
+    except (pa.ArrowInvalid, KeyError, OSError):
+        return None
+    mapping = dict(
+        zip(ref_tbl.column(key_col).to_pylist(), ref_tbl.column(name).to_pylist())
+    )
+    return pa.array([mapping.get(k) for k in keys_arr.to_pylist()])
 
 
 # ------------------------------------------------------- batch queries

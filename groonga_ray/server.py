@@ -382,34 +382,68 @@ class CommandServer:
         if params.get("sortby"):
             kwargs["sortby"] = params["sortby"]
         kwargs["output_columns"] = _split_cols(params.get("output_columns"))
-        for k in ("offset", "limit", "drilldown_limit", "match_escalation_threshold"):
+        for k in ("offset", "limit", "match_escalation_threshold"):
             if params.get(k) is not None and params.get(k) != "":
                 kwargs[k] = int(params[k])
-        for k in ("drilldown", "drilldown_sortby", "drilldown_calc_target"):
-            if params.get(k):
-                kwargs[k] = params[k]
-        if params.get("drilldown_calc_types"):
-            kwargs["drilldown_calc_types"] = tuple(
-                t.strip() for t in params["drilldown_calc_types"].split(",")
-            )
-        labeled = self._parse_labeled_drilldowns(params)
-        if labeled:
-            kwargs["drilldowns"] = labeled
+        specs: dict = {}
+        n_plain = 0
+        if params.get("drilldown"):
+            # plain --drilldown a,b runs one INDEPENDENT single-key
+            # drilldown per listed key, each its own result set
+            # (lib/proc.c:705-780), sharing the drilldown_* options
+            plain_opts: dict = {}
+            if params.get("drilldown_sortby"):
+                plain_opts["sortby"] = params["drilldown_sortby"]
+            if params.get("drilldown_calc_target"):
+                plain_opts["calc_target"] = params["drilldown_calc_target"]
+            if params.get("drilldown_calc_types"):
+                plain_opts["calc_types"] = tuple(
+                    t.strip() for t in params["drilldown_calc_types"].split(",")
+                )
+            if params.get("drilldown_output_columns"):
+                plain_opts["output_columns"] = [
+                    c.strip()
+                    for c in params["drilldown_output_columns"].split(",")
+                    if c.strip()
+                ]
+            if params.get("drilldown_limit") not in (None, ""):
+                plain_opts["limit"] = int(params["drilldown_limit"])
+            for key in params["drilldown"].split(","):
+                key = key.strip()
+                if key:
+                    specs[f"\x00plain{n_plain}"] = {"keys": [key], **plain_opts}
+                    n_plain += 1
+        specs.update(self._parse_labeled_drilldowns(params))
+        created = getattr(self, "_created", {}).get(params.get("table"), {})
+        for spec in specs.values():
+            for key in spec.get("keys", ()):
+                if created.get(key) in ("Text", "LongText"):
+                    # grn_table_group rejects variable-size key types
+                    # wider than ShortText (lib/db.c:3860)
+                    raise ValueError(
+                        f"cannot drilldown by {created.get(key)} column: <{key}>"
+                    )
+        if specs:
+            kwargs["drilldowns"] = specs
         qe = params.get("query_expander") or params.get("query_expansion")
         if qe:
             kwargs["query_expander"] = self._resolve_query_expander(qe)
         res = select(table, **kwargs)
         sets = [self._result_env(res)]
-        if res.get("drilldown") is not None:
-            sets.append(_table_envelope(res["drilldown"], score_int32=False))
-        if res.get("drilldowns"):
-            # labeled drilldowns are a map of result sets (lib/proc.c:783)
-            sets.append(
-                {
-                    label: _table_envelope(t, score_int32=False)
-                    for label, t in res["drilldowns"].items()
-                }
-            )
+        if res.get("drilldowns") is not None:
+            # plain drilldowns append one result set each, in key
+            # order; labeled drilldowns are a map of result sets —
+            # emitted (possibly empty) whenever any labeled spec was
+            # requested (lib/proc.c:783)
+            labeled_env = {}
+            for label, t in res["drilldowns"].items():
+                env = _table_envelope(t, score_int32=False)
+                if label.startswith("\x00plain"):
+                    sets.append(env)
+                else:
+                    labeled_env[label] = env
+            if labeled_env or len(specs) > n_plain:
+                sets.append(labeled_env)
         if cache_key is not None:
             self._select_cache[cache_key] = sets
             while len(self._select_cache) > self._cache_max:
@@ -468,6 +502,10 @@ class CommandServer:
                         spec["sortby"] = v
                     elif attr == "calc_target":
                         spec["calc_target"] = v
+                    elif attr == "output_columns":
+                        spec["output_columns"] = [
+                            c.strip() for c in v.split(",") if c.strip()
+                        ]
                     break
         return specs
 

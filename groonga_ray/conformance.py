@@ -395,9 +395,32 @@ class ScriptRunner:
             i for i, ln in enumerate(exp_lines)
             if ln == "dump" or ln.startswith("dump ")
         ]
+        # the command that FOLLOWS each dump in script order — its echo
+        # line terminates the dump body (dump output is itself a
+        # command stream, so the next dump mark alone is not enough
+        # when other commands sit between two dumps)
+        compared = [c for c in all_cmds if not c[2]]
+        next_after_dump: list[str | None] = []
+        for idx, c in enumerate(compared):
+            if c[0] == "dump":
+                nxt = compared[idx + 1][0] if idx + 1 < len(compared) else None
+                next_after_dump.append(nxt)
         dump_expected: list[str] = []
         for k, mi in enumerate(dump_marks):
             end = dump_marks[k + 1] if k + 1 < len(dump_marks) else len(exp_lines)
+            nxt = next_after_dump[k] if k < len(next_after_dump) else None
+            if nxt and nxt != "dump":
+                for i in range(mi + 1, end):
+                    ln = exp_lines[i]
+                    if ln == nxt or ln.startswith(nxt + " "):
+                        # echo of the next command: confirmed if an
+                        # envelope ("[...") follows it
+                        j = i + 1
+                        while j < end and not exp_lines[j].strip():
+                            j += 1
+                        if j < end and exp_lines[j].lstrip().startswith("["):
+                            end = i
+                            break
             dump_expected.append("\n".join(exp_lines[mi + 1:end]).strip("\n"))
         dump_i = 0
         out = []

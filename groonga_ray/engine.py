@@ -64,12 +64,44 @@ class IndexedTable:
     # WGS84GeoPoint PAT-key index, lib/geo.c:687) — filters route
     # geo_in_rectangle/in_circle on these columns to mesh-cover scans
     geo_indexes: dict | None = None
+    # named index columns: "Lexicon.memo_index" -> ordered source
+    # column list, so match_columns can address the index object
+    # directly ("Lexicon.memo_index[0]", ".title", or bare = all
+    # sections — grn_column_index accessor, lib/expr.c:6050)
+    index_defs: dict | None = None
 
     def reader(self) -> IndexReader:
         return open_index(self.index_dir)
 
 
 # ------------------------------------------------------------- match eval
+
+def _expand_index_sections(spec: MatchSpec, table: "IndexedTable") -> None:
+    """Rewrite index-object accessors in match_columns sections to
+    their source data columns: ``Lexicon.memo_index`` → every source
+    section, ``[i]`` → the i-th source, ``.col`` → that source
+    (grn_column_index / accessor resolution, lib/expr.c:6050-6160;
+    WITH_SECTION source order lib/ii.c section ids)."""
+    if not table.index_defs:
+        return
+    import re as _re
+
+    out: list[tuple[str, float, str | None]] = []
+    for col, w, sc in spec.sections:
+        m = _re.match(r"^(\w+\.\w+)(?:\[(\d+)\]|\.(\w+))?$", col)
+        defs = table.index_defs.get(m.group(1)) if m else None
+        if defs is None:
+            out.append((col, w, sc))
+        elif m.group(2) is not None:
+            i = int(m.group(2))
+            if i < len(defs):
+                out.append((defs[i], w, sc))
+        elif m.group(3):
+            out.append((m.group(3), w, sc))
+        else:
+            out.extend((s, w, sc) for s in defs)
+    spec.sections = out
+
 
 def _eval_match_node(
     node, reader: IndexReader, spec: MatchSpec, table: "IndexedTable | None" = None
@@ -81,7 +113,8 @@ def _eval_match_node(
     matches the stored key text itself; ``col.sub`` runs the match on
     the referenced table's index and semi-joins the matched keys back."""
     results = []
-    for col, weight in spec.sections:
+    for col, weight, sec_scorer in spec.sections:
+        scorer = sec_scorer or spec.scorer
         if isinstance(node, (TermNode, PhraseNode)) and getattr(node, "section", None):
             if node.section != col:
                 continue
@@ -111,7 +144,7 @@ def _eval_match_node(
             tokens = _query_tokens(node.text, reader)
             if not tokens:
                 continue
-            m = near_match(si, tokens, node.max_interval, scorer=spec.scorer, **kw)
+            m = near_match(si, tokens, node.max_interval, scorer=scorer, **kw)
         elif isinstance(node, SimilarNode):
             from .search import similar_match
 
@@ -121,7 +154,7 @@ def _eval_match_node(
             if not tokens:
                 continue
             m = term_match(
-                reader.section(col), tokens, spec.scorer,
+                reader.section(col), tokens, scorer,
                 prefix_last=(node.mode == "prefix"),
                 escalation_threshold=spec.escalation_threshold, **kw,
             )
@@ -129,13 +162,13 @@ def _eval_match_node(
             tokens = _query_tokens(node.text, reader)
             if not tokens:
                 continue
-            m = term_match(reader.section(col), tokens, spec.scorer,
+            m = term_match(reader.section(col), tokens, scorer,
                            escalation_threshold=spec.escalation_threshold, **kw)
         results.append(m)
     # explicit col: override searched a section not in match_columns
     if isinstance(node, (TermNode, PhraseNode)) and getattr(node, "section", None):
         sec = node.section
-        if sec in reader.sections and all(c != sec for c, _ in spec.sections):
+        if sec in reader.sections and all(c != sec for c, _, _ in spec.sections):
             si = reader.section(sec)
             kw = dict(
                 n_docs=reader.n_docs, avgdl=reader.avgdl(sec),
@@ -421,8 +454,18 @@ def _apply_pred_to(table: "IndexedTable", pred: DeferredPred, result: MatchResul
 
     if result.nhits == 0:
         return result
-    tbl = fetch_docs(table, result.docids, list(pred.columns))
+    real = [c for c in pred.columns if c not in ("_id", "_score")]
+    fetched = fetch_docs(table, result.docids, real) if real else None
+    # pseudo columns resolve from the match set itself (_id accessor,
+    # lib/expr.c GRN_OP_GET_VALUE on the accessor path)
+    cols = {c: fetched.column(c) for c in real} if fetched is not None else {}
+    if "_id" in pred.columns:
+        cols["_id"] = pa.array(result.docids, pa.uint64())
+    if "_score" in pred.columns:
+        cols["_score"] = pa.array(result.scores, pa.float64())
+    tbl = pa.table(cols)
     mask = eval_filter(pred.ast, tbl)
+    mask = _vector_truthy(mask)
     if isinstance(mask, (pa.Array, pa.ChunkedArray)):
         mask = pc.fill_null(mask, False)
         mask_np = np.asarray(mask.to_numpy(zero_copy_only=False), bool)
@@ -434,6 +477,15 @@ def _apply_pred_to(table: "IndexedTable", pred: DeferredPred, result: MatchResul
 # corpora under this row count scan on the driver (streaming, per row
 # group); above it the scan fans out as a Ray Data job over the files
 SCAN_DISTRIBUTED_ROWS = 4_000_000
+
+
+def _vector_truthy(mask):
+    """A vector-valued filter result is TRUE for every row — even an
+    empty vector (grn_obj_is_true on a vector bulk)."""
+    t = getattr(mask, "type", None)
+    if t is not None and (pa.types.is_list(t) or pa.types.is_large_list(t)):
+        return pa.array(np.ones(len(mask), bool))
+    return mask
 
 
 def _scan_pred(table: "IndexedTable", pred: DeferredPred) -> MatchResult:
@@ -490,9 +542,16 @@ def _scan_pred(table: "IndexedTable", pred: DeferredPred) -> MatchResult:
         docids = np.concatenate(parts) if parts else np.empty(0, np.uint64)
     docids = np.sort(docids)
     # sequential-select matches carry score 1 (res_add with score 1,
-    # grn_table_select_sequential — the reference's `--filter true`
-    # baseline every adjuster/scorer then builds on)
-    return MatchResult(docids, np.ones(len(docids), np.float64))
+    # grn_table_select_sequential); a bare LITERAL filter contributes
+    # its numeric value as the score ("29" → 29, lib/expr_executor.c
+    # constant-expression result cast to Int32 score)
+    score = 1.0
+    if pred.ast[0] in ("str", "num") and not isinstance(pred.ast[1], bool):
+        try:
+            score = float(pred.ast[1])
+        except (TypeError, ValueError):
+            score = 1.0
+    return MatchResult(docids, np.full(len(docids), score, np.float64))
 
 
 def _scan_one_file(path: str, base: int, docid_column: str | None, ast, columns: list[str]) -> np.ndarray:
@@ -506,6 +565,7 @@ def _scan_one_file(path: str, base: int, docid_column: str | None, ast, columns:
     for rg in range(pf.metadata.num_row_groups):
         tbl = pf.read_row_group(rg, columns=need)
         mask = eval_filter(ast, tbl)
+        mask = _vector_truthy(mask)
         if isinstance(mask, (pa.Array, pa.ChunkedArray)):
             mask = pc.fill_null(mask, False)
             m = np.asarray(mask.to_numpy(zero_copy_only=False), bool)
@@ -603,7 +663,7 @@ def _nested_ref_match(node, table: "IndexedTable", base: str, sub: str, spec) ->
     sub_node = copy.copy(node)
     if hasattr(sub_node, "section"):
         sub_node.section = None
-    sub_spec = MatchSpec([(sub, 1.0)])
+    sub_spec = MatchSpec([(sub, 1.0, None)])
     sub_spec.scorer = spec.scorer
     sub_spec.escalation_threshold = spec.escalation_threshold
     ref_reader = ref_t.reader()
@@ -1231,8 +1291,9 @@ def select(
 
     reader = table.reader()
     spec = parse_match_columns(match_columns) if match_columns else MatchSpec(
-        [(reader.meta["sections"][0], 1.0)]
+        [(reader.meta["sections"][0], 1.0, None)]
     )
+    _expand_index_sections(spec, table)
     if scorer:
         spec.scorer = scorer
     spec.escalation_threshold = match_escalation_threshold

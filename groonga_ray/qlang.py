@@ -345,49 +345,86 @@ def parse_query_flags(flags: str | None) -> tuple[bool, bool]:
 
 @dataclass
 class MatchSpec:
-    sections: list[tuple[str, float]]   # (column, weight)
+    sections: list[tuple[str, float, str | None]]  # (column, weight, scorer override)
     scorer: str = "default"             # default | tf_idf | bm25
     escalation_threshold: int = 0       # grn_ctx match_escalation_threshold
 
 
-def parse_match_columns(spec: str) -> MatchSpec:
-    spec = spec.strip()
-    scorer = "default"
-    if spec.startswith("scorer_tf_at_most(") and spec.endswith(")"):
-        # scorer_tf_at_most(col, max) — lib/scorers.c:54-88
-        inner = spec[len("scorer_tf_at_most(") : -1]
-        cols, mx = inner.rsplit(",", 1)
-        scorer = f"tf_at_most:{float(mx)}"
-        spec = cols
-    for name in ("scorer_tf_idf", "scorer_bm25", "bm25"):
-        if spec.startswith(name + "(") and spec.endswith(")"):
-            scorer = "tf_idf" if name == "scorer_tf_idf" else "bm25"
-            spec = spec[len(name) + 1 : -1]
-            break
-    else:
-        # registered custom scorers are callable by name, with or
-        # without the conventional scorer_ prefix (grn_scorer_register
-        # names are used verbatim in match_columns, scorer.h:86)
-        m = re.match(r"^(\w+)\((.*)\)$", spec)
-        if m and scorer == "default":
-            from .search import CUSTOM_SCORERS
+def _split_depth0(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at paren depth 0 (scorer calls carry commas and
+    the ``||`` combinator can join scorer calls, lib/expr.c parser)."""
+    parts, depth, start, i = [], 0, 0, 0
+    while i < len(s):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and s.startswith(sep, i):
+            parts.append(s[start:i])
+            i += len(sep)
+            start = i
+            continue
+        i += 1
+    parts.append(s[start:])
+    return parts
 
-            name = m.group(1)
-            stripped = name[len("scorer_"):] if name.startswith("scorer_") else name
-            if name in CUSTOM_SCORERS:
-                scorer, spec = name, m.group(2)
-            elif stripped in CUSTOM_SCORERS:
-                scorer, spec = stripped, m.group(2)
-    sections = []
-    for part in spec.split("||"):
+
+def _parse_scorer_call(part: str) -> tuple[str, str] | None:
+    """``scorer_xxx(col, args...)`` → (column-expr, scorer tag), or
+    None if ``part`` is not a scorer call (grn_scorer lookup on the
+    match_columns function form, lib/expr.c:6103)."""
+    m = re.match(r"^(\w+)\((.*)\)$", part, re.S)
+    if not m:
+        return None
+    name, inner = m.group(1), m.group(2)
+    args = [a.strip() for a in _split_depth0(inner, ",")]
+    if name == "scorer_tf_at_most" and len(args) == 2:
+        # scorer_tf_at_most(col, max) — lib/scorers.c:54-88
+        return args[0], f"tf_at_most:{float(args[1])}"
+    if name in ("scorer_tf_idf", "scorer_bm25", "bm25"):
+        return args[0], ("tf_idf" if name == "scorer_tf_idf" else "bm25")
+    # registered custom scorers are callable by name, with or without
+    # the conventional scorer_ prefix (grn_scorer_register names are
+    # used verbatim in match_columns, scorer.h:86)
+    from .search import CUSTOM_SCORERS
+
+    stripped = name[len("scorer_"):] if name.startswith("scorer_") else name
+    if name in CUSTOM_SCORERS:
+        return args[0], name
+    if stripped in CUSTOM_SCORERS:
+        return args[0], stripped
+    return None
+
+
+def parse_match_columns(spec: str) -> MatchSpec:
+    """``colA * 2 || scorer_tf_at_most(colB, 3.0) * 10 || ...`` — each
+    ``||`` branch is a column (or index-column accessor) with an
+    optional weight and an optional per-branch scorer function
+    (match_columns expression, lib/expr.c:6050-6160)."""
+    sections: list[tuple[str, float, str | None]] = []
+    scorers_seen: set[str] = set()
+    for part in _split_depth0(spec.strip(), "||"):
         part = part.strip()
         if not part:
             continue
-        if "*" in part:
-            col, w = part.split("*", 1)
-            sections.append((col.strip(), float(w)))
-        else:
-            sections.append((part, 1.0))
+        weight = 1.0
+        # the weight multiplier binds to the whole branch: depth-0 '*'
+        star = _split_depth0(part, "*")
+        if len(star) > 1 and re.fullmatch(r"\s*-?\d+(\.\d+)?\s*", star[-1]):
+            weight = float(star[-1])
+            part = "*".join(star[:-1]).strip()
+        sec_scorer: str | None = None
+        call = _parse_scorer_call(part)
+        if call is not None:
+            part, sec_scorer = call
+            scorers_seen.add(sec_scorer)
+        sections.append((part, weight, sec_scorer))
     if not sections:
         raise QueryParseError(f"empty match_columns: {spec!r}")
+    # a single scorer across every branch also sets the spec-level
+    # scorer (back-compat for phrase/near paths that read spec.scorer)
+    scorer = scorers_seen.pop() if len(scorers_seen) == 1 and all(
+        s is not None for _, _, s in sections
+    ) else "default"
     return MatchSpec(sections, scorer)

@@ -251,12 +251,21 @@ class _P:
         if c in "\"'":
             quote = c
             self.i += 1
-            start = self.i
+            buf = []
             while self.i < len(self.s) and self.s[self.i] != quote:
+                ch = self.s[self.i]
+                if ch == "\\" and self.i + 1 < len(self.s):
+                    # JS-style string escapes (grn_expr string literal
+                    # parsing): \\ \" \' \n \t; unknown escapes drop
+                    # the backslash
+                    nxt = self.s[self.i + 1]
+                    buf.append({"n": "\n", "t": "\t"}.get(nxt, nxt))
+                    self.i += 2
+                    continue
+                buf.append(ch)
                 self.i += 1
-            val = self.s[start : self.i]
             self.i += 1
-            return ("str", val)
+            return ("str", "".join(buf))
         # number or identifier / function call
         start = self.i
         while self.i < len(self.s) and (self.s[self.i].isalnum() or self.s[self.i] in "._"):
@@ -284,7 +293,17 @@ class _P:
             return ("num", True)
         if word == "false":
             return ("num", False)
-        return ("col", word)
+        node = ("col", word)
+        # vector element access: tags[1] (GRN_OP_GET_MEMBER,
+        # lib/expr.c:4840 accessor compilation)
+        while self.peek() == "[":
+            self.i += 1
+            idx = self.parse_ternary()
+            self.ws()
+            if not self.eat("]"):
+                raise ValueError("unbalanced [ in filter subscript")
+            node = ("subscript", node, idx)
+        return node
 
 
 def parse_filter(s: str):
@@ -487,9 +506,44 @@ def _coerce_cmp(a, b):
     return _cast_lit(a, b), _cast_lit(b, a)
 
 
+def _norm_query(q: str) -> str:
+    """NormalizerAuto on a sequential-operator query literal
+    (lib/operator.c:773 normalizes the query side too)."""
+    from .normalize import normalize
+
+    return normalize(q)[0]
+
+
+def _is_listy(v) -> bool:
+    t = getattr(v, "type", None)
+    return t is not None and (pa.types.is_list(t) or pa.types.is_large_list(t))
+
+
+def _list_at(arr, i: int):
+    """Element i of every list, null where the list is shorter
+    (GRN_OP_GET_MEMBER on a vector column)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import numpy as np
+
+    offs = arr.offsets.to_numpy()
+    lens = offs[1:] - offs[:-1]
+    valid = lens > i
+    take_idx = np.where(valid, offs[:-1] + i, 0)
+    vals = arr.values.take(pa.array(take_idx))
+    return pc.if_else(pa.array(valid), vals, pa.scalar(None, arr.type.value_type))
+
+
 def eval_filter(ast, batch: pa.Table):
     """Evaluate a filter AST against a record batch -> BooleanArray /
     value array, fully vectorized."""
+
+    def _bool(v):
+        # a vector operand in boolean context is TRUE (grn_obj_is_true
+        # on a vector bulk, lib/expr_executor.c)
+        if _is_listy(v):
+            return pa.array([True] * len(v))
+        return v
 
     def ev(n):
         kind = n[0]
@@ -497,14 +551,21 @@ def eval_filter(ast, batch: pa.Table):
             return batch.column(n[1])
         if kind in ("num", "str"):
             return pa.scalar(n[1])
+        if kind == "list":
+            return pa.scalar([v[1] for v in n[1]])
+        if kind == "subscript":
+            base = ev(n[1])
+            if _is_listy(base):
+                return _list_at(base, int(n[2][1]))
+            return base
         if kind == "and":
-            return pc.and_kleene(ev(n[1]), ev(n[2]))
+            return pc.and_kleene(_bool(ev(n[1])), _bool(ev(n[2])))
         if kind == "or":
-            return pc.or_kleene(ev(n[1]), ev(n[2]))
+            return pc.or_kleene(_bool(ev(n[1])), _bool(ev(n[2])))
         if kind == "and_not":
-            return pc.and_kleene(ev(n[1]), pc.invert(ev(n[2])))
+            return pc.and_kleene(_bool(ev(n[1])), pc.invert(_bool(ev(n[2]))))
         if kind == "not":
-            return pc.invert(ev(n[1]))
+            return pc.invert(_bool(ev(n[1])))
         if kind == "neg":
             v = ev(n[1])
             t = getattr(v, "type", None)
@@ -522,6 +583,32 @@ def eval_filter(ast, batch: pa.Table):
                 ">": pc.greater, "<=": pc.less_equal, ">=": pc.greater_equal,
             }[kind]
             a, b = ev(n[1]), ev(n[2])
+            if kind in ("==", "!=") and (_is_listy(a) or _is_listy(b)):
+                # vector comparison semantics (select/filter/vector):
+                # == a vector literal never matches (unsupported in the
+                # reference, evaluates false); == "" is true for an
+                # empty/unset vector; != mirrors with "initialized" as
+                # the truth source
+                a_col = _is_listy(a) and not isinstance(a, pa.Scalar)
+                vec = a if a_col else b
+                other = b if a_col else a
+                if isinstance(vec, pa.Scalar):
+                    vec, other = other, vec
+                size = pc.list_value_length(
+                    vec.combine_chunks() if isinstance(vec, pa.ChunkedArray) else vec
+                )
+                empty_lit = (
+                    isinstance(other, pa.Scalar)
+                    and pa.types.is_string(other.type)
+                    and other.as_py() == ""
+                )
+                if empty_lit:
+                    res = pc.equal(size, 0)
+                else:
+                    res = pa.array([False] * len(vec))
+                return res if kind == "==" else pc.and_(
+                    pc.invert(res), pc.greater(size, 0)
+                )
             a, b = _coerce_cmp(a, b)
             return fn(a, b)
         if kind in ("+", "-", "*", "/", "%"):
@@ -568,16 +655,39 @@ def eval_filter(ast, batch: pa.Table):
         if kind == "@~":
             # sequential regexp scan fallback (REGEXP mode's index-
             # assisted path lives in the engine; reference
-            # lib/ii.c:6049-6118)
-            return pc.match_substring_regex(ev(n[1]), n[2][1])
+            # lib/ii.c:6049-6118). No normalization (operator.c:766:
+            # GRN_OP_REGEXP skips the NormalizerAuto pass); Onigmo
+            # anchors \A/\z map to RE2 ^/$
+            pat = n[2][1].replace(r"\A", "^").replace(r"\z", "$")
+            return pc.match_substring_regex(ev(n[1]), pat)
         if kind == "@":
             # unindexed substring match fallback (sequential scan,
-            # grn_table_select_sequential analogue)
-            return pc.match_substring(ev(n[1]), n[2][1])
+            # grn_table_select_sequential analogue). On a numeric
+            # column GRN_OP_MATCH degenerates to equality (the range
+            # index match path, lib/ii.c grn_ii_select on a non-text
+            # lexicon → key equality)
+            lhs = ev(n[1])
+            base_type = getattr(lhs, "type", None)
+            if base_type is not None and not (
+                pa.types.is_string(base_type) or pa.types.is_large_string(base_type)
+                or pa.types.is_list(base_type) or pa.types.is_large_list(base_type)
+            ):
+                rhs = n[2][1]
+                if isinstance(rhs, str):
+                    rhs = float(rhs) if pa.types.is_floating(base_type) else int(
+                        float(rhs)
+                    )
+                return pc.equal(lhs, rhs)
+            return pc.match_substring(pc.utf8_lower(lhs), _norm_query(n[2][1]))
         if kind == "@^":
-            return pc.starts_with(ev(n[1]), n[2][1])
+            # sequential text operators normalize BOTH sides with
+            # NormalizerAuto (exec_text_operator_raw_text_raw_text,
+            # lib/operator.c:745-800) — utf8_lower approximates the
+            # target side vectorized; the query literal gets the full
+            # normalizer
+            return pc.starts_with(pc.utf8_lower(ev(n[1])), _norm_query(n[2][1]))
         if kind == "@$":
-            return pc.ends_with(ev(n[1]), n[2][1])
+            return pc.ends_with(pc.utf8_lower(ev(n[1])), _norm_query(n[2][1]))
         if kind == "call":
             name, args = n[1], n[2]
             if name == "between":

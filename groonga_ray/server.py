@@ -106,6 +106,7 @@ class CommandServer:
         self.suggest_datasets = suggest_datasets or {}
         self.data_dir = data_dir          # home of table_create'd tables
         self.pending: dict[str, TableDef] = {}
+        self._no_text_index: set[str] = set()  # loaded with no declared index
         self._auto_id: set[str] = set()   # tables whose _id the server assigns
         self._select_cache: OrderedDict[str, list] = OrderedDict()
         self._cache_max = 100             # grn_cache default max entries
@@ -425,6 +426,20 @@ class CommandServer:
                     )
         if specs:
             kwargs["drilldowns"] = specs
+        if (
+            params.get("table") in self._no_text_index
+            and kwargs.get("query")
+            and kwargs.get("match_columns")
+        ):
+            from .qlang import _split_depth0
+
+            if len(_split_depth0(kwargs["match_columns"], "||")) > 1:
+                # multi-column match with no index: nothing matches
+                # (grn_table_select's sequential fallback is
+                # single-column only, lib/expr.c:6103)
+                kwargs.pop("query")
+                kwargs.pop("match_columns")
+                kwargs["filter"] = "1 == 0"
         qe = params.get("query_expander") or params.get("query_expansion")
         if qe:
             kwargs["query_expander"] = self._resolve_query_expander(qe)
@@ -774,8 +789,13 @@ class CommandServer:
             at = self._ARROW_TYPES.get(typ)
             if at is not None and col in tbl.column_names:
                 i = tbl.column_names.index(col)
+                cur = tbl.column(col).type
+                # a COLUMN_VECTOR stores list<declared element type>
+                tgt = pa.list_(at) if (
+                    pa.types.is_list(cur) or pa.types.is_large_list(cur)
+                ) else at
                 try:
-                    tbl = tbl.set_column(i, col, tbl.column(col).cast(at))
+                    tbl = tbl.set_column(i, col, tbl.column(col).cast(tgt))
                 except pa.ArrowInvalid:
                     pass
         return tbl
@@ -796,6 +816,21 @@ class CommandServer:
             for k, typ in types.items():
                 if k in r:
                     r[k] = self._cast_value(r[k], typ)
+                    # interning into a normalized key table stores the
+                    # NORMALIZED key (KEY_NORMALIZE / --normalizer on
+                    # the referenced table, grn_table_add with
+                    # GRN_OBJ_KEY_NORMALIZE)
+                    ref_td = self.pending.get(typ)
+                    if ref_td is not None and ref_td.normalizer:
+                        from .normalize import normalize as _nrm
+
+                        if isinstance(r[k], str):
+                            r[k] = _nrm(r[k])[0]
+                        elif isinstance(r[k], list):
+                            r[k] = [
+                                _nrm(e)[0] if isinstance(e, str) else e
+                                for e in r[k]
+                            ]
                 else:
                     # declared columns exist on every record (unset →
                     # null) so expressions/projections can reference
@@ -923,10 +958,24 @@ class CommandServer:
                 tdir, [path], getattr(self, "_geo_cols", {}).get(name, [])
             )
             self.tables[name] = IndexedTable(
-                t.index_dir, [path], "_id", geo_indexes=geo_indexes
+                t.index_dir, [path], "_id", geo_indexes=geo_indexes,
+                index_defs=self._index_defs_for(name),
             )
             self._invalidate()
         return len(records)
+
+    def _index_defs_for(self, data_table: str) -> dict | None:
+        """``"Lexicon.memo_index" -> [src cols]`` for every index
+        column whose data table is ``data_table`` (match_columns can
+        address the index object, lib/expr.c:6050)."""
+        defs = {
+            f"{lex}.{iname}": srcs
+            for (lex, iname), (dt, srcs, is_geo) in getattr(
+                self, "_index_cols", {}
+            ).items()
+            if dt == data_table and not is_geo and srcs
+        }
+        return defs or None
 
     @staticmethod
     def _normalize_weight_vectors(records: list) -> list:
@@ -960,6 +1009,11 @@ class CommandServer:
             data = records
         else:
             cols, data = records[0], records[1:]
+            if not cols:
+                # "[[]]" loads ONE all-defaults record: an empty first
+                # array is a record, not a header (grn_load bracket
+                # form, db.c:11451)
+                return [dict() for _ in records]
         # a row with fewer values than the header is rejected and NOT
         # loaded (grn_load bracket form value-count check — the record
         # is skipped and consumes no id, db.c:11451 load path)
@@ -1065,7 +1119,15 @@ class CommandServer:
             self.tables[name] = IndexedTable(
                 os.path.join(tdir, "index"), [path], "_id",
                 geo_indexes=geo_indexes,
+                index_defs=self._index_defs_for(name),
             )
+            if not td.indexed:
+                # no declared text index: single-column match falls back
+                # to a sequential scan, but a multi-column match_columns
+                # expression has no index to drive it and matches
+                # nothing (grn_table_select without an index source,
+                # lib/expr.c:6103 → 0 hits)
+                self._no_text_index.add(name)
             self._auto_id.add(name)
             del self.pending[name]
             self._invalidate()
@@ -1738,6 +1800,22 @@ class CommandServer:
         import shutil
 
         name = params.get("name") or params.get("table")
+        # referenced-integrity walk (grn_obj_remove dependency check,
+        # lib/db.c:8900): another table keyed on this table, or another
+        # table's column typed as this table, blocks the removal.
+        # Self-references don't (the object dies with its table).
+        for t in self._ddl_tables:
+            if t["name"] != name and t.get("key_type") == name:
+                raise ValueError(
+                    f"[table][remove] a table that references the table "
+                    f"exists: <{t['name']}._key> -> <{name}>"
+                )
+        for c in self._ddl_cols:
+            if c["table"] != name and not c.get("is_index") and c.get("type") == name:
+                raise ValueError(
+                    f"[table][remove] a column that references the table "
+                    f"exists: <{c['table']}.{c['name']}> -> <{name}>"
+                )
         self._ddl_tables = [t for t in self._ddl_tables if t["name"] != name]
         self._ddl_cols = [c for c in self._ddl_cols if c["table"] != name]
         if name in self.pending:

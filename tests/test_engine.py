@@ -34,9 +34,18 @@ def test_parse_query_shapes():
     assert isinstance(right.children[0], PhraseNode)
     assert right.children[1].mode == "prefix"
     spec = parse_match_columns("title*2||content")
-    assert spec.sections == [("title", 2.0), ("content", 1.0)]
+    assert spec.sections == [("title", 2.0, None), ("content", 1.0, None)]
     spec2 = parse_match_columns("scorer_tf_idf(text)")
-    assert spec2.scorer == "tf_idf" and spec2.sections == [("text", 1.0)]
+    assert spec2.scorer == "tf_idf" and spec2.sections == [("text", 1.0, "tf_idf")]
+    # per-branch scorers with weights (select/match_columns/scorer
+    # suites): each || branch carries its own scorer + weight
+    spec3 = parse_match_columns(
+        "scorer_tf_at_most(m1, 3.0) * 10 || scorer_tf_at_most(m2, 4.0) * 20"
+    )
+    assert spec3.sections == [
+        ("m1", 10.0, "tf_at_most:3.0"),
+        ("m2", 20.0, "tf_at_most:4.0"),
+    ]
 
 
 def test_select_term_topk(doc_table):

@@ -98,6 +98,7 @@ class BuildConfig:
     tokenize_rows_per_batch: int = 512       # stage-A sub-slice (bounds peak memory)
     hot_terms: tuple[str, ...] = ()          # static hot set (broadcast)
     token_filters: tuple[str, ...] = ()      # chain, e.g. ("TokenFilterStem",)
+    normalizer: str = "NormalizerAuto"       # "" = raw (case-sensitive) lexicon
     stop_words: tuple[str, ...] = ()         # TokenFilterStopWord set (GET-mode drop)
     salt_group: int = 4                      # shards per hot-term salt part
     target_rows_per_shard: int = 200_000
@@ -143,7 +144,10 @@ def _tokenize_column(cfg: BuildConfig, col: pa.Array, wt: WordTokenizer, chain: 
         text = v.as_py()
         if not text:
             continue
-        stream = tokenize(text, cfg.tokenizer, mode="add")
+        stream = tokenize(
+            text, cfg.tokenizer, mode="add",
+            normalizer=cfg.normalizer or None,
+        )
         if chain:
             stream = apply_chain_stream(chain, stream, "add")
         for t in stream.tokens:
@@ -1146,9 +1150,24 @@ def build_index(
     stage_c_sec = time.time() - t2
 
     total_rows = sum(m["rows"] for m in manifests if m["section"] == sections[0])
+    # vector (list) sections index whole elements as terms — query
+    # text must look up as ONE term, not tokenizer output (the
+    # reference's no-tokenizer vector lexicon, lib/tokenizers.c:26-99)
+    uvector_sections = []
+    try:
+        schema = pq.read_schema(input_files[0])
+        for s in sections:
+            if s in schema.names and (
+                pa.types.is_list(schema.field(s).type)
+                or pa.types.is_large_list(schema.field(s).type)
+            ):
+                uvector_sections.append(s)
+    except OSError:
+        pass
     meta = {
         "config": cfg.fingerprint(),
         "sections": list(sections),
+        "uvector_sections": uvector_sections,
         "input_fingerprint": file_fingerprint(input_files),
         "n_shards": len(shards),
         "n_docs": total_rows,

@@ -30,6 +30,7 @@ from .qlang import (
     AndNode,
     MatchSpec,
     NearNode,
+    NoMatchNode,
     NotNode,
     OrNode,
     PhraseNode,
@@ -69,12 +70,26 @@ class IndexedTable:
     # directly ("Lexicon.memo_index[0]", ".title", or bare = all
     # sections — grn_column_index accessor, lib/expr.c:6050)
     index_defs: dict | None = None
+    # True when the index was built WITHOUT a user-declared index
+    # column (server convenience index): substring/prefix operators
+    # must behave like the reference's SEQUENTIAL scan, not an index
+    # walk over grouped-alpha tokens
+    auto_indexed: bool = False
 
     def reader(self) -> IndexReader:
         return open_index(self.index_dir)
 
 
 # ------------------------------------------------------------- match eval
+
+def _with_pseudo(tbl: "pa.Table | None", docids, scores) -> pa.Table:
+    """Attach _id/_score pseudo columns to a (possibly empty/None)
+    fetched batch without tripping Arrow's 0-row append check."""
+    cols = {c: tbl.column(c) for c in tbl.column_names} if tbl is not None else {}
+    cols["_id"] = pa.array(docids, pa.uint64())
+    cols["_score"] = pa.array(scores, pa.float64())
+    return pa.table(cols)
+
 
 def _expand_index_sections(spec: MatchSpec, table: "IndexedTable") -> None:
     """Rewrite index-object accessors in match_columns sections to
@@ -150,7 +165,11 @@ def _eval_match_node(
 
             m = similar_match(si, node.text, **kw)
         elif isinstance(node, TermNode):
-            tokens = _query_tokens(node.text, reader)
+            if col in reader.meta.get("uvector_sections", ()):
+                # vector section: the whole query text is ONE term
+                tokens = [(node.text, 0)]
+            else:
+                tokens = _query_tokens(node.text, reader)
             if not tokens:
                 continue
             m = term_match(
@@ -159,7 +178,12 @@ def _eval_match_node(
                 escalation_threshold=spec.escalation_threshold, **kw,
             )
         else:  # PhraseNode
-            tokens = _query_tokens(node.text, reader)
+            if col in reader.meta.get("uvector_sections", ()):
+                # phrase over a vector section: each whitespace-
+                # separated piece is one element, in order
+                tokens = [(t, i) for i, t in enumerate(node.text.split())]
+            else:
+                tokens = _query_tokens(node.text, reader)
             if not tokens:
                 continue
             m = term_match(reader.section(col), tokens, scorer,
@@ -202,9 +226,12 @@ def _query_tokens(text: str, reader_or_chain=()) -> list[tuple[str, int]]:
     ordinals so phrase offsets hold)."""
     chain: list = ()
     tokenizer = "TokenCodeWord"
+    normalizer = "NormalizerAuto"
     if isinstance(reader_or_chain, IndexReader):
         chain = reader_or_chain.query_chain
-        tokenizer = reader_or_chain.meta.get("config", {}).get("tokenizer", "TokenCodeWord")
+        cfg = reader_or_chain.meta.get("config", {})
+        tokenizer = cfg.get("tokenizer", "TokenCodeWord")
+        normalizer = cfg.get("normalizer", "NormalizerAuto")
     elif reader_or_chain:
         chain = reader_or_chain
     if tokenizer == "TokenCodeWord":
@@ -212,7 +239,7 @@ def _query_tokens(text: str, reader_or_chain=()) -> list[tuple[str, int]]:
     else:
         from .tokenize import tokenize as _tok
 
-        stream = _tok(text, tokenizer, mode="get")
+        stream = _tok(text, tokenizer, mode="get", normalizer=normalizer or None)
         toks = [(t.term, t.pos) for t in stream.tokens]
     if not chain or not toks:
         return toks
@@ -827,6 +854,18 @@ def _ref_map_column(table: "IndexedTable", base: str, sub: str, values) -> pa.Ar
     vals = mapping.column(sub)
     if isinstance(vals, pa.ChunkedArray):
         vals = vals.combine_chunks()
+    if pa.types.is_list(values.type) or pa.types.is_large_list(values.type):
+        # vector reference column: map each ELEMENT, keep the shape
+        # (accessor over a vector reference renders a vector,
+        # lib/db.c:11187)
+        flat = pc.list_flatten(values)
+        idx = pc.index_in(flat.cast(mkeys.type), value_set=mkeys)
+        mapped = pc.take(vals, idx)
+        return pa.LargeListArray.from_arrays(
+            values.offsets, mapped
+        ) if pa.types.is_large_list(values.type) else pa.ListArray.from_arrays(
+            values.offsets, mapped
+        )
     idx = pc.index_in(values.cast(mkeys.type), value_set=mkeys)
     return pc.take(vals, idx)
 
@@ -846,11 +885,30 @@ def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
     ADJUST operand) unbounded pays a scan."""
     if isinstance(node, (NearNode, SimilarNode)):
         return _eval_match_node(node, reader, spec, table)
+    if isinstance(node, NoMatchNode):
+        return MatchResult.empty()
     if isinstance(node, (TermNode, PhraseNode)):
         sec = getattr(node, "section", None)
         if isinstance(node, TermNode) and node.mode == "regexp":
             return _regexp_match(node.text, sec or spec.sections[0][0], reader, table)
-        if sec and sec not in reader.sections and "." not in sec:
+        if isinstance(node, TermNode) and node.mode == "suffix" and sec:
+            # col:$value — SUFFIX mode runs as a (normalized) scan on
+            # the stored column (exec_text_operator GRN_OP_SUFFIX,
+            # lib/operator.c; a bigram content index can't serve it)
+            return DeferredPred(("@$", ("col", sec), ("str", node.text)), (sec,))
+        if sec and "." not in sec and (
+            sec not in reader.sections or table.auto_indexed
+        ):
+            if isinstance(node, TermNode) and node.mode == "prefix":
+                # col:^v without a declared index = sequential prefix
+                return DeferredPred(("@^", ("col", sec), ("str", node.text)), (sec,))
+            if isinstance(node, TermNode) and getattr(node, "explicit", False):
+                # col:@v without a declared index = sequential substring
+                return DeferredPred(("@", ("col", sec), ("str", node.text)), (sec,))
+            if sec in reader.sections:
+                # bare col:value on an auto-indexed column still keys
+                # on the stored value (equality via the index is fine)
+                return _eval_match_node(node, reader, spec, table)
             # col:value on an unindexed scalar column = equality filter
             # (grn_table_select key search, lib/db.c:2641)
             return _pred_of_range(RangeNode(sec, "==", node.text))
@@ -915,7 +973,10 @@ def _all_docs(reader: IndexReader) -> MatchResult:
     # (docid column only) — inherently result-set == corpus, so only
     # match-all / pure-negation queries pay it
     docids = np.sort(reader.all_docids())
-    return MatchResult(docids, np.zeros(len(docids), np.float64))
+    # match-all records carry score 1 (res_add base, like the
+    # sequential --filter true baseline; select/query_flags/
+    # allow_leading_not pins the NOT-over-all case)
+    return MatchResult(docids, np.ones(len(docids), np.float64))
 
 
 # ------------------------------------------------------------- doc store
@@ -1034,7 +1095,9 @@ def fetch_docs(table: IndexedTable, docids: np.ndarray, columns: list[str]) -> p
 def _expand_query_ast(node, expander: dict):
     """--query_expander (lib/proc.c:330-430): rewrite matching terms
     with their substitution query before evaluation."""
-    if isinstance(node, (TermNode, PhraseNode)) and getattr(node, "mode", "match") == "match":
+    if isinstance(node, (TermNode, PhraseNode)) and getattr(node, "mode", "match") in (
+        "match", "prefix"
+    ):
         key = node.text
         if key not in expander:
             # synonym tables normalize their keys (KEY_NORMALIZE)
@@ -1042,7 +1105,14 @@ def _expand_query_ast(node, expander: dict):
 
             key = _norm(key)[0]
         if key in expander:
-            return parse_query(expander[key])
+            sub = parse_query(expander[key])
+            if getattr(node, "mode", "match") == "prefix" and isinstance(
+                sub, TermNode
+            ) and sub.mode == "match":
+                # 'mroon*' expands the word and keeps the prefix op
+                # (expand_query token walk, lib/proc.c:383)
+                sub.mode = "prefix"
+            return sub
     for attr in ("children",):
         if hasattr(node, attr):
             setattr(node, attr, [_expand_query_ast(c, expander) for c in getattr(node, attr)])
@@ -1195,6 +1265,17 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
                     )
                 acc = m if acc is None else op_and(acc, m)
                 continue
+        if table.auto_indexed or col not in reader.sections:
+            # no DECLARED index on this column: col @ "x" is the
+            # reference's sequential substring scan (normalized both
+            # sides) — the auto-built index's grouped-alpha tokens
+            # can't serve partial-word substrings
+            pred = DeferredPred(("@", ("col", col), ("str", text)), (col,))
+            m = _apply_pred_to(table, pred, acc) if acc is not None else _scan_pred(
+                table, pred
+            )
+            acc = m
+            continue
         si = reader.section(col)
         kw = dict(
             n_docs=reader.n_docs, avgdl=reader.avgdl(col),
@@ -1220,7 +1301,7 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
                 f"sub_filter: no reference target declared for column {col!r} "
                 "(set IndexedTable.refs[col] = (files, key_column))"
             )
-        ref_files, key_col = table.refs[col]
+        ref_files, key_col = table.refs[col][:2]
         keys = _sub_filter_keys(list(ref_files), key_col, sub)
         pending_preds.append(DeferredPred(("in_set", ("col", col), keys), (col,)))
     if plan.predicate is not None:
@@ -1298,7 +1379,7 @@ def select(
         spec.scorer = scorer
     spec.escalation_threshold = match_escalation_threshold
 
-    allow_pragma, allow_column = parse_query_flags(query_flags)
+    allow_pragma, allow_column, allow_leading_not = parse_query_flags(query_flags)
     default_op = "and"
     if query and allow_pragma:
         query, pragma = strip_pragmas(query)
@@ -1308,7 +1389,10 @@ def select(
             default_op = pragma.default_op
 
     if query:
-        ast = parse_query(query, allow_column=allow_column, default_op=default_op)
+        ast = parse_query(
+            query, allow_column=allow_column, default_op=default_op,
+            allow_leading_not=allow_leading_not,
+        )
         if query_expander:
             ast = _expand_query_ast(ast, query_expander)
         result = _eval_node(ast, reader, spec, table)
@@ -1353,7 +1437,12 @@ def select(
     else:
         import re as _re
 
-        keys = [k.strip() for k in sortby.split(",")]
+        from .qlang import _split_depth0
+
+        # comma-split at paren depth 0: expression keys like
+        # geo_distance(point, "0x0") carry commas (sort-key parser,
+        # lib/db.c:11327)
+        keys = [k.strip() for k in _split_depth0(sortby, ",") if k.strip()]
         cols = [k.lstrip("+-") for k in keys]
         plain = [
             c for c in cols
@@ -1386,9 +1475,7 @@ def select(
             elif c in expr_asts:
                 from .script import eval_filter as _ef
 
-                batch = (doc_tbl if doc_tbl is not None else pa.table({})).append_column(
-                    "_id", pa.array(result.docids, pa.uint64())
-                ).append_column("_score", pa.array(result.scores, pa.float64()))
+                batch = _with_pseudo(doc_tbl, result.docids, result.scores)
                 v = _ef(expr_asts[c], batch)
                 if isinstance(v, pa.Scalar):
                     v = pa.array([v.as_py()] * len(result.docids))
@@ -1525,9 +1612,7 @@ def select(
                 from .script import eval_filter as _ef2
                 from .script import parse_filter as _pf2
 
-                batch = (fetched if fetched is not None else pa.table({})).append_column(
-                    "_id", pa.array(docids, pa.uint64())
-                )
+                batch = _with_pseudo(fetched, docids, scores)
                 arg = _ef2(_pf2(col_name), batch)
                 if isinstance(arg, pa.Scalar):
                     arg = pa.array([arg.as_py()] * len(docids), pa.string())
@@ -1537,9 +1622,7 @@ def select(
         elif c in expr_asts:
             from .script import eval_filter as _ef
 
-            batch = (fetched if fetched is not None else pa.table({})).append_column(
-                "_id", pa.array(docids, pa.uint64())
-            ).append_column("_score", pa.array(scores, pa.float64()))
+            batch = _with_pseudo(fetched, docids, scores)
             val = _ef(expr_asts[c], batch)
             if isinstance(val, pa.Scalar):
                 val = pa.array([val.as_py()] * len(docids))

@@ -24,8 +24,15 @@ from dataclasses import dataclass, field
 @dataclass
 class TermNode:
     text: str
-    mode: str = "match"            # match | prefix
+    mode: str = "match"            # match | prefix | suffix | regexp
     section: str | None = None     # col:... override
+    explicit: bool = False         # col:@v (explicit match op) vs col:v
+
+
+class NoMatchNode:
+    """An expression that selects nothing (e.g. a trailing OR leaves
+    the reference's expression stack with a missing operand and the
+    select returns 0 hits)."""
 
 
 @dataclass
@@ -96,11 +103,18 @@ class QueryPragma:
 
 
 class _Parser:
-    def __init__(self, s: str, allow_column: bool = True, default_op: str = "and"):
+    def __init__(
+        self,
+        s: str,
+        allow_column: bool = True,
+        default_op: str = "and",
+        allow_leading_not: bool = False,
+    ):
         self.s = s
         self.i = 0
         self.allow_column = allow_column
         self.default_op = default_op
+        self.allow_leading_not = allow_leading_not
 
     def peek(self) -> str:
         return self.s[self.i] if self.i < len(self.s) else ""
@@ -128,12 +142,15 @@ class _Parser:
                 try:
                     right = self.parse_and()
                 except QueryParseError:
-                    # trailing OR with no right operand is ignored
-                    # (get_expr tolerates it, lib/expr.c:5832)
                     self.skip_ws()
                     if self.i < len(self.s):
                         self.i = save
-                    return left
+                        return left
+                    # trailing OR with no right operand: the whole
+                    # expression selects NOTHING (the reference's
+                    # expression stack ends up with a missing operand
+                    # and the select returns 0 hits)
+                    return NoMatchNode()
                 if isinstance(left, OrNode):
                     left.children.append(right)
                 else:
@@ -155,25 +172,34 @@ class _Parser:
                 self.i = save
                 break
             op = self.default_op
+            explicit_op = False
             c = self.peek()
             nxt = self.s[self.i + 1 : self.i + 2]
-            if c in "+-~" and (not nxt or nxt.isspace()):
-                # a bare +/-/~ surrounded by spaces is a TERM (it can
-                # even be a query-expander key, lib/proc.c:330)
+            if c in "+-~" and not nxt:
+                # a trailing bare +/-/~ is a TERM
                 pass
             elif c == "+":
                 op = "and"
+                explicit_op = True
                 self.i += 1
             elif c == "-":
                 op = "not"
+                explicit_op = True
                 self.i += 1
             elif c == "~":
                 op = "adjust"
+                explicit_op = True
                 self.i += 1
+            self.skip_ws()  # "Ruby - groonga": operator binds across spaces
             unit = self.parse_unit()
             if result is None:
                 if op == "not":
-                    # leading -term: NOT against the (implicit) whole set
+                    if explicit_op and not self.allow_leading_not:
+                        # an explicit leading -term is a syntax error
+                        # unless ALLOW_LEADING_NOT (GRN_SYNTAX_ERROR,
+                        # select/query/invalid/leading_not)
+                        raise QueryParseError("leading NOT has no left operand")
+                    # *D- default: NOT against the (implicit) whole set
                     result = NotNode(None, unit)
                 elif op == "adjust":
                     result = AdjustNode(None, unit)
@@ -247,6 +273,17 @@ class _Parser:
                 esc.append(True)
                 self.i += 2
                 continue
+            if ch == '"' and ":" in "".join(buf):
+                # col:@"multi word" / col:~"pattern": the quoted text
+                # joins the operand (get_word consumes the quoted
+                # block after a column op, lib/expr.c:5723)
+                self.i += 1
+                while self.i < len(self.s) and self.s[self.i] != '"':
+                    buf.append(self.s[self.i])
+                    esc.append(False)
+                    self.i += 1
+                self.i += 1
+                continue
             if ch.isspace() or ch in '()"':
                 break
             buf.append(ch)
@@ -261,7 +298,10 @@ class _Parser:
             if rest_r.startswith("~") and "\\" not in col_r:
                 # col:~regexp — the pattern keeps its backslashes
                 # verbatim (REGEXP mode, lib/ii.c:6049)
-                return TermNode(rest_r[1:], "regexp", col_r)
+                pat = rest_r[1:]
+                if len(pat) >= 2 and pat[0] == '"' and pat[-1] == '"':
+                    pat = pat[1:-1]
+                return TermNode(pat, "regexp", col_r)
         if any(esc):
             # escaped chars are literal: no col:/prefix interpretation
             # except a trailing UNESCAPED *
@@ -273,9 +313,13 @@ class _Parser:
         if ":" in word and self.allow_column:
             col, rest = word.split(":", 1)
             if rest.startswith("@"):
-                return TermNode(rest[1:], "match", col)
+                return TermNode(rest[1:], "match", col, explicit=True)
             if rest.startswith("^"):
                 return TermNode(rest[1:], "prefix", col)
+            if rest.startswith("$"):
+                # col:$value — SUFFIX search mode (grn query syntax
+                # QUERY_SYNTAX suffix op, lib/expr.c:5723)
+                return TermNode(rest[1:], "suffix", col)
             if rest.startswith("~"):
                 # col:~pattern — REGEXP mode (lib/ii.c:6049-6118)
                 return TermNode(rest[1:], "regexp", col)
@@ -288,9 +332,20 @@ class _Parser:
         return TermNode(word)
 
 
-def parse_query(s: str, *, allow_column: bool = True, default_op: str = "and"):
+def parse_query(
+    s: str,
+    *,
+    allow_column: bool = True,
+    default_op: str = "and",
+    allow_leading_not: bool = False,
+):
     """Parse a --query string into the boolean AST."""
-    return _Parser(s, allow_column=allow_column, default_op=default_op).parse()
+    return _Parser(
+        s,
+        allow_column=allow_column,
+        default_op=default_op,
+        allow_leading_not=allow_leading_not,
+    ).parse()
 
 
 def strip_pragmas(s: str) -> tuple[str, QueryPragma]:
@@ -329,16 +384,21 @@ def strip_pragmas(s: str) -> tuple[str, QueryPragma]:
     return s[i:].lstrip(), p
 
 
-def parse_query_flags(flags: str | None) -> tuple[bool, bool]:
-    """(allow_pragma, allow_column) from a ``--query_flags`` string
-    (grn_parse_query_flags, lib/expr.c:413-460). Default matches the
-    reference's select default ALLOW_PRAGMA|ALLOW_COLUMN."""
+def parse_query_flags(flags: str | None) -> tuple[bool, bool, bool]:
+    """(allow_pragma, allow_column, allow_leading_not) from a
+    ``--query_flags`` string (grn_parse_query_flags, lib/expr.c:413-
+    460). Default matches the reference's select default
+    ALLOW_PRAGMA|ALLOW_COLUMN."""
     if not flags:
-        return True, True
+        return True, True, False
     parts = {f.strip() for f in flags.replace("|", " ").split()}
     if "NONE" in parts:
-        return False, False
-    return "ALLOW_PRAGMA" in parts, "ALLOW_COLUMN" in parts
+        return False, False, False
+    return (
+        "ALLOW_PRAGMA" in parts,
+        "ALLOW_COLUMN" in parts,
+        "ALLOW_LEADING_NOT" in parts,
+    )
 
 
 # ------------------------------------------------------- match_columns

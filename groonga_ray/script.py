@@ -285,6 +285,8 @@ class _P:
                 self.ws()
                 if self.eat(")"):
                     break
+                if self.i >= len(self.s):
+                    raise ValueError(f"unterminated call args for {word}()")
                 args.append(self.parse_ternary())
                 self.ws()
                 self.eat(",")
@@ -293,6 +295,8 @@ class _P:
             return ("num", True)
         if word == "false":
             return ("num", False)
+        if word == "null":
+            return ("num", None)
         node = ("col", word)
         # vector element access: tags[1] (GRN_OP_GET_MEMBER,
         # lib/expr.c:4840 accessor compilation)
@@ -506,6 +510,27 @@ def _coerce_cmp(a, b):
     return _cast_lit(a, b), _cast_lit(b, a)
 
 
+def _scalar_truthy(s: pa.Scalar) -> bool:
+    """ECMAScript truthiness of a scalar operand (null/false/0/"" are
+    falsy — lib/expr_executor.c grn_obj_is_true)."""
+    v = s.as_py()
+    return bool(v)
+
+
+def _truthy_arr(a):
+    """Per-row ECMAScript truthiness of an array operand."""
+    t = getattr(a, "type", None)
+    if t is not None and pa.types.is_boolean(t):
+        return pc.fill_null(a, False)
+    if t is not None and (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        return pc.and_(pc.is_valid(a), pc.not_equal(a, ""))
+    if t is not None and (pa.types.is_integer(t) or pa.types.is_floating(t)):
+        return pc.and_(pc.is_valid(a), pc.not_equal(a, 0))
+    if _is_listy(a):
+        return pa.array([True] * len(a))
+    return pc.is_valid(a)
+
+
 def _norm_query(q: str) -> str:
     """NormalizerAuto on a sequential-operator query literal
     (lib/operator.c:773 normalizes the query side too)."""
@@ -559,9 +584,40 @@ def eval_filter(ast, batch: pa.Table):
                 return _list_at(base, int(n[2][1]))
             return base
         if kind == "and":
-            return pc.and_kleene(_bool(ev(n[1])), _bool(ev(n[2])))
+            a = ev(n[1])
+            if isinstance(a, pa.Scalar):
+                # ECMAScript && returns an OPERAND (output-columns
+                # expressions render the value; falsy renders false —
+                # select/filter/logical_operation)
+                return ev(n[2]) if _scalar_truthy(a) else pa.scalar(False)
+            return pc.and_kleene(_bool(a), _bool(ev(n[2])))
         if kind == "or":
-            return pc.or_kleene(_bool(ev(n[1])), _bool(ev(n[2])))
+            a = ev(n[1])
+            if isinstance(a, pa.Scalar):
+                if _scalar_truthy(a):
+                    return a
+                b = ev(n[2])
+                if isinstance(b, pa.Scalar) and not _scalar_truthy(b):
+                    # a fully-falsy || chain renders false (null and
+                    # false both print as false in the envelope)
+                    return pa.scalar(False)
+                return b
+            b = ev(n[2])
+            if _is_listy(a) or _is_listy(b):
+                return pc.or_kleene(_bool(a), _bool(b))
+            at, bt = getattr(a, "type", None), getattr(b, "type", None)
+            if at is not None and not pa.types.is_boolean(at):
+                # value-returning ||: per-row pick the first truthy
+                # operand (ECMAScript semantics over columns)
+                mask = _truthy_arr(a)
+                if isinstance(b, pa.Scalar):
+                    b = pa.array([b.as_py()] * len(a)).cast(at)
+                return pc.if_else(mask, a, b)
+            if bt is not None and not pa.types.is_boolean(bt):
+                mask = pc.invert(_bool(a))
+                a_f = pa.array([None] * len(b)).cast(bt)
+                return pc.if_else(mask, b, a_f)
+            return pc.or_kleene(_bool(a), _bool(b))
         if kind == "and_not":
             return pc.and_kleene(_bool(ev(n[1])), pc.invert(_bool(ev(n[2]))))
         if kind == "not":
@@ -651,7 +707,21 @@ def eval_filter(ast, batch: pa.Table):
             vs = n[2]
             if not isinstance(vs, (pa.Array, pa.ChunkedArray)):
                 vs = pa.array(vs)
-            return pc.is_in(ev(n[1]), value_set=vs)
+            tgt = ev(n[1])
+            if _is_listy(tgt):
+                # vector reference column: ANY element in the key set
+                # matches (grn_accessor_resolve over a vector,
+                # lib/proc.c:5269)
+                if isinstance(tgt, pa.ChunkedArray):
+                    tgt = tgt.combine_chunks()
+                hit = pc.is_in(pc.list_flatten(tgt), value_set=vs)
+                parents = pc.list_parent_indices(tgt).to_numpy()
+                out = np.zeros(len(tgt), bool)
+                np.logical_or.at(
+                    out, parents, hit.to_numpy(zero_copy_only=False).astype(bool)
+                )
+                return pa.array(out)
+            return pc.is_in(tgt, value_set=vs)
         if kind == "@~":
             # sequential regexp scan fallback (REGEXP mode's index-
             # assisted path lives in the engine; reference

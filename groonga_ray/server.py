@@ -364,7 +364,27 @@ class CommandServer:
                 self._validate_pending_filter(
                     self.pending[params["table"]], params["filter"]
                 )
+            qe0 = params.get("query_expander") or params.get("query_expansion")
+            if qe0:
+                self._resolve_query_expander(qe0)  # raises on bad spec
             return [[[0], [["_id", "UInt32"], ["_score", "Int32"]]]]
+        import re as _re
+
+        flags_s = params.get("query_flags") or ""
+        m_upd = _re.fullmatch(r"(\w+):=(.+)", (params.get("query") or "").strip())
+        if m_upd and "ALLOW_UPDATE" in flags_s:
+            # --query 'col:=v' --query_flags ALLOW_UPDATE assigns the
+            # value to EVERY record the expression visits (GRN_OP_
+            # ASSIGN in query syntax, lib/expr.c:5723; select/
+            # query_flags/allow_update) and the records all match
+            col, val = m_upd.group(1), m_upd.group(2)
+            t0 = self._table(params)
+            import pyarrow.parquet as _pq
+
+            n = sum(_pq.ParquetFile(f).metadata.num_rows for f in t0.source_files)
+            recs = json.dumps([{"_id": i + 1, col: val} for i in range(n)])
+            self._cmd_load({"table": params["table"], "values": recs})
+            params = {k: v for k, v in params.items() if k != "query"}
         use_cache = params.get("cache") != "no"
         cache_key = None
         if use_cache and self._cache_max > 0:
@@ -857,7 +877,7 @@ class CommandServer:
         if typ in ("ShortText", "Text", "LongText"):
             return ""
         if typ.endswith("GeoPoint"):
-            return None
+            return "0x0"  # zero-initialized geo point renders "0x0"
         ref_td = self.pending.get(typ)
         key_type = ref_td.key_type if ref_td else getattr(
             self, "_key_types", {}
@@ -960,6 +980,7 @@ class CommandServer:
             self.tables[name] = IndexedTable(
                 t.index_dir, [path], "_id", geo_indexes=geo_indexes,
                 index_defs=self._index_defs_for(name),
+                auto_indexed=name in self._no_text_index,
             )
             self._invalidate()
         return len(records)
@@ -1102,6 +1123,12 @@ class CommandServer:
                 text_columns=tuple(text_cols),
                 tokenizer=td.default_tokenizer,
                 token_filters=td.token_filters,
+                # a DECLARED index honors its lexicon's normalizer
+                # (none = case-sensitive PAT keys); the auto-index-all
+                # fallback normalizes so matches mimic the reference's
+                # sequential scan (which normalizes both sides,
+                # lib/operator.c:745)
+                normalizer=(td.normalizer or "") if td.indexed else "NormalizerAuto",
                 docid_column="_id",
                 n_buckets=8,
             )
@@ -1120,6 +1147,7 @@ class CommandServer:
                 os.path.join(tdir, "index"), [path], "_id",
                 geo_indexes=geo_indexes,
                 index_defs=self._index_defs_for(name),
+                auto_indexed=not td.indexed,
             )
             if not td.indexed:
                 # no declared text index: single-column match falls back
@@ -1725,7 +1753,12 @@ class CommandServer:
             )
             if td is not None and td is not data_td and not (is_geo or is_range):
                 data_td.default_tokenizer = td.default_tokenizer
-                data_td.normalizer = td.normalizer
+                # the KEY_NORMALIZE table flag is the legacy spelling
+                # of --normalizer NormalizerAuto (grn_table_create,
+                # lib/db.c GRN_OBJ_KEY_NORMALIZE)
+                data_td.normalizer = td.normalizer or (
+                    "NormalizerAuto" if "KEY_NORMALIZE" in td.flags else ""
+                )
                 data_td.token_filters = td.token_filters
             return True
         if td is None:

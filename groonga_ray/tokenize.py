@@ -351,6 +351,8 @@ TOKENIZERS = {
     "TokenBigram": dict(unit=2),
     "TokenUnigram": dict(unit=1),
     "TokenTrigram": dict(unit=3),
+    "TokenBigramSplitAlpha": dict(unit=2, uni_alpha=False),
+    "TokenBigramSplitDigit": dict(unit=2, uni_digit=False),
     "TokenBigramSplitSymbol": dict(unit=2, uni_symbol=False),
     "TokenBigramSplitSymbolAlpha": dict(unit=2, uni_symbol=False, uni_alpha=False),
     "TokenBigramSplitSymbolAlphaDigit": dict(

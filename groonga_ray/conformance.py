@@ -49,6 +49,12 @@ VAR_ORDERS: dict[str, list[str]] = {
     "delete": ["table", "key", "id", "filter"],
     "cache_limit": ["max"],
     "truncate": ["target_name", "table"],
+    "suggest": [
+        "types", "table", "column", "query", "sortby", "output_columns",
+        "offset", "limit", "frequency_threshold",
+        "conditional_probability_threshold", "prefix_search",
+        "similar_search",
+    ],
     "log_level": ["level"],
     "log_put": ["level", "message"],
     "defrag": ["target_name", "threshold"],
@@ -174,6 +180,12 @@ def parse_script(
             if stripped.startswith("#@enable-logging"):
                 logging_off = False
                 continue
+            if stripped.startswith("#@suggest-create-dataset"):
+                # grntest runs groonga-suggest-create-dataset: emit the
+                # dataset-DDL pseudo command (runs, never compared)
+                ds = stripped[len("#@suggest-create-dataset"):].strip()
+                out.append(("suggest_create_dataset", {"name": ds}, True))
+                continue
             if stripped.startswith("#@include") and include_dir is not None:
                 import os
 
@@ -262,6 +274,9 @@ def _shape(cmd: str, body):
             else:
                 shaped.append(_shape_set(s))
         return shaped
+    if cmd == "suggest" and isinstance(body, dict):
+        # {type: result set} (plugins/suggest command_suggest output)
+        return {k: _shape_set(v) for k, v in sorted(body.items())}
     if cmd in ("tokenize", "table_tokenize"):
         return [(t["value"], t.get("position")) for t in body]
     if cmd == "logical_range_filter" and isinstance(body, list) and body:
@@ -340,6 +355,10 @@ class ScriptRunner:
                     import pyarrow.parquet as pq
 
                     if "_key" in pq.read_schema(t.source_files[0]).names:
+                        cols = "_id,_key,*"
+                else:
+                    td = self.server.pending.get(params.get("table", ""))
+                    if td is not None and "NO_KEY" not in (td.flags or ""):
                         cols = "_id,_key,*"
                 params["output_columns"] = cols
         params.pop("command_version", None)

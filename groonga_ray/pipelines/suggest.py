@@ -417,6 +417,19 @@ class SuggestDataset:
 
     def __init__(self, dataset_dir: str):
         it = pq.read_table(os.path.join(dataset_dir, "items.parquet"))
+        pr = pq.read_table(os.path.join(dataset_dir, "pairs.parquet"))
+        self._init_from_tables(it, pr)
+
+    @classmethod
+    def from_tables(cls, items: pa.Table, pairs: pa.Table) -> "SuggestDataset":
+        """In-memory construction (the HTTP suggest command's learned
+        state; items may carry a ``kana`` list column of readings that
+        enables the RK completion pass)."""
+        sd = cls.__new__(cls)
+        sd._init_from_tables(items, pairs)
+        return sd
+
+    def _init_from_tables(self, it: pa.Table, pr: pa.Table) -> None:
         keys = it.column("key").combine_chunks()
         freq = it.column("freq").to_numpy().astype(np.int64)
         freq2 = it.column("freq2").to_numpy().astype(np.int64)
@@ -427,7 +440,19 @@ class SuggestDataset:
         )
         index = {k: i for i, k in enumerate(keys.to_pylist())}
         self.items = _Items(keys, freq, freq2, boost, index)
-        pr = pq.read_table(os.path.join(dataset_dir, "pairs.parquet"))
+        self._kana: list[list[str]] | None = (
+            it.column("kana").to_pylist() if "kana" in it.column_names else None
+        )
+        # items whose record add went through the indexed path (loaded
+        # or typed as an event item). Token-interned-only items never
+        # reach the _key bigram index in the reference (the token
+        # cursor's low-level add skips index hooks), so the similar
+        # search cannot surface them.
+        self._indexed: np.ndarray | None = (
+            it.column("indexed").to_numpy(zero_copy_only=False).astype(bool)
+            if "indexed" in it.column_names
+            else None
+        )
         self._pairs = pr
         self._pre = pr.column("pre").combine_chunks()
         self._post = pr.column("post").to_pylist()
@@ -479,6 +504,24 @@ class SuggestDataset:
                     res[post] = score + boost  # boost added once (suggest.c:212)
         return max_score
 
+    # -- RK reading search (suggest.c:315-346: GRN_CURSOR_PREFIX|RK
+    # over the kana lexicon, postings -> complete_add_item) ------------
+    def _rk_pass(self, res: dict, query: str, frequency_threshold: int) -> None:
+        from ..rk import rk_prefix_match
+
+        for i, readings in enumerate(self._kana or []):
+            if not readings:
+                continue
+            if not any(rk_prefix_match(query, r) for r in readings):
+                continue
+            boost = int(self.items.boost[i])
+            if boost < 0:
+                continue
+            score = 1.0 + self.items.freq[i] + boost
+            if score >= frequency_threshold:
+                k = self.items.keys[i].as_py()
+                res[k] = res.get(k, 0.0) + score
+
     # -- complete_add_item (suggest.c:273-297) --------------------------
     def _prefix_pass(self, res: dict, query: str, frequency_threshold: int) -> None:
         mask = pc.starts_with(self.items.keys, query).to_numpy(zero_copy_only=False)
@@ -512,7 +555,13 @@ class SuggestDataset:
         the same scores, which is the reference behavior too."""
         res: dict[str, float] = {}
         if query:
-            self._prefix_pass(res, query, frequency_threshold)
+            if self._kana is not None:
+                # real readings: the RK pass over the kana lexicon
+                self._rk_pass(res, query, frequency_threshold)
+            else:
+                # kana ≡ key corpus: the RK pass degenerates to the
+                # plain key-prefix scan
+                self._prefix_pass(res, query, frequency_threshold)
             self._cooccurrence(
                 res, query, 0, frequency_threshold, conditional_probability_threshold
             )
@@ -564,6 +613,8 @@ class SuggestDataset:
         weighted = []
         for t, c in counts.items():
             m = pc.match_substring(self.items.keys, t).to_numpy(zero_copy_only=False)
+            if self._indexed is not None:
+                m &= self._indexed
             df = int(m.sum())
             if df == 0:
                 continue

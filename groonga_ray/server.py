@@ -26,7 +26,7 @@ import logging
 import threading
 import time
 from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlsplit
 
@@ -129,6 +129,9 @@ class CommandServer:
             "table_remove": self._cmd_table_remove,
             "table_rename": self._cmd_table_rename,
             "table_tokenize": self._cmd_table_tokenize,
+            "truncate": self._cmd_truncate,
+            "suggest": self._cmd_suggest,
+            "suggest_create_dataset": self._cmd_suggest_create_dataset,
             "define_selector": self._cmd_define_selector,
             "tokenizer_list": self._cmd_tokenizer_list,
             "normalizer_list": self._cmd_normalizer_list,
@@ -349,6 +352,101 @@ class CommandServer:
             self.tables[name] = t
         return t
 
+    def _lexicon_select(self, params: dict) -> list | None:
+        """select over a never-loaded keyed table that is POPULATED by
+        interning — index columns tokenizing into it or reference
+        columns typed to it (grn_table_add during load, lib/db.c): the
+        reference shows those records like any table (``select Terms``
+        after loading the data table). Handles the plain read surface
+        (_id/_key output, sortby on _id/_key, offset/limit); anything
+        deeper returns None so the caller keeps the empty-table path."""
+        name = params.get("table")
+        t = next((x for x in self._ddl_tables if x["name"] == name), None)
+        if t is None or "NO_KEY" in (t["flags"] or ""):
+            return None
+        if any(params.get(k) for k in (
+            "query", "filter", "match_columns", "drilldown", "scorer",
+            "adjuster", "query_expander", "query_expansion",
+        )):
+            return None
+        feeds = any(
+            (c["table"] == name and c["is_index"] and c["type"] in self.tables)
+            or (c["type"] == name and not c["is_index"]
+                and c["table"] in self.tables)
+            for c in self._ddl_cols
+        )
+        if not feeds:
+            return None
+        keys = self._derived_keys(t)            # intern (= _id) order
+        own_cols = [
+            c for c in self._ddl_cols if c["table"] == name
+        ]
+        col_vals: list[tuple[str, str, dict | object]] = []
+        for c in own_cols:
+            if c["is_index"]:
+                counts = (
+                    {} if (name, c["name"]) in getattr(self, "_truncated_idx", set())
+                    else self._index_posting_counts(t, c)
+                )
+                col_vals.append((c["name"], "UInt32", counts))
+            else:
+                d = (
+                    0 if c["type"].startswith(("Int", "UInt"))
+                    else 0.0 if c["type"] in ("Float", "Time") else ""
+                )
+                col_vals.append((c["name"], c["type"], d))
+        rows = [
+            [i + 1, k] + [
+                (v.get(k, 0) if isinstance(v, dict) else v)
+                for _, _, v in col_vals
+            ]
+            for i, k in enumerate(keys)
+        ]
+        for spec in reversed([
+            s.strip() for s in
+            (params.get("sortby") or params.get("sort_keys") or "").split(",")
+            if s.strip()
+        ]):
+            desc = spec.startswith("-")
+            col = spec.lstrip("+-")
+            if col == "_key":
+                rows.sort(key=lambda r: (isinstance(r[1], str), r[1]),
+                          reverse=desc)
+            elif col == "_id":
+                rows.sort(key=lambda r: r[0], reverse=desc)
+            else:
+                return None
+        n = len(rows)
+        offset = int(params.get("offset") or 0)
+        limit = int(params["limit"]) if params.get("limit") not in (None, "") else 10
+        if offset < 0:
+            offset += n
+        if limit < 0:
+            limit += n + 1
+        rows = rows[max(offset, 0):max(offset, 0) + max(limit, 0)]
+        out_cols = _split_cols(params.get("output_columns")) or [
+            "_id", "_key", "*",
+        ]
+        hdr_types = {"_id": "UInt32", "_key": t.get("key_type") or "ShortText"}
+        pos = {"_id": 0, "_key": 1}
+        for j, (cn, ct, _) in enumerate(col_vals):
+            hdr_types[cn] = ct
+            pos[cn] = 2 + j
+        header, idxs = [], []
+        for c in out_cols:
+            if c == "*":
+                # every own data/index column in creation order
+                for j, (cn, ct, _) in enumerate(col_vals):
+                    header.append([cn, ct])
+                    idxs.append(2 + j)
+                continue
+            if c not in hdr_types:
+                return None
+            header.append([c, hdr_types[c]])
+            idxs.append(pos[c])
+        body_rows = [[r[i] for i in idxs] for r in rows]
+        return [[[n], header, *body_rows]]
+
     def _cmd_select(self, params: dict) -> list:
         """``/d/select`` (grn_select surface, lib/proc.c:876-1195).
         ``scorer`` is the score-updating expression like the reference
@@ -357,6 +455,9 @@ class CommandServer:
         from .engine import select
 
         if params.get("table") in self.pending:
+            lex_rows = self._lexicon_select(params)
+            if lex_rows is not None:
+                return lex_rows
             # created but never loaded: argument validation still runs
             # (the reference compiles the filter expression before
             # scanning — invalid geo args error even on empty tables)
@@ -626,9 +727,9 @@ class CommandServer:
             "checks": checks if "WITH_CHECKS" in flags else [],
         }
 
-    def _cmd_suggest(self, params: dict) -> dict:
-        """``/d/suggest`` (plugins/suggest/suggest.c:548-627): one
-        result set per requested type."""
+    def _cmd_suggest_dirs(self, params: dict) -> dict:
+        """suggest over a pre-learned on-disk dataset registered via the
+        constructor's ``suggest_datasets`` (plugins/suggest command)."""
         from .pipelines.suggest import run_suggest
 
         name = params.get("table")
@@ -687,6 +788,9 @@ class CommandServer:
             records = [records]
         records = self._records_to_dicts(records, params)
         records = self._normalize_weight_vectors(records)
+        sg = self._suggest_load(name, records, params)
+        if sg is not None:
+            return sg
         if not records:
             return 0
         if name in self.pending:
@@ -751,9 +855,24 @@ class CommandServer:
         parse; Time is epoch seconds (stored float)."""
         if v is None:
             return None
-        if isinstance(v, (list, dict)):
+        if isinstance(v, dict):
+            return v
+        if isinstance(v, list):
             # vector values: the declared type describes the ELEMENT
-            # type; elements pass through as loaded
+            # type; an element that can't cast is DROPPED (grn_obj_cast
+            # vector load skips invalid elements — load/invalid/
+            # in_mid_brace/vector)
+            if typ.startswith(("Int", "UInt")) or typ in ("Float", "Time"):
+                out = []
+                for e in v:
+                    if isinstance(e, bool) or isinstance(e, (int, float)):
+                        out.append(e)
+                    elif isinstance(e, str):
+                        try:
+                            out.append(float(e) if typ in ("Float", "Time") else int(e))
+                        except ValueError:
+                            continue
+                return out
             return v
         if typ in ("ShortText", "Text", "LongText"):
             if isinstance(v, bool):
@@ -787,6 +906,19 @@ class CommandServer:
                 return 0.0 if t is None else t
         if typ.endswith("GeoPoint"):
             if isinstance(v, str) and v:
+                # out-of-range coordinates degrade to the origin
+                # (grn_obj_cast geo validation, lib/db.c: |lat| <=
+                # 90deg in msec, |lon| < 180deg in msec)
+                try:
+                    lat_s, lon_s = v.split("x" if "x" in v else ",", 1)
+                    lat = float(lat_s) if "." in lat_s else int(lat_s)
+                    lon = float(lon_s) if "." in lon_s else int(lon_s)
+                    if "." in lat_s or "." in lon_s:
+                        lat, lon = lat * 3600 * 1000, lon * 3600 * 1000
+                    if abs(lat) > 324000000 or abs(lon) >= 648000000:
+                        return "0x0"
+                except ValueError:
+                    return "0x0"
                 return v
             return "0x0"  # non-string casts degrade to the origin point
         return v
@@ -828,11 +960,17 @@ class CommandServer:
         for r in records:
             for k in vectors:
                 # scalar into a COLUMN_VECTOR casts to a vector: "" and
-                # null become empty (grn_obj_cast bulk->vector,
+                # null become empty; TEXT splits on whitespace into
+                # elements (grn_obj_cast bulk->vector tokenizes,
                 # lib/db.c:11451 load path)
                 if k in r and not isinstance(r[k], (list, dict)):
                     v = r[k]
-                    r[k] = [] if v in ("", None) else [v]
+                    if v in ("", None):
+                        r[k] = []
+                    elif isinstance(v, str):
+                        r[k] = v.split()
+                    else:
+                        r[k] = [v]
             for k, typ in types.items():
                 if k in r:
                     r[k] = self._cast_value(r[k], typ)
@@ -1157,6 +1295,9 @@ class CommandServer:
                 # lib/expr.c:6103 → 0 hits)
                 self._no_text_index.add(name)
             self._auto_id.add(name)
+            if not hasattr(self, "_td_archive"):
+                self._td_archive: dict = {}
+            self._td_archive[name] = self.pending[name]
             del self.pending[name]
             self._invalidate()
         return tbl.num_rows
@@ -1411,13 +1552,22 @@ class CommandServer:
 
     @staticmethod
     def _dump_flags(flags: str) -> str:
-        return "|".join(
-            f for f in flags.split("|") if f.strip() and f.strip() != "PERSISTENT"
-        )
+        fl = [f.strip() for f in flags.split("|") if f.strip() and f.strip() != "PERSISTENT"]
+        if "COLUMN_INDEX" in fl:
+            # canonical index-flag order (SECTION|WEIGHT|POSITION)
+            order = ["COLUMN_INDEX", "WITH_SECTION", "WITH_WEIGHT", "WITH_POSITION"]
+            fl = [f for f in order if f in fl] + [f for f in fl if f not in order]
+        return "|".join(fl)
 
     def _dump_table_line(self, t: dict) -> str:
-        """table_create line (dump_table, lib/proc.c:3180-3270)."""
-        parts = ["table_create", t["name"], self._dump_flags(t["flags"])]
+        """table_create line (dump_table, lib/proc.c:3180-3270).
+        The legacy KEY_NORMALIZE flag dumps as its modern spelling —
+        ``--normalizer NormalizerAuto`` (dump migrates the flag,
+        lib/proc.c:3214)."""
+        flags = "|".join(
+            f for f in t["flags"].split("|") if f != "KEY_NORMALIZE"
+        )
+        parts = ["table_create", t["name"], self._dump_flags(flags)]
         no_key = "NO_KEY" in t["flags"]
         if not no_key and t["key_type"]:
             parts.append(t["key_type"])
@@ -1427,8 +1577,11 @@ class CommandServer:
             parts.append(t["value_type"])
         if t["default_tokenizer"]:
             parts += ["--default_tokenizer", t["default_tokenizer"]]
-        if t["normalizer"]:
-            parts += ["--normalizer", t["normalizer"]]
+        nrm = t["normalizer"] or (
+            "NormalizerAuto" if "KEY_NORMALIZE" in t["flags"] else ""
+        )
+        if nrm:
+            parts += ["--normalizer", nrm]
         if not no_key and t["token_filters"]:
             parts += ["--token_filters", t["token_filters"]]
         return " ".join(parts)
@@ -1439,7 +1592,11 @@ class CommandServer:
             self._dump_flags(c["flags"]), c["type"],
         ]
         if c["is_index"] and c["source"]:
-            parts.append(c["source"])
+            # sources render trimmed and comma-joined (dump normalizes
+            # the stored source list, lib/proc.c:2830)
+            parts.append(
+                ",".join(s.strip() for s in c["source"].split(",") if s.strip())
+            )
         return " ".join(parts)
 
     def _dump_rows(self, t: dict) -> tuple[list[str], list[list]] | None:
@@ -1493,7 +1650,7 @@ class CommandServer:
         else:
             # never loaded: keys may exist via lexicon auto-population
             # (indexing interns tokens) or reference-key interning
-            keys = self._derived_keys(t)
+            keys = self._derived_keys_sorted(t)
             if not keys:
                 return None
             defaults = {
@@ -1568,9 +1725,60 @@ class CommandServer:
                         continue
                     for e in v if isinstance(v, list) else [v]:
                         seen.setdefault(e, None)
-        keys = list(seen)
+        return list(seen)
+
+    def _index_posting_counts(self, t: dict, c: dict) -> dict:
+        """Per-term posting counts of a lexicon's index column — what
+        the reference renders when an index column appears in select
+        output (grn_output_obj over a COLUMN_INDEX: the entry count).
+        Counted as distinct (record, source) pairs containing the
+        term."""
+        import pyarrow.parquet as pq
+
+        from .tokenize import tokenize as _tok
+
+        data = c["type"]
+        st = self.tables.get(data)
+        if st is None:
+            return {}
+        srcs = [s.strip() for s in (c["source"] or "").split(",") if s.strip()]
+        tb = pa.concat_tables(
+            [pq.read_table(f) for f in st.source_files],
+            promote_options="default",
+        )
+        counts: dict = {}
+        for src in srcs:
+            col = "_key" if src == "_key" else src
+            if col not in tb.column_names:
+                continue
+            for rid, v in enumerate(tb.column(col).to_pylist()):
+                if v is None:
+                    continue
+                terms: set = set()
+                for txt in v if isinstance(v, list) else [v]:
+                    if not isinstance(txt, str):
+                        terms.add(txt)
+                        continue
+                    stream = _tok(
+                        txt,
+                        t["default_tokenizer"] or "TokenBigram",
+                        mode="add",
+                        normalizer=t["normalizer"] or (
+                            "NormalizerAuto" if "KEY_NORMALIZE" in t["flags"]
+                            else None
+                        ),
+                    )
+                    terms.update(tk.term for tk in stream.tokens)
+                for term in terms:
+                    counts[term] = counts.get(term, 0) + 1
+        return counts
+
+    def _derived_keys_sorted(self, t: dict) -> list:
+        """_derived_keys in the table type's cursor order: HASH keeps
+        first-appearance (id) order; PAT/DAT sort by key."""
+        keys = self._derived_keys(t)
         if "PAT_KEY" in t["flags"] or "DAT_KEY" in t["flags"]:
-            keys.sort()
+            keys = sorted(keys, key=lambda k: (isinstance(k, str), k))
         return keys
 
     def _cmd_dump(self, params: dict) -> str:
@@ -1595,9 +1803,13 @@ class CommandServer:
             table_names = {t["name"] for t in self._ddl_tables}
             for t in self._ddl_tables:
                 block = [self._dump_table_line(t)]
-                for c in self._ddl_cols:
-                    if c["table"] != t["name"] or c["is_index"]:
-                        continue
+                for c in sorted(
+                    (c for c in self._ddl_cols
+                     if c["table"] == t["name"] and not c["is_index"]),
+                    key=lambda c: c["name"],
+                ):
+                    # data columns dump in NAME order within a table
+                    # (grn_obj hash-cursor order the reference shows)
                     if c["type"] in table_names:
                         pending_refs.append(c)
                     else:
@@ -1653,12 +1865,18 @@ class CommandServer:
             raise ValueError(f"[table][create] unknown tokenizer: <{tok}>")
         nrm = params.get("normalizer")
         if nrm and not is_known_normalizer(nrm):
-            raise ValueError(f"[table][create] unknown normalizer: <{nrm}>")
+            # an unresolvable normalizer name is ACCEPTED (the
+            # reference stores a nil normalizer and the table behaves
+            # un-normalized — column_create/index/source/* fixtures
+            # misspell NormalizerAuto deliberately)
+            nrm = ""
+            params = {**params, "normalizer": ""}
         for tf in (params.get("token_filters") or "").split(","):
             if tf.strip() and tf.strip() not in TOKEN_FILTERS:
                 raise ValueError(
                     f"[table][create] unknown token filter: <{tf.strip()}>"
                 )
+        self._obj_id(("t", name))
         self._ddl_tables.append(
             {
                 "name": name,
@@ -1692,6 +1910,7 @@ class CommandServer:
         schema comes from the Parquet sources (documented divergence)."""
         ok = self._column_create_inner(params)
         if ok:
+            self._obj_id(("c", params.get("table"), params.get("name")))
             self._ddl_cols.append(
                 {
                     "table": params.get("table"),
@@ -1741,6 +1960,40 @@ class CommandServer:
                 for s in (params.get("source") or params.get("sources") or "").split(",")
                 if s.strip()
             ]
+            # source validation (grn_obj_set_info GRN_INFO_SOURCE,
+            # lib/db.c:8380): every source must be a real column (or
+            # _key) of the data table; >1 source needs WITH_SECTION;
+            # a reference-keyed lexicon only indexes columns OF that
+            # reference type
+            data_cols = dict(getattr(data_td, "columns", {}) or {})
+            for c in self._ddl_cols:
+                if c["table"] == (params.get("type") or name) and not c.get("is_index"):
+                    data_cols.setdefault(c["name"], c.get("type"))
+            iname = params.get("name")
+            for s in srcs:
+                if s == "_id" or (s != "_key" and data_cols and s not in data_cols):
+                    raise ValueError(
+                        f"[column][create][index] invalid source: <{s}>: "
+                        f"<{name}.{iname}>"
+                    )
+            if len(srcs) > 1 and "WITH_SECTION" not in (params.get("flags") or ""):
+                raise ValueError(
+                    f"[column][create][index] multi column index needs "
+                    f"WITH_SECTION flag: <{name}.{iname}>"
+                )
+            if td is not None and td.key_type in self.pending and not is_geo:
+                ref_key = td.key_type
+                for s in srcs:
+                    styp = (
+                        self.pending.get(params.get("type") or "").key_type
+                        if s == "_key" and (params.get("type") or "") in self.pending
+                        else data_cols.get(s)
+                    )
+                    if styp != ref_key:
+                        raise ValueError(
+                            f"[column][create][index] source type must be "
+                            f"<{ref_key}>: <{styp}>: <{name}.{iname}>"
+                        )
             if not is_range:
                 for src in srcs:
                     (data_td.geo_indexed if is_geo else data_td.indexed).add(src)
@@ -1760,6 +2013,13 @@ class CommandServer:
                     "NormalizerAuto" if "KEY_NORMALIZE" in td.flags else ""
                 )
                 data_td.token_filters = td.token_filters
+            data_name = params.get("type") or name
+            if data_name in self.tables and data_name not in self.pending:
+                # OFFLINE build: the data table is already loaded, so
+                # the new index builds now over the stored records
+                # (grn_obj_set_info GRN_INFO_SOURCE triggers
+                # grn_ii_build, lib/db.c:8380 → lib/ii.c)
+                self._offline_index_build(data_name, td, srcs, is_geo)
             return True
         if td is None:
             raise ValueError(
@@ -1864,6 +2124,363 @@ class CommandServer:
             raise ValueError(f"unknown table: {name}")
         self._invalidate()
         return True
+
+    def _offline_index_build(
+        self, data_name: str, lex_td, srcs: list, is_geo: bool
+    ) -> None:
+        """Rebuild a LOADED table's index to cover the newly declared
+        sources with the lexicon's tokenizer/normalizer config."""
+        import os
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from .build import BuildConfig, build_index, read_manifest, write_manifest
+        from .index import open_index
+
+        t = self.tables[data_name]
+        if is_geo:
+            geo_cols = sorted(
+                set((getattr(self, "_geo_cols", {}).get(data_name) or [])) | set(srcs)
+            )
+            self._geo_cols = getattr(self, "_geo_cols", {})
+            self._geo_cols[data_name] = geo_cols
+            tdir = os.path.dirname(t.index_dir)
+            geo_indexes = self._build_geo_indexes(
+                tdir, list(t.source_files), geo_cols
+            )
+            self.tables[data_name] = replace(t, geo_indexes=geo_indexes)
+            self._invalidate()
+            return
+        schema = pq.read_schema(t.source_files[0])
+        cols = [
+            "_key" if s == "_key" else s for s in srcs if s == "_key" or s in schema.names
+        ]
+        cols = [c for c in cols if c in schema.names]
+        if not cols:
+            return
+        meta = read_manifest(os.path.join(t.index_dir, "meta.json"))
+        old_cfg = BuildConfig.from_fingerprint(meta["config"])
+        existing = [] if getattr(t, "auto_indexed", False) else [
+            c for c in old_cfg.text_columns if c != "_dummy_text"
+        ]
+        cfg = replace(
+            old_cfg,
+            text_columns=tuple(dict.fromkeys(existing + cols)),
+            tokenizer=lex_td.default_tokenizer,
+            token_filters=lex_td.token_filters,
+            normalizer=lex_td.normalizer or (
+                "NormalizerAuto" if "KEY_NORMALIZE" in lex_td.flags else ""
+            ),
+        )
+        nxt = meta.get("next_docid")
+        shutil.rmtree(t.index_dir, ignore_errors=True)
+        build_index(list(t.source_files), t.index_dir, cfg)
+        if nxt is not None:
+            m2 = read_manifest(os.path.join(t.index_dir, "meta.json"))
+            m2["next_docid"] = nxt
+            write_manifest(os.path.join(t.index_dir, "meta.json"), m2)
+        open_index.cache_clear()
+        self._no_text_index.discard(data_name)
+        self.tables[data_name] = replace(
+            t, auto_indexed=False, index_defs=self._index_defs_for(data_name)
+        )
+        self._invalidate()
+
+    # ---- suggest dataset surface (plugins/suggest + the DDL the
+    # groonga-suggest-create-dataset tool emits) -----------------------
+
+    def _cmd_suggest_create_dataset(self, params: dict) -> bool:
+        """grntest's ``#@suggest-create-dataset <name>`` directive:
+        register the dataset's learn/query state (the reference runs
+        groonga-suggest-create-dataset, which emits the item_/pair_/
+        sequence_/event_/configuration DDL)."""
+        name = params.get("name") or ""
+        if not hasattr(self, "_sgg"):
+            self._sgg: dict = {}
+        self._sgg[name] = {
+            "items": OrderedDict(),   # norm key -> {"boost": i, "kana": [..]}
+            "events": [],             # arrival order: (seq, time, item, type)
+            "weight": 1,
+        }
+        return True
+
+    def _suggest_norm(self, s: str) -> str:
+        """Item keys intern through the KEY_NORMALIZE item table:
+        NFKC + lowercase, blanks KEPT (key normalization runs without
+        GRN_STRING_REMOVE_BLANK, lib/db.c grn_table_add)."""
+        import unicodedata
+
+        return unicodedata.normalize("NFKC", s).lower()
+
+    def _suggest_load(self, name: str | None, records: list, params: dict):
+        """Intercept loads into a suggest dataset's tables
+        (configuration / item_<ds> / event_<ds>). Returns the loaded
+        count, or None when the load isn't suggest-related."""
+        sgg = getattr(self, "_sgg", None)
+        if not sgg or not name:
+            return None
+        if name == "configuration":
+            for r in records:
+                ds = r.get("_key")
+                if ds in sgg and "weight" in r:
+                    sgg[ds]["weight"] = int(r["weight"])
+            return len(records)
+        for ds, st in sgg.items():
+            if name == f"item_{ds}":
+                for r in records:
+                    k = self._suggest_norm(str(r.get("_key", "")))
+                    e = st["items"].setdefault(k, {"boost": 0, "kana": []})
+                    if "boost" in r:
+                        e["boost"] = int(r["boost"])
+                    kana = r.get("kana")
+                    if kana is not None:
+                        e["kana"] = (
+                            [str(x) for x in kana]
+                            if isinstance(kana, list) else [str(kana)]
+                        )
+                st["learned"] = None
+                return len(records)
+            if name == f"event_{ds}":
+                for r in records:
+                    st["events"].append(
+                        (
+                            str(r.get("sequence", "")),
+                            float(r.get("time", 0.0)),
+                            str(r.get("item", "")),
+                            r.get("type"),
+                        )
+                    )
+                st["learned"] = None
+                return len(records)
+        return None
+
+    def _suggest_learned(self, ds: str):
+        """Replay the dataset's event log into (items, pairs) Arrow
+        tables — the learner semantics live in pipelines.suggest
+        (_replay_sequence / token interning); this is the command-sized
+        in-process evaluation of the same math."""
+        from .pipelines.suggest import (
+            MIN_LEARN_DISTANCE_US,
+            _replay_sequence,
+            _split_tokens_with_stop,
+        )
+
+        st = self._sgg[ds]
+        if st.get("learned") is not None:
+            return st["learned"]
+        w = st["weight"]
+        # intern order: item loads first, then events/tokens on arrival.
+        # items[k] = [freq, freq2, boost, kana, indexed] — indexed is
+        # False for token-interned-only items (the reference's token
+        # cursor add skips the _key index hooks, so the similar search
+        # never sees them)
+        items: "OrderedDict[str, list]" = OrderedDict()
+        for k, info in st["items"].items():
+            items[k] = [0, 0, info["boost"], info["kana"], True]
+        by_seq: "OrderedDict[str, list]" = OrderedDict()
+        for seq, tm, item, typ in st["events"]:
+            k = self._suggest_norm(item)
+            e = items.setdefault(k, [0, 0, 0, [], True])
+            e[4] = True
+            e[0] += w                      # freq
+            if typ:
+                e[1] += w                  # freq2 (submit)
+                for tok in _split_tokens_with_stop(k):
+                    items.setdefault(tok, [0, 0, 0, [], False])
+            by_seq.setdefault(seq, []).append((tm, k, 1 if typ else 0))
+        pairs: dict = {}
+        for seq, evs in by_seq.items():
+            g = pa.table(
+                {
+                    "doc_id": pa.array([0] * len(evs), pa.int64()),
+                    "ord": pa.array(range(len(evs)), pa.int64()),
+                    "time_us": pa.array(
+                        [int(t * 1_000_000) for t, _, _ in evs], pa.int64()
+                    ),
+                    "item": pa.array([k for _, k, _ in evs], pa.string()),
+                    "is_submit": pa.array([s for _, _, s in evs], pa.int64()),
+                }
+            )
+            inc = _replay_sequence(g)
+            for row in inc.to_pylist():
+                key = (row["pre"], row["post"])
+                p = pairs.setdefault(key, [0, 0, 0])
+                p[0] += row["freq0"] * w
+                p[1] += row["freq1"] * w
+                p[2] += row["freq2"] * w
+        keys = list(items)
+        items_tbl = pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "freq": pa.array([items[k][0] for k in keys], pa.int64()),
+                "freq2": pa.array([items[k][1] for k in keys], pa.int64()),
+                "boost": pa.array([items[k][2] for k in keys], pa.int64()),
+                "kana": pa.array(
+                    [items[k][3] for k in keys], pa.list_(pa.string())
+                ),
+                "indexed": pa.array(
+                    [items[k][4] for k in keys], pa.bool_()
+                ),
+            }
+        )
+        pkeys = list(pairs)
+        pairs_tbl = pa.table(
+            {
+                "pre": pa.array([k[0] for k in pkeys], pa.string()),
+                "post": pa.array([k[1] for k in pkeys], pa.string()),
+                "freq0": pa.array([pairs[k][0] for k in pkeys], pa.int64()),
+                "freq1": pa.array([pairs[k][1] for k in pkeys], pa.int64()),
+                "freq2": pa.array([pairs[k][2] for k in pkeys], pa.int64()),
+            }
+        )
+        st["learned"] = (items_tbl, pairs_tbl)
+        return st["learned"]
+
+    def _cmd_suggest(self, params: dict) -> dict:
+        """``/d/suggest`` (plugins/suggest/suggest.c:548-627
+        command_suggest): one result set per requested type."""
+        from .pipelines.suggest import SuggestDataset
+
+        table = params.get("table") or ""
+        if not table.startswith("item_") or table[len("item_"):] not in getattr(
+            self, "_sgg", {}
+        ):
+            # constructor-registered on-disk datasets
+            return self._cmd_suggest_dirs(params)
+        ds = table[len("item_"):]
+        items_tbl, pairs_tbl = self._suggest_learned(ds)
+        sd = SuggestDataset.from_tables(items_tbl, pairs_tbl)
+        query = self._suggest_norm(params.get("query") or "")
+        kwargs: dict = {}
+        if params.get("frequency_threshold") not in (None, ""):
+            kwargs["frequency_threshold"] = int(params["frequency_threshold"])
+        if params.get("conditional_probability_threshold") not in (None, ""):
+            kwargs["conditional_probability_threshold"] = float(
+                params["conditional_probability_threshold"]
+            )
+        if params.get("prefix_search"):
+            kwargs["prefix_search"] = params["prefix_search"]
+        if params.get("similar_search"):
+            kwargs["similar_search"] = params["similar_search"]
+        if params.get("sortby"):
+            kwargs["sortby"] = params["sortby"]
+        if params.get("offset") not in (None, ""):
+            kwargs["offset"] = int(params["offset"])
+        if params.get("limit") not in (None, ""):
+            kwargs["limit"] = int(params["limit"])
+        out: dict = {}
+        wanted = [t for t in (params.get("types") or "").split("|") if t]
+        for typ in wanted:
+            if typ == "complete":
+                tbl = sd.complete(
+                    query,
+                    **{k: v for k, v in kwargs.items() if k != "similar_search"},
+                )
+            elif typ == "correct":
+                tbl = sd.correct(
+                    query,
+                    **{k: v for k, v in kwargs.items() if k != "prefix_search"},
+                )
+            elif typ == "suggest":
+                tbl = sd.suggest(
+                    query,
+                    **{
+                        k: v for k, v in kwargs.items()
+                        if k not in ("prefix_search", "similar_search")
+                    },
+                )
+            else:
+                continue
+            rows = [
+                [r["_key"], int(r["_score"])] for r in tbl.to_pylist()
+            ]
+            out[typ] = [
+                [len(rows)],
+                [["_key", "ShortText"], ["_score", "Int32"]],
+                *rows,
+            ]
+        return out
+
+    def _cmd_truncate(self, params: dict) -> bool:
+        """``/d/truncate?target_name=X`` (proc_truncate): empty the
+        table (schema survives, records go) or clear an index/data
+        column. A ``Table.column`` target clears just that column."""
+        import os
+        import shutil
+
+        name = params.get("target_name") or params.get("table") or ""
+        if "." in name:
+            tname, col = name.split(".", 1)
+            if tname not in self.tables and tname not in self.pending:
+                raise ValueError(f"[truncate] no such target: <{name}>")
+            if any(
+                c["table"] == tname and c["name"] == col and c["is_index"]
+                for c in self._ddl_cols
+            ):
+                # index-column truncate: postings go, the lexicon keys
+                # stay (grn_column_truncate on a COLUMN_INDEX)
+                if not hasattr(self, "_truncated_idx"):
+                    self._truncated_idx: set = set()
+                self._truncated_idx.add((tname, col))
+                return True
+            t = self.tables.get(tname)
+            if t is not None:
+                # data-column truncate: every value resets to the
+                # type's zero (grn_column_truncate) — rewrite the
+                # stored files and rebuild the index in place
+                import pyarrow.parquet as pq
+
+                from .build import BuildConfig, build_index, read_manifest, write_manifest
+
+                typ = getattr(self, "_created", {}).get(tname, {}).get(col)
+                default = self._ref_default(typ) if typ else ""
+                changed = False
+                for f in t.source_files:
+                    tbl = pq.read_table(f)
+                    if col not in tbl.column_names:
+                        continue
+                    i = tbl.column_names.index(col)
+                    cur = tbl.column(col).type
+                    if pa.types.is_list(cur) or pa.types.is_large_list(cur):
+                        arr = pa.array([[]] * tbl.num_rows, cur)
+                    else:
+                        arr = pa.array([default] * tbl.num_rows).cast(cur)
+                    pq.write_table(tbl.set_column(i, col, arr), f)
+                    changed = True
+                if changed:
+                    import shutil as _sh
+
+                    meta = read_manifest(os.path.join(t.index_dir, "meta.json"))
+                    cfg = BuildConfig.from_fingerprint(meta["config"])
+                    nxt = meta.get("next_docid")
+                    _sh.rmtree(t.index_dir, ignore_errors=True)
+                    build_index(list(t.source_files), t.index_dir, cfg)
+                    if nxt is not None:
+                        m2 = read_manifest(os.path.join(t.index_dir, "meta.json"))
+                        m2["next_docid"] = nxt
+                        write_manifest(os.path.join(t.index_dir, "meta.json"), m2)
+                    from .index import open_index
+
+                    open_index.cache_clear()
+                    self._invalidate()
+            return True
+        if name in self.pending:
+            return True  # never loaded: already empty
+        if name in self.tables:
+            t = self.tables.pop(name)
+            td = getattr(self, "_td_archive", {}).get(name)
+            if td is None:
+                raise ValueError(f"[truncate] no such target: <{name}>")
+            if self.data_dir and t.index_dir.startswith(
+                os.path.join(self.data_dir, "")
+            ):
+                shutil.rmtree(os.path.dirname(t.index_dir), ignore_errors=True)
+            self.pending[name] = td
+            self._auto_id.discard(name)
+            self._invalidate()
+            return True
+        raise ValueError(f"[truncate] no such target: <{name}>")
 
     def _cmd_table_rename(self, params: dict) -> bool:
         """``/d/table_rename?name=X&new_name=Y`` (proc_table_rename) —
@@ -2016,51 +2633,126 @@ class CommandServer:
         plugin.register(params["path"])
         return True
 
+    def _obj_id(self, key) -> int:
+        """Sequential object ids from 256, in creation order — the
+        reference's grn_obj ids that table_list/column_list render
+        (lib/proc.c proc_table_list); path is db/db.%07x of the id."""
+        if not hasattr(self, "_obj_ids"):
+            self._obj_ids: dict = {}
+            self._next_obj_id = 256
+        if key not in self._obj_ids:
+            self._obj_ids[key] = self._next_obj_id
+            self._next_obj_id += 1
+        return self._obj_ids[key]
+
     def _cmd_table_list(self, params: dict) -> list:
         """``/d/table_list`` (proc_table_list, lib/proc.c): one row per
-        registered table — (id, name, path, flags, domain)."""
+        registered table — (id, name, path, flags, domain, range,
+        default_tokenizer, normalizer), sorted by name."""
         header = [
             ["id", "UInt32"], ["name", "ShortText"], ["path", "ShortText"],
             ["flags", "ShortText"], ["domain", "ShortText"],
+            ["range", "ShortText"], ["default_tokenizer", "ShortText"],
+            ["normalizer", "ShortText"],
         ]
         rows = []
-        names = sorted(set(self.tables) | set(self.pending))
-        for i, name in enumerate(names, start=1):
-            if name in self.tables:
-                t = self.tables[name]
-                rows.append(
-                    [i, name, t.index_dir, "TABLE_PAT_KEY|PERSISTENT",
-                     t.docid_column or "_id"]
-                )
-            else:
-                td = self.pending[name]
-                rows.append([i, name, "", td.flags + "|PENDING", "_id"])
-        return [[len(rows)], header, *rows]
+        ddl_names = {t["name"] for t in self._ddl_tables}
+        for t in sorted(self._ddl_tables, key=lambda x: x["name"]):
+            oid = self._obj_id(("t", t["name"]))
+            flags = [
+                f for f in (t["flags"] or "TABLE_HASH_KEY").split("|")
+                if f and f != "KEY_NORMALIZE"
+            ]
+            if not any(f.startswith("TABLE_") for f in flags):
+                flags.insert(0, "TABLE_HASH_KEY")
+            nrm = t.get("normalizer") or (
+                "NormalizerAuto" if "KEY_NORMALIZE" in (t["flags"] or "") else None
+            )
+            rows.append([
+                oid, t["name"], f"db/db.{oid:07x}", "|".join(flags + ["PERSISTENT"]),
+                t.get("key_type") or None, t.get("value_type") or None,
+                t.get("default_tokenizer") or None, nrm or None,
+            ])
+        for i, name in enumerate(sorted(set(self.tables) - ddl_names)):
+            # externally registered tables (no DDL provenance)
+            t = self.tables[name]
+            rows.append([
+                1000 + i, name, t.index_dir, "TABLE_PAT_KEY|PERSISTENT",
+                None, None, None, None,
+            ])
+        # no hit-count head: the body is [header, rows...] (lib/proc.c
+        # proc_table_list output shape)
+        return [header, *rows]
 
     def _cmd_column_list(self, params: dict) -> list:
-        """``/d/column_list?table=<name>`` (proc_column_list): one row
-        per source column — (id, name, type, flags, source) with the
-        indexed text sections flagged COLUMN_INDEX-style."""
-        import pyarrow.parquet as pq
-
-        t = self._table(params)
-        schema = pq.read_schema(t.source_files[0])
-        sections = set(t.reader().meta.get("sections", []))
+        """``/d/column_list?table=<name>`` (proc_column_list): the
+        ``_key`` pseudo column (id = the table's own id) then one row
+        per column in creation order — (id, name, path, type
+        var|fix|index, flags, domain, range, [sources])."""
+        name = params.get("table")
+        ddl_t = next((t for t in self._ddl_tables if t["name"] == name), None)
         header = [
-            ["id", "UInt32"], ["name", "ShortText"], ["type", "ShortText"],
-            ["flags", "ShortText"], ["source", "ShortText"],
+            ["id", "UInt32"], ["name", "ShortText"], ["path", "ShortText"],
+            ["type", "ShortText"], ["flags", "ShortText"],
+            ["domain", "ShortText"], ["range", "ShortText"],
+            ["source", "ShortText"],
         ]
+        if ddl_t is None:
+            # externally registered table: derive from the parquet schema
+            t = self._table(params)
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(t.source_files[0])
+            rows = [
+                [i + 1, f.name, "", "var", "COLUMN_SCALAR|PERSISTENT",
+                 name, str(f.type), []]
+                for i, f in enumerate(schema)
+                if f.name != "_dummy_text"
+            ]
+            return [header, *rows]
         rows = []
-        i = 0
-        for field in schema:
-            if field.name == "_dummy_text":
-                continue
-            i += 1
-            flags = "COLUMN_SCALAR|PERSISTENT"
-            if field.name in sections:
-                flags += "|WITH_POSITION|INDEXED"
-            rows.append([i, field.name, str(field.type), flags, ""])
-        return [[len(rows)], header, *rows]
+        flags_s = ddl_t["flags"] or "TABLE_HASH_KEY"
+        if "TABLE_NO_KEY" not in flags_s:
+            rows.append([
+                self._obj_id(("t", name)), "_key", "", "", "COLUMN_SCALAR",
+                name, ddl_t.get("key_type") or None, [],
+            ])
+        _VAR_TYPES = ("ShortText", "Text", "LongText")
+        for c in sorted(
+            (c for c in self._ddl_cols if c["table"] == name),
+            key=lambda c: c["name"],
+        ):
+            oid = self._obj_id(("c", name, c["name"]))
+            cflags = c["flags"] or "COLUMN_SCALAR"
+            if c.get("is_index"):
+                typ = "index"
+                rng = c.get("type") or ""
+                srcs = [
+                    rng if s.strip() == "_key" else f"{rng}.{s.strip()}"
+                    for s in (c.get("source") or "").split(",")
+                    if s.strip()
+                ]
+                # canonical index-flag order (grn_column_create
+                # normalizes to SECTION|WEIGHT|POSITION)
+                fl = set(cflags.split("|"))
+                cflags = "|".join(
+                    f for f in (
+                        "COLUMN_INDEX", "WITH_SECTION", "WITH_WEIGHT",
+                        "WITH_POSITION",
+                    ) if f in fl
+                )
+            else:
+                typ = "var" if (c.get("type") in _VAR_TYPES or (
+                    c.get("type") not in self._ARROW_TYPES
+                    and not str(c.get("type", "")).endswith("GeoPoint")
+                )) else "fix"
+                rng = c.get("type") or ""
+                srcs = []
+            rows.append([
+                oid, c["name"], f"db/db.{oid:07x}", typ,
+                cflags + "|PERSISTENT", name, rng or None, srcs,
+            ])
+        return [header, *rows]
 
 
 def serve(

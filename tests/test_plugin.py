@@ -100,15 +100,15 @@ def test_server_table_and_column_list(srv):
     _, base = srv
     env = _get(base, "/d/table_list")
     body = env[1]
-    assert body[0] == [1]
-    assert body[2][1] == "documents" and "PAT_KEY" in body[2][3]
+    # reference shape: header row first, then one row per table
+    assert body[0][0] == ["id", "UInt32"] and body[0][1] == ["name", "ShortText"]
+    assert body[1][1] == "documents" and "PAT_KEY" in body[1][3]
 
     env = _get(base, "/d/column_list?table=documents")
-    rows = env[1][2:]
+    rows = env[1][1:]
     byname = {r[1]: r for r in rows}
     assert set(byname) == {"doc_id", "text", "lang", "source", "n_chars"}
-    assert "INDEXED" in byname["text"][3]
-    assert "INDEXED" not in byname["lang"][3]
+    assert all(r[5] == "documents" for r in rows)
 
 
 def test_plugin_scorer_usable_in_match_columns(srv, tmp_path):

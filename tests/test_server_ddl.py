@@ -61,7 +61,8 @@ def test_create_load_select_lifecycle(srv, tmp_path):
 
     # pending table: listed, selects empty
     env = _get(base, "/d/table_list")
-    assert any(r[1] == "Entries" and "PENDING" in r[3] for r in env[1][2:])
+    assert any(r[1] == "Entries" and "TABLE_PAT_KEY" in r[3]
+               for r in env[1][1:])
     assert _get(base, "/d/select?table=Entries&query=ray&limit=0")[1][0][0][0] == 0
 
     # first load materializes with server-assigned _id

@@ -180,6 +180,16 @@ def parse_script(
             if stripped.startswith("#@enable-logging"):
                 logging_off = False
                 continue
+            if stripped.startswith("#@copy-path") and include_dir is not None:
+                import os as _os
+
+                src, dst = stripped[len("#@copy-path"):].split()
+                out.append((
+                    "copy_path",
+                    {"src_abs": _os.path.join(include_dir, src), "dst": dst},
+                    True,
+                ))
+                continue
             if stripped.startswith("#@suggest-create-dataset"):
                 # grntest runs groonga-suggest-create-dataset: emit the
                 # dataset-DDL pseudo command (runs, never compared)
@@ -232,6 +242,16 @@ def parse_expected(text: str) -> list:
         line_start = i
         line = text[i:j if j != -1 else n]
         i = (j + 1) if j != -1 else n
+        if line.lstrip().startswith("<?xml"):
+            # --output_type xml response: raw text through </SEGMENTS>
+            end_tag = "</SEGMENTS>"
+            e = text.find(end_tag, line_start)
+            if e != -1:
+                envs.append(("xml", text[line_start:e + len(end_tag)]))
+                i = e + len(end_tag)
+                nl = text.find("\n", i)
+                i = (nl + 1) if nl != -1 else n
+            continue
         if not line.lstrip().startswith("["):
             continue
         start = line_start + (len(line) - len(line.lstrip()))
@@ -259,6 +279,44 @@ def parse_expected(text: str) -> list:
             nl = text.find("\n", consumed)
             i = (nl + 1) if nl != -1 else n
     return envs
+
+
+def render_select_xml(body, offset: int = 0) -> str:
+    """A select JSON body → the reference's XML rendering
+    (lib/output.c xml branch: RESULTSET/HIT/FIELD; vector values join
+    with ", ")."""
+    def esc(v) -> str:
+        if isinstance(v, list):
+            return ", ".join(esc(x) for x in v)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float) and v == int(v):
+            return str(int(v))
+        s = str(v)
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    out = ['<?xml version="1.0" encoding="utf-8"?>', "<SEGMENTS>",
+           "<SEGMENT>", "<RESULTPAGE>"]
+    for rs in body:
+        if isinstance(rs, dict):
+            continue
+        nhits = rs[0][0] if rs and rs[0] else 0
+        cols = rs[1] if len(rs) > 1 else []
+        rows = rs[2:]
+        out.append(
+            f'<RESULTSET OFFSET="{offset}" LIMIT="{len(rows)}" '
+            f'NHITS="{nhits}">'
+        )
+        for no, row in enumerate(rows, start=1):
+            out.append(f'<HIT NO="{no}">')
+            for (cname, _ctype), v in zip(cols, row):
+                out.append(f'<FIELD NAME="{cname}">{esc(v)}</FIELD>')
+            out.append("</HIT>")
+        out.append("</RESULTSET>")
+    out += ["</RESULTPAGE>", "</SEGMENT>", "</SEGMENTS>"]
+    return "\n".join(out)
 
 
 # ------------------------------------------------------------- comparator
@@ -486,6 +544,24 @@ class ScriptRunner:
                 body = self.execute(name, params)
             except Exception as e:  # noqa: BLE001 - reported as mismatch
                 body, err = None, f"{type(e).__name__}: {e}"
+            if isinstance(env, tuple) and env and env[0] == "xml":
+                if err is not None:
+                    out.append({"command": name, "ok": False, "detail": err})
+                    continue
+                got = render_select_xml(
+                    body, offset=int(params.get("offset") or 0)
+                ).strip()
+                exp_txt = env[1].strip()
+                ok = got == exp_txt
+                out.append(
+                    {
+                        "command": name,
+                        "ok": ok,
+                        "detail": "ok" if ok
+                        else f"ours:\n{got}\nexpected:\n{exp_txt}",
+                    }
+                )
+                continue
             expected_err = bool(env and env[0] and env[0][0] != 0)
             if err is None and not expected_err:
                 ok, detail = compare(name, body, env, ordered=ordered)

@@ -198,7 +198,10 @@ def _eval_match_node(
                 n_docs=reader.n_docs, avgdl=reader.avgdl(sec),
                 doclens=reader.doclens(sec), weight=1.0,
             )
-            tokens = _query_tokens(node.text, reader)
+            if sec in reader.meta.get("uvector_sections", ()):
+                tokens = [(node.text, 0)]
+            else:
+                tokens = _query_tokens(node.text, reader)
             if tokens:
                 m = term_match(
                     si, tokens, spec.scorer,
@@ -367,8 +370,24 @@ def _regexp_match(
     streaming sequential scan (returned as a deferred predicate)."""
     from .search import term_match, union_postings
 
-    lits = _regex_literals(pattern)
     pred = DeferredPred(("@~", ("col", col), ("str", pattern)), (col,))
+    if not table.auto_indexed and reader.meta.get("config", {}).get(
+        "normalizer"
+    ):
+        # a DECLARED normalized lexicon indexes normalized text: the
+        # pattern matches the NORMALIZED form (grn_ii_select REGEXP
+        # tokenizes the pattern through the same normalizer,
+        # lib/ii.c:6049). Escapes like \A / \W keep their case. The
+        # sequential fallback pred keeps the raw pattern (it matches
+        # raw text).
+        import re as _re2
+
+        pattern = _re2.sub(
+            r"(\\.)|([A-Z]+)",
+            lambda m: m.group(1) or m.group(2).lower(),
+            pattern,
+        )
+    lits = _regex_literals(pattern)
     if not lits or col not in reader.sections:
         return pred
     si = reader.section(col)
@@ -420,8 +439,13 @@ def _regexp_match(
     if acc.nhits == 0:
         return acc
     tbl = fetch_docs(table, acc.docids, [col])
+    target = tbl.column(col)
+    if not table.auto_indexed and reader.meta.get("config", {}).get(
+        "normalizer"
+    ):
+        target = pc.utf8_lower(target)
     counts = pc.fill_null(
-        pc.count_substring_regex(tbl.column(col), pattern), 0
+        pc.count_substring_regex(target, pattern), 0
     ).to_numpy(zero_copy_only=False)
     keep = counts > 0
     return MatchResult(acc.docids[keep], counts[keep].astype(np.float64))
@@ -855,17 +879,29 @@ def _ref_map_column(table: "IndexedTable", base: str, sub: str, values) -> pa.Ar
     if isinstance(vals, pa.ChunkedArray):
         vals = vals.combine_chunks()
     if pa.types.is_list(values.type) or pa.types.is_large_list(values.type):
-        # vector reference column: map each ELEMENT, keep the shape
-        # (accessor over a vector reference renders a vector,
-        # lib/db.c:11187)
-        flat = pc.list_flatten(values)
-        idx = pc.index_in(flat.cast(mkeys.type), value_set=mkeys)
+        # vector reference column: map each ELEMENT, keep the shape —
+        # arbitrarily nested (blogs.entries.content renders a vector
+        # of vectors; accessor over a vector reference renders a
+        # vector, lib/db.c:11187)
+        shape: list[tuple[bool, pa.Array]] = []
+        cur = values
+        while pa.types.is_list(cur.type) or pa.types.is_large_list(cur.type):
+            if isinstance(cur, pa.ChunkedArray):
+                cur = cur.combine_chunks()
+            shape.append((pa.types.is_large_list(cur.type), cur.offsets))
+            cur = pc.list_flatten(cur)
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        idx = pc.index_in(cur.cast(mkeys.type), value_set=mkeys)
         mapped = pc.take(vals, idx)
-        return pa.LargeListArray.from_arrays(
-            values.offsets, mapped
-        ) if pa.types.is_large_list(values.type) else pa.ListArray.from_arrays(
-            values.offsets, mapped
-        )
+        for is_large, offs in reversed(shape):
+            if isinstance(mapped, pa.ChunkedArray):
+                mapped = mapped.combine_chunks()
+            mapped = (
+                pa.LargeListArray.from_arrays(offs, mapped)
+                if is_large else pa.ListArray.from_arrays(offs, mapped)
+            )
+        return mapped
     idx = pc.index_in(values.cast(mkeys.type), value_set=mkeys)
     return pc.take(vals, idx)
 
@@ -1156,14 +1192,23 @@ def _eval_scorer_expr(expr: str, docids, scores, table: IndexedTable) -> tuple:
             cols[c] = fetched.column(c)
     tbl = pa.table(cols)
     out = eval_filter(rhs, tbl)
+    # integer expressions stay int64 for a non-_score target — float64
+    # mantissa loss flips INT64_MAX-scale values (the reference's VM
+    # registers are typed)
+    int_ok = target != "_score"
     if isinstance(out, pa.Scalar):
-        out_np = np.full(len(docids), out.as_py(), np.float64)
-    else:
-        out_np = np.asarray(
-            (out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out)
-            .to_numpy(zero_copy_only=False),
-            np.float64,
+        dt = (
+            np.int64 if int_ok and pa.types.is_integer(out.type) else np.float64
         )
+        out_np = np.full(len(docids), out.as_py(), dt)
+    else:
+        arr = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+        if int_ok and pa.types.is_integer(arr.type):
+            out_np = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            out_np = np.asarray(
+                arr.to_numpy(zero_copy_only=False), np.float64
+            )
     if op == "=":
         return target, out_np
     if target == "_score":
@@ -1218,6 +1263,198 @@ def _apply_adjuster(adjuster: str, result: MatchResult, reader: IndexReader) -> 
     return result
 
 
+def _term_extract_match(table: "IndexedTable", col: str, text: str) -> MatchResult:
+    """``col *T "text"`` (grn_ii_term_extract over a key table,
+    lib/ii.c:5966-6046): longest-prefix walk of the normalized text
+    over the table's value set; rows whose value was extracted match.
+    The value set is vocabulary-sized (a key table), so collecting it
+    is a dimension-table read, not a corpus materialization."""
+    import unicodedata
+
+    import pyarrow.parquet as pq2
+
+    vals: set[str] = set()
+    for f in table.source_files:
+        t = pq2.read_table(f, columns=[col])
+        vals.update(
+            v for v in t.column(col).to_pylist() if isinstance(v, str)
+        )
+    norm = unicodedata.normalize("NFKC", text).lower()
+    # values compare normalized (KEY_NORMALIZE tables store normalized
+    # keys; plain columns normalize at match time like the reference's
+    # lexicon lookup)
+    by_norm: dict[str, list[str]] = {}
+    for v in vals:
+        if v:
+            by_norm.setdefault(
+                unicodedata.normalize("NFKC", v).lower(), []
+            ).append(v)
+    by_first: dict[str, list[str]] = {}
+    for nv in by_norm:
+        by_first.setdefault(nv[0], []).append(nv)
+    for lst in by_first.values():
+        lst.sort(key=len, reverse=True)
+    matched: set[str] = set()
+    i, n = 0, len(norm)
+    while i < n:
+        best = None
+        for k in by_first.get(norm[i], ()):
+            if norm.startswith(k, i):
+                best = k
+                break
+        if best:
+            matched.update(by_norm[best])
+            i += len(best)
+        else:
+            i += 1
+    pred = DeferredPred(("in_set", ("col", col), matched), (col,))
+    return _scan_pred(table, pred)
+
+
+def _reverse_sub_filter_keys(
+    files: list[str], source_col: str, filter_str: str
+) -> pa.Array:
+    """sub_filter through an INDEX-column accessor (the reverse
+    direction, grn_accessor_resolve over a GRN_ACCESSOR_LOOKUP,
+    lib/proc.c:5269): run the sub filter on the index's DATA table and
+    return the matching rows' source values — the host table's keys."""
+    from .script import eval_filter, parse_filter
+
+    ast = parse_filter(filter_str)
+    cols = sorted(set(_pred_columns(ast)) | {source_col})
+    chunks: list[pa.Array] = []
+    for f in sorted(files):
+        pf = pq.ParquetFile(f)
+        for rg in range(pf.metadata.num_row_groups):
+            tbl = pf.read_row_group(rg, columns=cols)
+            mask = eval_filter(ast, tbl)
+            if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                mask = pc.fill_null(mask, False)
+            vals = tbl.column(source_col).filter(mask)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if pa.types.is_list(vals.type) or pa.types.is_large_list(vals.type):
+                vals = pc.list_flatten(vals)
+            chunks.append(vals)
+    out: dict = {}
+    for arr in chunks:
+        for v in arr.to_pylist():
+            out[v] = out.get(v, 0.0) + 1.0
+    return out
+
+
+def _sub_select_keys(ref_t, files: list[str], key_col: str, sub: str) -> dict:
+    """Key → score of the referenced table's rows matching a sub
+    filter. Plain predicates run as the streaming scan
+    (_sub_filter_keys, score 1); a sub filter that itself needs the
+    search engine — query(), nested sub_filter(), match-mode operators
+    — runs as a full select on the referenced table's own index, and
+    its SCORES ride along (run_sub_filter executes a complete
+    grn_table_select whose subrecord scores accumulate through
+    grn_accessor_resolve's res_add, lib/proc.c:5168-5293)."""
+    needs_engine = any(
+        tok in sub for tok in ("query(", "sub_filter(", "*N", "*S", "*T")
+    )
+    if ref_t is None or not needs_engine:
+        keys = _sub_filter_keys(list(files), key_col, sub)
+        return {k: 1.0 for k in keys.to_pylist()}
+    res = select(
+        ref_t, filter=sub, output_columns=(key_col, "_score"), limit=-1,
+        sortby="_id",
+    )
+    rows = res["rows"]
+    return dict(
+        zip(rows.column(key_col).to_pylist(),
+            (float(s) for s in rows.column("_score").to_pylist()))
+    )
+
+
+def _sub_filter_path_keys(table: "IndexedTable", path: str, sub: str) -> pa.Array:
+    """sub_filter over a dotted accessor (``files.author``): resolve
+    hop by hop — the predicate runs on the table the LAST segment
+    references, then key sets join back up the chain (grn_accessor
+    chain resolution, lib/proc.c:5269-5293). Every hop is a
+    dimension-table scan."""
+    base, _, rest = path.partition(".")
+    ent = _ref_entry(table, base)
+    if ent is None:
+        raise ValueError(
+            f"sub_filter: no reference target declared for column {base!r} "
+            "(set IndexedTable.refs[col] = (files, key_column))"
+        )
+    files, key_col, ref_t = ent[:3]
+    if not rest:
+        if len(ent) >= 4 and ent[3] == "reverse":
+            return _reverse_sub_filter_keys(list(files), key_col, sub)
+        return _sub_select_keys(ref_t, list(files), key_col, sub)
+    inner = _sub_filter_path_keys(ref_t, rest, sub)
+    seg = rest.split(".", 1)[0]
+    seg_ent = (ref_t.refs or {}).get(seg) if ref_t is not None else None
+    if seg_ent is not None and len(seg_ent) >= 4 and seg_ent[3] == "reverse":
+        # the inner hop was an index-column accessor: its keys ARE
+        # ref_t's keys — join back on the key column itself
+        seg = key_col
+    out: dict = {}
+    for f in sorted(files):
+        pf = pq.ParquetFile(f)
+        for rg in range(pf.metadata.num_row_groups):
+            tbl = pf.read_row_group(
+                rg, columns=sorted({key_col, seg})
+            )
+            col = tbl.column(seg)
+            keys = tbl.column(key_col).to_pylist()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                for k, elems in zip(keys, col.to_pylist()):
+                    s = sum(inner.get(e, 0.0) for e in (elems or []))
+                    if s > 0:
+                        out[k] = out.get(k, 0.0) + s
+            else:
+                for k, v in zip(keys, col.to_pylist()):
+                    s = inner.get(v, 0.0)
+                    if s > 0:
+                        out[k] = out.get(k, 0.0) + s
+    return out
+
+
+def _match_pred_tree(n, reader):
+    """Map a residual filter AST that is a pure boolean tree of
+    `col @ "text"` units over DECLARED-index sections to qlang match
+    nodes (set-wise evaluation with score accumulation). Returns None
+    when any leaf isn't an indexed match."""
+    from .qlang import AndNode, NotNode, OrNode, TermNode
+
+    if n[0] == "and":
+        l, r = _match_pred_tree(n[1], reader), _match_pred_tree(n[2], reader)
+        return AndNode([l, r]) if l is not None and r is not None else None
+    if n[0] == "or":
+        l, r = _match_pred_tree(n[1], reader), _match_pred_tree(n[2], reader)
+        return OrNode([l, r]) if l is not None and r is not None else None
+    if n[0] == "and_not":
+        l, r = _match_pred_tree(n[1], reader), _match_pred_tree(n[2], reader)
+        return (
+            NotNode(positive=l, negative=r)
+            if l is not None and r is not None else None
+        )
+    if (
+        n[0] == "@" and n[1][0] == "col" and n[2][0] == "str"
+        and n[1][1] in reader.sections
+    ):
+        return TermNode(n[2][1], section=n[1][1], explicit=True)
+    return None
+
+
+#: single-slot registry: the command server installs its query-expander
+#: resolver (name -> {term: expansion}) so query()'s third argument can
+#: resolve named expanders (plugins/query_expanders, lib/proc.c:330)
+_QUERY_EXPANDER_RESOLVER: list = [None]
+
+
+def set_query_expander_resolver(fn) -> None:
+    _QUERY_EXPANDER_RESOLVER[0] = fn
+
+
 def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec: MatchSpec) -> MatchResult:
     """--filter script expression: index-capable `col @ "text"` units
     run through the posting lists; the residual predicate runs as a
@@ -1241,14 +1478,58 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
             docids = gi.search_circle(unit[2], unit[3], unit[4])
         m = MatchResult(docids, np.ones(len(docids), np.float64))
         acc = m if acc is None else op_and(acc, m)
-    for mc, q in plan.subqueries:
-        # query("cols", "q") — nested sub-select as a predicate
-        # (lib/proc.c:5138-5268)
+    for mc, q, *extra in plan.subqueries:
+        # query("cols", "q"[, expander]) — nested sub-select as a
+        # predicate (lib/proc.c:5138-5268); in a `== true` boolean
+        # context the membership result scores 1
+        boolctx = [extra[0]] if extra else []
+        expander_name = extra[1] if len(extra) > 1 else None
         sub_spec = parse_match_columns(mc)
         sub_spec.scorer = spec.scorer
-        m = _eval_node(parse_query(q), reader, sub_spec, table)
+        _expand_index_sections(sub_spec, table)
+        q_ast = parse_query(q)
+        if expander_name:
+            if _QUERY_EXPANDER_RESOLVER[0] is None:
+                raise ValueError(
+                    f"query(): no query expander registry for "
+                    f"{expander_name!r}"
+                )
+            q_ast = _expand_query_ast(
+                q_ast, _QUERY_EXPANDER_RESOLVER[0](expander_name)
+            )
+        m = _eval_node(q_ast, reader, sub_spec, table)
+        if boolctx and boolctx[0]:
+            m = MatchResult(m.docids, np.ones(len(m.docids), np.float64))
         acc = m if acc is None else op_and(acc, m)
-    for col, text in plan.matches:
+    for col, text, *mode_rest in plan.matches:
+        mode = mode_rest[0] if mode_rest else "match"
+        if mode in ("near", "similar"):
+            # col *N "a b" / col *S "text" (GRN_OP_NEAR / GRN_OP_SIMILAR
+            # through grn_table_select's index path, lib/expr.c:4360).
+            # Without a DECLARED index there is no sequential fallback
+            # (grn_table_select_sequential: "not implemented operator
+            # assigned", rc -38)
+            if table.auto_indexed or col.split(".", 1)[0] not in reader.sections:
+                raise ValueError("not implemented operator assigned")
+            from .qlang import NearNode, SimilarNode
+
+            node = (
+                NearNode(text, max_interval=10) if mode == "near"
+                else SimilarNode(text)
+            )
+            sub_spec = parse_match_columns(col)
+            sub_spec.scorer = spec.scorer
+            m = _eval_match_node(node, reader, sub_spec, table)
+            acc = m if acc is None else op_and(acc, m)
+            continue
+        if mode == "term_extract":
+            # col *T "text" (grn_ii_term_extract, lib/ii.c:5966): rows
+            # whose value appears in the text by longest-prefix walk.
+            # The value set is key/vocabulary sized (a dimension table)
+            # — collected once, no corpus materialization.
+            m = _term_extract_match(table, col, text)
+            acc = m if acc is None else op_and(acc, m)
+            continue
         if "." in col:
             base, sub = col.split(".", 1)
             if sub == "_key" and base in reader.sections:
@@ -1281,7 +1562,12 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
             n_docs=reader.n_docs, avgdl=reader.avgdl(col),
             doclens=reader.doclens(col), weight=1.0,
         )
-        m = term_match(si, _query_tokens(text, reader), spec.scorer, **kw)
+        if col in reader.meta.get("uvector_sections", ()):
+            # vector section: the whole filter text is ONE element term
+            tokens = [(text, 0)]
+        else:
+            tokens = _query_tokens(text, reader)
+        m = term_match(si, tokens, spec.scorer, **kw)
         acc = m if acc is None else op_and(acc, m)
     pending_preds: list[DeferredPred] = []
     for col, pat in plan.regexps:
@@ -1290,20 +1576,53 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
             pending_preds.append(r)
         else:
             acc = r if acc is None else op_and(acc, r)
+    subf_scores: list[tuple[str, dict]] = []
     for col, sub in plan.sub_filters:
         # sub_filter(col, "f"): select on the table col REFERENCES,
         # resolve the matching keys back as `col in keys` (run_sub_
         # filter + grn_accessor_resolve, lib/proc.c:5168-5293). The
         # referenced side is a dimension table — broadcast-small; its
         # key set rides the predicate instead of a shuffle join.
-        if not table.refs or col not in table.refs:
+        base = col.split(".", 1)[0]
+        ent0 = (table.refs or {}).get(base)
+        if ent0 is None:
             raise ValueError(
-                f"sub_filter: no reference target declared for column {col!r} "
+                f"sub_filter: no reference target declared for column {base!r} "
                 "(set IndexedTable.refs[col] = (files, key_column))"
             )
-        ref_files, key_col = table.refs[col][:2]
-        keys = _sub_filter_keys(list(ref_files), key_col, sub)
-        pending_preds.append(DeferredPred(("in_set", ("col", col), keys), (col,)))
+        if len(ent0) >= 4 and ent0[3] == "reverse":
+            # index-column accessor: filter the index's data table,
+            # matched rows' source values are THIS table's keys
+            smap = _reverse_sub_filter_keys(list(ent0[0]), ent0[1], sub)
+            tgt = "_key"
+        else:
+            if "." in col:
+                smap = _sub_filter_path_keys(table, col, sub)
+            else:
+                ref_files, key_col = ent0[:2]
+                smap = _sub_select_keys(
+                    ent0[2] if len(ent0) > 2 else None,
+                    list(ref_files), key_col, sub,
+                )
+            tgt = base
+        pending_preds.append(
+            DeferredPred(
+                ("in_set", ("col", tgt), pa.array(list(smap))), (tgt,)
+            )
+        )
+        if any(v != 1.0 for v in smap.values()):
+            subf_scores.append((tgt, smap))
+    if plan.predicate is not None and not table.auto_indexed:
+        # a residual that is a pure boolean tree of INDEXED `col @
+        # "text"` units evaluates set-wise with score accumulation —
+        # grn_table_select builds temporary result sets per scan-info
+        # segment and res_add sums scores (select/score/
+        # need_temporary_table; lib/expr.c:4360 scan_info)
+        tree = _match_pred_tree(plan.predicate, reader)
+        if tree is not None:
+            m = _eval_node(tree, reader, spec, table)
+            acc = m if acc is None else op_and(acc, m)
+            plan.predicate = None  # consumed
     if plan.predicate is not None:
         pred = DeferredPred(plan.predicate, _pred_columns(plan.predicate))
         dotted = {c.split(".", 1)[0] for c in pred.columns if "." in c}
@@ -1331,6 +1650,24 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
             # bounded by the index match: evaluate the residual ONLY
             # over the matched docids (docid-pruned fetch)
             acc = _apply_pred_to(table, pred, acc)
+    if (
+        acc is not None and subf_scores and len(acc.docids)
+        and np.all(acc.scores == 1.0)
+    ):
+        # sub_filter scores accumulate into the outer records
+        # (grn_accessor_resolve res_add sums subrecord scores,
+        # lib/proc.c:5269-5293)
+        fetched = fetch_docs(
+            table, acc.docids, sorted({t for t, _ in subf_scores})
+        )
+        total = np.zeros(len(acc.docids), np.float64)
+        for tgt, smap in subf_scores:
+            for i, v in enumerate(fetched.column(tgt).to_pylist()):
+                if isinstance(v, list):
+                    total[i] += sum(smap.get(e, 0.0) for e in v)
+                else:
+                    total[i] += smap.get(v, 0.0)
+        acc = MatchResult(acc.docids, total)
     return acc if acc is not None else MatchResult.empty()
 
 
@@ -1515,9 +1852,15 @@ def select(
             n for n in first.schema_arrow.names
             if n not in named and not n.startswith("_")
         )
-        output_columns = tuple(
-            c for c in output_columns if c != "*"
-        ) + tuple(all_cols)
+        # expand in place: `*, _key` renders data columns THEN _key
+        # (grn_obj_columns appends at the `*` position)
+        expanded: list[str] = []
+        for c in output_columns:
+            if c == "*":
+                expanded.extend(all_cols)
+            else:
+                expanded.append(c)
+        output_columns = tuple(expanded)
     out: dict[str, pa.Array] = {}
     import re as _re
 
@@ -1551,6 +1894,12 @@ def select(
             or (c.endswith("._key") and c.split(".", 1)[0] in _schema_names)
         )
     ]
+    # a dotted accessor that doesn't resolve to a reference path is
+    # silently dropped, like unknown plain names (`_key.garbage`,
+    # `nonexistent.nested` — grn_obj_columns skips, lib/db.c:11187)
+    output_columns = tuple(
+        c for c in output_columns if not _is_dotted(c) or c in dotted
+    )
     exprs = [
         c for c in output_columns
         if not _is_plain(c) and c not in dotted and c != "*"
@@ -1558,10 +1907,56 @@ def select(
     expr_deps: set[str] = set()
     expr_asts: dict[str, object] = {}
     snippet_like: dict[str, tuple[str, str]] = {}
+    hl_full: dict[str, tuple] = {}
     if exprs:
         from .script import parse_filter as _pf
 
         for c in exprs:
+            mf = _re.fullmatch(r"highlight_full\((.+)\)", c.strip(), _re.DOTALL)
+            if mf:
+                from .functions import parse_call_args
+
+                args = parse_call_args(mf.group(1))
+                # (column, normalizer, use_html_escape,
+                #  [keyword, open, close]...) — proc_highlight_full
+                # validates the shape (lib/proc.c:5684)
+                if (
+                    len(args) < 6
+                    or (len(args) - 3) % 3 != 0
+                    or args[0][0] != "ident"
+                    or args[1][0] != "str"
+                    or args[2][0] != "bool"
+                ):
+                    # malformed call: the value is null per record
+                    # (proc_highlight_full arg validation returns null,
+                    # lib/proc.c:5684)
+                    hl_full[c] = None
+                    continue
+                nrm_name = str(args[1][1])
+                if nrm_name:
+                    from .normalize import CUSTOM_NORMALIZERS
+                    from .tokenize import TOKENIZERS
+
+                    known = nrm_name in (
+                        "NormalizerAuto", "NormalizerNFKC100",
+                        "NormalizerNFKC51",
+                    ) or nrm_name in CUSTOM_NORMALIZERS
+                    if not known:
+                        # a tokenizer (or other proc) in the normalizer
+                        # slot errors (proc_highlight_full,
+                        # lib/proc.c:5727)
+                        raise ValueError(
+                            f"[highlight_full] not normalizer: "
+                            f"#<proc:tokenizer {nrm_name} "
+                            f"arguments:[$1, $2, $3]>"
+                        )
+                kw_specs = [
+                    (str(args[i][1]), str(args[i + 1][1]), str(args[i + 2][1]))
+                    for i in range(3, len(args), 3)
+                ]
+                hl_full[c] = (str(args[0][1]), nrm_name, bool(args[2][1]), kw_specs)
+                expr_deps.add(str(args[0][1]))
+                continue
             m = _re.fullmatch(r"(snippet_html|highlight_html)\((.+)\)", c.strip())
             if m:
                 # keyword-bearing output functions (lib/proc.c:3998,
@@ -1597,6 +1992,22 @@ def select(
         elif c in dotted:
             base, sub = c.split(".", 1)
             out[c] = _ref_map_column(table, base, sub, fetched.column(base))
+        elif c in hl_full:
+            spec_hl = hl_full[c]
+            if spec_hl is None:
+                # malformed call renders null per record
+                out[c] = pa.array([None] * len(docids), pa.string())
+            elif isinstance(spec_hl, str):
+                # not-a-normalizer: the error text is the value
+                out[c] = pa.array([spec_hl] * len(docids), pa.string())
+            else:
+                from .functions import highlight_full as _hlf
+
+                src_col, nrm, esc, kw_specs = spec_hl
+                out[c] = _hlf(
+                    fetched.column(src_col).combine_chunks(), nrm, esc,
+                    kw_specs,
+                )
         elif c in snippet_like:
             from . import functions as _fn
 
@@ -1631,7 +2042,7 @@ def select(
             out[c] = fetched.column(c)
     rows = pa.table(out)
 
-    result_dict = {"hits": nhits, "rows": rows}
+    result_dict = {"hits": nhits, "rows": rows, "n_out": len(docids)}
     if drilldown:
         result_dict["drilldown"] = _run_drilldown(
             table, result, [k.strip() for k in drilldown.split(",")],
@@ -1900,7 +2311,12 @@ def select_v1(table: IndexedTable, **kwargs) -> list:
         else:
             cols.append([name, str(rows.column(name).type)])
             body_cols.append(rows.column(name).to_pylist())
-    body = [list(r) for r in zip(*body_cols)] if body_cols else []
+    if body_cols:
+        body = [list(r) for r in zip(*body_cols)]
+    else:
+        # an all-whitespace projection still renders one (empty) row
+        # per output record (grn_output 0-column result sets)
+        body = [[] for _ in range(res.get("n_out", 0))]
     return [[res["hits"]], cols, *body]
 
 

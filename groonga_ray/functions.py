@@ -289,6 +289,124 @@ def highlight_html(texts: pa.Array, keywords: list[str]) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def parse_call_args(argstr: str) -> list[tuple[str, object]]:
+    """Split a function-call argument string on top-level commas and
+    classify each: ('str', unescaped) | ('bool', b) | ('num', n) |
+    ('ident', name)."""
+    parts: list[str] = []
+    depth = 0
+    quote = None
+    cur: list[str] = []
+    i = 0
+    while i < len(argstr):
+        ch = argstr[i]
+        if quote:
+            cur.append(ch)
+            if ch == "\\" and i + 1 < len(argstr):
+                cur.append(argstr[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    out: list[tuple[str, object]] = []
+    for p in parts:
+        if not p:
+            continue
+        if p[0] in "'\"" and p[-1] == p[0] and len(p) >= 2:
+            body = p[1:-1]
+            unesc: list[str] = []
+            j = 0
+            while j < len(body):
+                if body[j] == "\\" and j + 1 < len(body):
+                    unesc.append(body[j + 1])
+                    j += 2
+                else:
+                    unesc.append(body[j])
+                    j += 1
+            out.append(("str", "".join(unesc)))
+        elif p in ("true", "false"):
+            out.append(("bool", p == "true"))
+        else:
+            try:
+                out.append(("num", float(p) if "." in p else int(p)))
+            except ValueError:
+                out.append(("ident", p))
+    return out
+
+
+def highlight_full(
+    texts: pa.Array,
+    normalizer: str,
+    use_html_escape: bool,
+    keyword_specs: list[tuple[str, str, str]],
+) -> pa.Array:
+    """highlight_full (lib/proc.c:5684-5960): per-keyword open/close
+    tags, optional HTML escaping of the untagged text, keyword matching
+    through the named normalizer (empty = exact bytes). Leftmost-
+    longest, non-overlapping."""
+    specs = sorted(
+        range(len(keyword_specs)),
+        key=lambda i: -len(keyword_specs[i][0]),
+    )
+    out = []
+    for t in texts.to_pylist():
+        if t is None:
+            out.append(None)
+            continue
+        if normalizer:
+            norm, starts, ends = _norm_map(t)
+            nkws = [_norm_keyword(keyword_specs[i][0]) for i in range(len(keyword_specs))]
+        else:
+            norm = t
+            starts = list(range(len(t)))
+            ends = list(range(1, len(t) + 1))
+            nkws = [k for k, _, _ in keyword_specs]
+        spans: list[tuple[int, int, int]] = []
+        i = 0
+        n = len(norm)
+        while i < n:
+            hit = None
+            for ki in specs:
+                nk = nkws[ki]
+                if nk and norm.startswith(nk, i):
+                    hit = (ki, len(nk))
+                    break
+            if hit:
+                ki, ln = hit
+                spans.append((starts[i], ends[i + ln - 1], ki))
+                i += ln
+            else:
+                i += 1
+        esc = _esc if use_html_escape else (lambda s: s)
+        parts: list[str] = []
+        pos = 0
+        for s, e, ki in spans:
+            parts.append(esc(t[pos:s]))
+            _, open_tag, close_tag = keyword_specs[ki]
+            parts.append(open_tag + esc(t[s:e]) + close_tag)
+            pos = e
+        parts.append(esc(t[pos:]))
+        out.append("".join(parts))
+    return pa.array(out, type=pa.string())
+
+
 _TAG = re.compile(r"<[^>]*>")
 
 

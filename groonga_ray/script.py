@@ -158,7 +158,7 @@ class _P:
     def parse_cmp(self):
         left = self.parse_shift()
         self.ws()
-        for op in ("<=", ">=", "@^", "@$", "@~", "@"):
+        for op in ("<=", ">=", "@^", "@$", "@~", "@", "*N", "*S", "*T"):
             if self.eat(op):
                 return (op, left, self.parse_shift())
         # single-char < > must not swallow << >>
@@ -210,6 +210,14 @@ class _P:
         left = self.parse_unary()
         while True:
             self.ws()
+            if self.peek(2) in ("*N", "*S", "*T") and not (
+                self.i + 2 < len(self.s)
+                and (self.s[self.i + 2].isalnum() or self.s[self.i + 2] == "_")
+            ):
+                # match-mode operators (NEAR/SIMILAR/TERM_EXTRACT,
+                # lib/expr.c query ops) — comparison precedence, leave
+                # for parse_cmp
+                return left
             if self.peek() == "*":
                 self.i += 1
                 left = ("*", left, self.parse_unary())
@@ -407,16 +415,37 @@ def split_filter(ast, geo_columns: set | frozenset = frozenset()) -> FilterPlan:
                 return left
             return ("and", left, right)
         if n[0] == "@" and n[1][0] == "col" and n[2][0] == "str":
-            matches.append((n[1][1], n[2][1]))
+            matches.append((n[1][1], n[2][1], "match"))
+            return None
+        if n[0] in ("*N", "*S", "*T") and n[1][0] == "col" and n[2][0] == "str":
+            # match-mode operators: NEAR / SIMILAR / TERM_EXTRACT
+            # (grn_table_select index path, lib/expr.c:4360)
+            mode = {"*N": "near", "*S": "similar", "*T": "term_extract"}[n[0]]
+            matches.append((n[1][1], n[2][1], mode))
             return None
         if n[0] == "@~" and n[1][0] == "col" and n[2][0] == "str":
             regexps.append((n[1][1], n[2][1]))
             return None
         if (
-            n[0] == "call" and n[1] == "query" and len(n[2]) == 2
+            n[0] == "call" and n[1] == "query" and len(n[2]) in (2, 3)
+            and all(a[0] in ("str", "col") for a in n[2])
             and n[2][0][0] == "str" and n[2][1][0] == "str"
         ):
-            subqueries.append((n[2][0][1], n[2][1][1]))
+            # (match_columns, query[, query_expander]) —
+            # lib/proc.c:5138 func_query
+            expander = n[2][2][1] if len(n[2]) == 3 else None
+            subqueries.append((n[2][0][1], n[2][1][1], False, expander))
+            return None
+        if (
+            n[0] == "==" and n[2] == ("num", True)
+            and n[1][0] == "call" and n[1][1] == "query"
+            and len(n[1][2]) == 2
+            and n[1][2][0][0] == "str" and n[1][2][1][0] == "str"
+        ):
+            # `query(...) == true` is the bare query() predicate in a
+            # BOOLEAN context: membership only, score 1 (the comparison
+            # result, not the query's accumulated score)
+            subqueries.append((n[1][2][0][1], n[1][2][1][1], True))
             return None
         if (
             n[0] == "call" and n[1] == "sub_filter" and len(n[2]) == 2
@@ -533,10 +562,12 @@ def _truthy_arr(a):
 
 def _norm_query(q: str) -> str:
     """NormalizerAuto on a sequential-operator query literal
-    (lib/operator.c:773 normalizes the query side too)."""
-    from .normalize import normalize
+    (lib/operator.c:773 normalizes the query side too; flags=0 keeps
+    blanks — only the target side we lower with utf8_lower keeps its
+    blanks, so the query side must too)."""
+    import unicodedata
 
-    return normalize(q)[0]
+    return unicodedata.normalize("NFKC", q).lower()
 
 
 def _is_listy(v) -> bool:
@@ -627,11 +658,15 @@ def eval_filter(ast, batch: pa.Table):
             t = getattr(v, "type", None)
             if t is not None and pa.types.is_unsigned_integer(t):
                 # promote so -uint doesn't wrap (the reference negates
-                # into a signed register)
+                # into a signed register); a UInt64 beyond INT64_MAX
+                # has no signed inverse (grn arithmetic error)
                 try:
                     v = v.cast(pa.int64())
                 except pa.ArrowInvalid:
-                    pass
+                    big = pc.min_max(v)["max"].as_py()
+                    raise ValueError(
+                        f"too large UInt64 value to inverse sign: <{big}>"
+                    )
             return pc.negate(v)
         if kind in ("==", "!=", "<", ">", "<=", ">="):
             fn = {
@@ -675,6 +710,44 @@ def eval_filter(ast, batch: pa.Table):
                 return pc.binary_join_element_wise(
                     _as_string(a, b), _as_string(b, a), ""
                 )
+            at = getattr(a, "type", None)
+            bt = getattr(b, "type", None)
+            if (
+                kind == "/"
+                and at is not None and pa.types.is_signed_integer(at)
+                and (
+                    (bt is not None and pa.types.is_integer(bt))
+                    or isinstance(b, int)
+                )
+            ):
+                # C-style integer division: truncate toward zero and
+                # wrap at the LEFT operand's width (INT32_MIN / -1 ==
+                # INT32_MIN — the reference's typed registers,
+                # lib/operator.c arithmetic dispatch). numpy path keeps
+                # INT64_MIN / -1 off Arrow's overflow check.
+                w = at.bit_width
+
+                def _npv(v):
+                    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                        return v.to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        )
+                    if isinstance(v, pa.Scalar):
+                        return np.asarray(int(v.as_py()), np.int64)
+                    return np.asarray(int(v), np.int64)
+
+                av, bv = _npv(a), _npv(b)
+                if not np.all(bv != 0):
+                    return pc.divide(a, b)  # raise like the reference
+                with np.errstate(over="ignore"):
+                    q = (np.abs(av) // np.abs(bv)) * (
+                        np.sign(av) * np.sign(bv)
+                    )
+                q = q.astype(object)
+                q = ((q + (1 << (w - 1))) % (1 << w)) - (1 << (w - 1))
+                if q.ndim == 0:
+                    return pa.scalar(int(q), at)
+                return pa.array([int(x) for x in q], at)
             fn = {
                 "+": pc.add, "-": pc.subtract, "*": pc.multiply,
                 "/": pc.divide, "%": lambda a, b: pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b)),
@@ -736,6 +809,13 @@ def eval_filter(ast, batch: pa.Table):
             # column GRN_OP_MATCH degenerates to equality (the range
             # index match path, lib/ii.c grn_ii_select on a non-text
             # lexicon → key equality)
+            if n[2][0] == "col":
+                # the match argument must be a constant (the reference
+                # rejects a column operand — grn_table_select
+                # "invalid argument" on GRN_OP_MATCH, lib/expr.c)
+                raise ValueError(
+                    f"invalid match argument: column <{n[2][1]}>"
+                )
             lhs = ev(n[1])
             base_type = getattr(lhs, "type", None)
             if base_type is not None and not (
@@ -748,6 +828,25 @@ def eval_filter(ast, batch: pa.Table):
                         float(rhs)
                     )
                 return pc.equal(lhs, rhs)
+            if base_type is not None and (
+                pa.types.is_list(base_type) or pa.types.is_large_list(base_type)
+            ):
+                # vector column match: ANY element matches (grn_ii over
+                # a vector source — element-level lexicon hits)
+                if isinstance(lhs, pa.ChunkedArray):
+                    lhs = lhs.combine_chunks()
+                flat = pc.list_flatten(lhs)
+                hit = pc.match_substring(
+                    pc.utf8_lower(flat), _norm_query(n[2][1])
+                ).to_numpy(zero_copy_only=False)
+                lens = pc.list_value_length(lhs).fill_null(0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                parent = np.repeat(np.arange(len(lens)), lens)
+                out = np.zeros(len(lens), bool)
+                if len(parent):
+                    np.logical_or.at(out, parent, hit.astype(bool))
+                return pa.array(out)
             return pc.match_substring(pc.utf8_lower(lhs), _norm_query(n[2][1]))
         if kind == "@^":
             # sequential text operators normalize BOTH sides with

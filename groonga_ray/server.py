@@ -39,9 +39,37 @@ GRN_UNKNOWN_ERROR = -1
 
 
 def _split_cols(v: str | None, default=("_id", "_score")):
+    """Split an output_columns spec on TOP-LEVEL commas only — commas
+    inside function calls (``edit_distance(name, "x")``) belong to the
+    expression (grn_obj_columns tokenizer, lib/db.c:11187)."""
     if not v:
         return tuple(default)
-    return tuple(c.strip() for c in v.split(",") if c.strip())
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    for ch in v:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return tuple(p.strip() for p in parts if p.strip())
 
 
 def _table_envelope(tbl, score_int32=True) -> list:
@@ -109,6 +137,9 @@ class CommandServer:
         self._no_text_index: set[str] = set()  # loaded with no declared index
         self._auto_id: set[str] = set()   # tables whose _id the server assigns
         self._select_cache: OrderedDict[str, list] = OrderedDict()
+        from .engine import set_query_expander_resolver
+
+        set_query_expander_resolver(self._resolve_query_expander)
         self._cache_max = 100             # grn_cache default max entries
         self._commands = {
             "select": self._cmd_select,
@@ -132,6 +163,7 @@ class CommandServer:
             "truncate": self._cmd_truncate,
             "suggest": self._cmd_suggest,
             "suggest_create_dataset": self._cmd_suggest_create_dataset,
+            "copy_path": self._cmd_copy_path,
             "define_selector": self._cmd_define_selector,
             "tokenizer_list": self._cmd_tokenizer_list,
             "normalizer_list": self._cmd_normalizer_list,
@@ -329,10 +361,34 @@ class CommandServer:
         from dataclasses import replace
 
         decls = getattr(self, "_created", {}).get(name)
-        if not decls or name in _seen:
+        if name in _seen:
             return t
         refs = dict(t.refs or {})
         changed = False
+        # reverse links: an index column HOSTED here whose data table
+        # is loaded — sub_filter(index_col, ...) scopes through it
+        # (grn_accessor LOOKUP resolution, lib/proc.c:5269)
+        for c in self._ddl_cols:
+            if (
+                c["table"] == name and c["is_index"]
+                and c["type"] != name and c["name"] not in refs
+                and c["type"] in self.tables
+            ):
+                src = (c["source"] or "").split(",")[0].strip()
+                if not src or src == "_key":
+                    continue
+                data_t = self._resolve_refs(
+                    c["type"], self.tables[c["type"]], _seen | {name}
+                )
+                refs[c["name"]] = (
+                    list(data_t.source_files), src, data_t, "reverse",
+                )
+                changed = True
+        if not decls:
+            if changed:
+                t = replace(t, refs=refs)
+                self.tables[name] = t
+            return t
         for col, typ in decls.items():
             if col in refs or typ == name:
                 continue
@@ -499,6 +555,8 @@ class CommandServer:
         for k in ("query", "filter", "match_columns", "adjuster", "query_flags"):
             if params.get(k):
                 kwargs[k] = params[k]
+        if kwargs.get("filter") and "[" in kwargs["filter"]:
+            kwargs["filter"] = self._resolve_record_literals(kwargs["filter"])
         if params.get("scorer"):
             kwargs["scorer_expr"] = params["scorer"]
         if params.get("sortby"):
@@ -565,6 +623,7 @@ class CommandServer:
         if qe:
             kwargs["query_expander"] = self._resolve_query_expander(qe)
         res = select(table, **kwargs)
+        self._append_own_index_columns(params, res)
         sets = [self._result_env(res)]
         if res.get("drilldowns") is not None:
             # plain drilldowns append one result set each, in key
@@ -591,6 +650,8 @@ class CommandServer:
         lib/proc.c:330-430): the named table's ``_key`` column maps
         expandable terms to their substitution sub-queries."""
         if "." not in spec:
+            if spec == "QueryExpanderTSV" and getattr(self, "_tsv_expander", False):
+                return self._tsv_expander_dict()
             raise ValueError(f"query_expander must be Table.column: {spec!r}")
         import pyarrow.parquet as pq
 
@@ -645,9 +706,114 @@ class CommandServer:
                     break
         return specs
 
+    def _append_own_index_columns(self, params: dict, res: dict) -> None:
+        """``*`` on a table that hosts its OWN index columns renders
+        them too, valued as the entry count of the row's source value
+        (grn_obj_columns includes index columns; grn_output_obj over a
+        COLUMN_INDEX shows the posting count — see also
+        truncate/column/index)."""
+        tname = params.get("table")
+        own_idx = [
+            c for c in self._ddl_cols
+            if c["table"] == tname and c["is_index"] and c["type"] == tname
+        ]
+        if not own_idx:
+            return
+        oc = params.get("output_columns")
+        if oc and "*" not in oc:
+            return
+        rows = res.get("rows")
+        if rows is None:
+            return
+        t = self.tables.get(tname)
+        if t is None:
+            return
+        import pyarrow.parquet as pq
+
+        for c in own_idx:
+            if c["name"] in rows.column_names:
+                continue
+            src = (c["source"] or "").split(",")[0].strip()
+            if not src or src not in rows.column_names:
+                continue
+            if (tname, c["name"]) in getattr(self, "_truncated_idx", set()):
+                counts = pa.array([0] * rows.num_rows, pa.int64())
+            else:
+                # entry count = occurrences of the row's value across
+                # the stored records (vocabulary-sized value_counts)
+                full = pa.concat_tables(
+                    [pq.read_table(f, columns=[src]) for f in t.source_files],
+                    promote_options="default",
+                )
+                vc = pc.value_counts(full.column(src).combine_chunks())
+                cmap = {
+                    d["values"]: d["counts"] for d in vc.to_pylist()
+                }
+                counts = pa.array(
+                    [int(cmap.get(v, 0)) for v in rows.column(src).to_pylist()],
+                    pa.int64(),
+                )
+            res["rows"] = rows = rows.append_column(c["name"], counts)
+
+    def _resolve_record_literals(self, flt: str) -> str:
+        """Fold ``Table["key"].column`` record accessors in a filter to
+        their constant values (the reference compiles these as constant
+        subexpressions — grn_expr record literal, lib/expr.c). The
+        subscript may be a string-literal concatenation."""
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        pat = _re.compile(
+            r'\b(\w+)\[((?:"(?:[^"\\]|\\.)*"|\s|\+)+)\]\.(\w+)'
+        )
+
+        def _subscript_value(expr: str) -> str | None:
+            parts = _re.findall(r'"((?:[^"\\]|\\.)*)"', expr)
+            rest = _re.sub(r'"(?:[^"\\]|\\.)*"', "", expr)
+            if rest.strip().replace("+", "").strip():
+                return None
+            return "".join(parts)
+
+        def repl(m: "_re.Match") -> str:
+            tname, sub, col = m.group(1), m.group(2), m.group(3)
+            t = self.tables.get(tname)
+            if t is None:
+                return m.group(0)
+            key = _subscript_value(sub)
+            if key is None:
+                return m.group(0)
+            td = getattr(self, "_td_archive", {}).get(tname)
+            if td is not None and (
+                td.normalizer or "KEY_NORMALIZE" in (td.flags or "")
+            ):
+                import unicodedata as _ud
+
+                key = _ud.normalize("NFKC", key).lower()
+            val = None
+            for f in t.source_files:
+                tb = pq.read_table(f, columns=["_key", col])
+                keys = tb.column("_key").to_pylist()
+                if key in keys:
+                    val = tb.column(col).to_pylist()[keys.index(key)]
+                    break
+            if val is None:
+                val = ""
+            if isinstance(val, str):
+                return json.dumps(val)
+            if isinstance(val, bool):
+                return "true" if val else "false"
+            return repr(val)
+
+        return pat.sub(repl, flt)
+
     def _result_env(self, res: dict) -> list:
         env = _table_envelope(res["rows"])
         env[0] = [res["hits"]]
+        if len(env) == 2 and not env[1] and res.get("n_out", 0):
+            # every projected column was dropped: the records still
+            # render, as empty value lists (grn_output 0-col sets)
+            env.extend([[] for _ in range(res["n_out"])])
         return env
 
     def _cmd_status(self, params: dict) -> dict:
@@ -783,7 +949,14 @@ class CommandServer:
         from .engine import IndexedTable
 
         name = params.get("table")
-        records = json.loads(params["values"])
+        try:
+            records = json.loads(params["values"])
+        except json.JSONDecodeError:
+            # trailing garbage after the closing bracket is tolerated
+            # (grn_load consumes one JSON value from the stream)
+            records, _ = json.JSONDecoder().raw_decode(
+                params["values"].lstrip()
+            )
         if isinstance(records, dict):
             records = [records]
         records = self._records_to_dicts(records, params)
@@ -952,12 +1125,46 @@ class CommandServer:
                     pass
         return tbl
 
+    def _from_pylist_typed(self, name: str, records: list) -> pa.Table:
+        """Table.from_pylist that falls back to declared-type-aware
+        column construction — inference overflows on UInt64 values past
+        INT64_MAX (grn stores them fine)."""
+        try:
+            return pa.Table.from_pylist(records)
+        except (OverflowError, pa.ArrowInvalid):
+            types = getattr(self, "_created", {}).get(name) or {}
+            cols: dict[str, list] = {}
+            for r in records:
+                for k in r:
+                    cols.setdefault(k, [])
+            arrays = {}
+            for k in cols:
+                vals = [r.get(k) for r in records]
+                at = self._ARROW_TYPES.get(types.get(k))
+                arrays[k] = pa.array(vals, at) if at is not None else pa.array(vals)
+            return pa.table(arrays)
+
     def _cast_records(self, name: str, records: list) -> list:
-        types = getattr(self, "_created", {}).get(name)
-        if not types:
-            return records
+        types = getattr(self, "_created", {}).get(name) or {}
         vectors = getattr(self, "_vector_cols", {}).get(name, ())
+        # key normalization follows the table's OWN declaration (the
+        # TableDef's normalizer may have been copied from an index
+        # lexicon for tokenizing, which does NOT normalize keys)
+        ddl_t = next(
+            (t for t in self._ddl_tables if t["name"] == name), None
+        )
+        key_norm = ddl_t is not None and bool(
+            ddl_t.get("normalizer")
+            or "KEY_NORMALIZE" in (ddl_t.get("flags") or "")
+        )
         for r in records:
+            if key_norm and isinstance(r.get("_key"), str):
+                # a normalized key table interns the NORMALIZED key —
+                # NFKC + lowercase, blanks kept (WITH_NORMALIZE flags=0,
+                # lib/db.c:54)
+                import unicodedata as _ud
+
+                r["_key"] = _ud.normalize("NFKC", r["_key"]).lower()
             for k in vectors:
                 # scalar into a COLUMN_VECTOR casts to a vector: "" and
                 # null become empty; TEXT splits on whitespace into
@@ -1093,7 +1300,7 @@ class CommandServer:
             merged_rows = [by_id[i] for i in sorted(by_id)]
             meta = read_manifest(os.path.join(t.index_dir, "meta.json"))
             cfg = BuildConfig.from_fingerprint(meta["config"])
-            tbl = pa.Table.from_pylist(merged_rows)
+            tbl = self._from_pylist_typed(name, merged_rows)
             tbl = self._apply_declared_types(name, tbl)
             if "_dummy_text" in cfg.text_columns:
                 tbl = tbl.append_column(
@@ -1215,7 +1422,7 @@ class CommandServer:
         else:
             for i, r in enumerate(records):
                 r["_id"] = i + 1
-        tbl = pa.Table.from_pylist(records)
+        tbl = self._from_pylist_typed(name, records)
         tbl = self._apply_declared_types(name, tbl)
         with self._mutate_lock:
             if self.data_dir is None:
@@ -2627,11 +2834,59 @@ class CommandServer:
         grn_plugin_register): load a Python plugin module into this
         server process. The module's ``plugin_register()`` hook may
         call ``server_ref.register_command`` via
-        :data:`groonga_ray.plugin` registries."""
+        :data:`groonga_ray.plugin` registries. The reference's bundled
+        ``query_expanders/tsv`` plugin is built in."""
+        path = params.get("path") or params.get("name") or ""
+        if path.removesuffix(".so") == "query_expanders/tsv":
+            # plugins/query_expanders/tsv.c: registers QueryExpanderTSV
+            # reading the synonyms TSV (GRN_QUERY_EXPANDER_TSV_
+            # SYNONYMS_FILE, default <config>/synonyms.tsv)
+            self._tsv_expander = True
+            return True
         from . import plugin
 
         plugin.register(params["path"])
         return True
+
+    def _cmd_copy_path(self, params: dict) -> bool:
+        """grntest's ``#@copy-path src dst`` directive: record the
+        fixture file under its destination label (the tsv query
+        expander reads it)."""
+        if not hasattr(self, "_copied"):
+            self._copied: dict[str, str] = {}
+        self._copied[params.get("dst", "")] = params.get("src_abs", "")
+        return True
+
+    def _tsv_expander_dict(self) -> dict:
+        """Parse the copied synonyms.tsv (plugins/query_expanders/
+        tsv.c:145-200): ``key TAB expansion...`` — multiple expansions
+        wrap as ``((e1) OR (e2))``; ``#`` lines are comments."""
+        import os
+
+        path = None
+        for dst, src in getattr(self, "_copied", {}).items():
+            if dst.endswith("synonyms.tsv"):
+                path = src
+        path = os.environ.get("GRN_QUERY_EXPANDER_TSV_SYNONYMS_FILE", path)
+        out: dict[str, str] = {}
+        if not path or not os.path.exists(path):
+            return out
+        with open(path, encoding="utf-8") as fh:
+            for ln in fh:
+                ln = ln.rstrip("\n")
+                if not ln or ln.startswith("#"):
+                    continue
+                parts = ln.split("\t")
+                if len(parts) < 2:
+                    continue
+                key, exps = parts[0], [p for p in parts[1:] if p]
+                if not exps:
+                    continue
+                out[key] = (
+                    "(" + " OR ".join(f"({e})" for e in exps) + ")"
+                    if len(exps) > 1 else exps[0]
+                )
+        return out
 
     def _obj_id(self, key) -> int:
         """Sequential object ids from 256, in creation order — the

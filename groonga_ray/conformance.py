@@ -49,6 +49,11 @@ VAR_ORDERS: dict[str, list[str]] = {
     "delete": ["table", "key", "id", "filter"],
     "cache_limit": ["max"],
     "truncate": ["target_name", "table"],
+    "range_filter": [
+        "table", "column", "min", "min_border", "max", "max_border",
+        "offset", "limit", "filter", "output_columns",
+    ],
+    "column_rename": ["table", "name", "new_name"],
     "suggest": [
         "types", "table", "column", "query", "sortby", "output_columns",
         "offset", "limit", "frequency_threshold",
@@ -272,6 +277,7 @@ def parse_expected(text: str) -> list:
             isinstance(val, list) and val
             and isinstance(val[0], list) and len(val[0]) in (3, 4)
             and all(isinstance(x, (int, float)) for x in val[0][:3])
+            and isinstance(val[0][1], float) and isinstance(val[0][2], float)
         ):
             envs.append(val)
             # skip past this envelope
@@ -286,6 +292,9 @@ def render_select_xml(body, offset: int = 0) -> str:
     (lib/output.c xml branch: RESULTSET/HIT/FIELD; vector values join
     with ", ")."""
     def esc(v) -> str:
+        if isinstance(v, dict):
+            # weighted vector: "el:weight, el:weight"
+            return ", ".join(f"{k}:{w}" for k, w in v.items())
         if isinstance(v, list):
             return ", ".join(esc(x) for x in v)
         if isinstance(v, bool):
@@ -337,7 +346,7 @@ def _shape(cmd: str, body):
         return {k: _shape_set(v) for k, v in sorted(body.items())}
     if cmd in ("tokenize", "table_tokenize"):
         return [(t["value"], t.get("position")) for t in body]
-    if cmd == "logical_range_filter" and isinstance(body, list) and body:
+    if cmd in ("logical_range_filter", "range_filter") and isinstance(body, list) and body:
         # [[col defs], rows...] — no hit-count head; ignore type names
         return {"rows": [_cell(r) for r in body[1:]]}
     return body
@@ -405,7 +414,16 @@ class ScriptRunner:
         if name == "select":
             params = dict(params)
             if not params.get("sortby") and not params.get("sort_keys"):
-                params["sortby"] = "_id"
+                # no-sortby select order is the table cursor's: key
+                # order for PAT/DAT lexicons, id order otherwise
+                td_p = self.server.pending.get(params.get("table", ""))
+                if td_p is not None and (
+                    "PAT_KEY" in (td_p.flags or "")
+                    or "DAT_KEY" in (td_p.flags or "")
+                ):
+                    params["sortby"] = "_key"
+                else:
+                    params["sortby"] = "_id"
             if not params.get("output_columns"):
                 cols = "_id,*"
                 t = self.server.tables.get(params.get("table", ""))

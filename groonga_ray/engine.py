@@ -118,6 +118,16 @@ def _expand_index_sections(spec: MatchSpec, table: "IndexedTable") -> None:
     spec.sections = out
 
 
+class _NeutralMatch:
+    """Sentinel: a term whose tokens ALL dropped at the token-filter
+    stage (an all-stop-word query term). The reference's expression
+    builder emits no match op for it, so surrounding ANDs ignore it
+    (token_filters/stop_word/skip)."""
+
+
+NEUTRAL = _NeutralMatch()
+
+
 def _eval_match_node(
     node, reader: IndexReader, spec: MatchSpec, table: "IndexedTable | None" = None
 ) -> MatchResult:
@@ -128,6 +138,7 @@ def _eval_match_node(
     matches the stored key text itself; ``col.sub`` runs the match on
     the referenced table's index and semi-joins the matched keys back."""
     results = []
+    tokens_dropped = False   # a GET chain removed every token
     for col, weight, sec_scorer in spec.sections:
         scorer = sec_scorer or spec.scorer
         if isinstance(node, (TermNode, PhraseNode)) and getattr(node, "section", None):
@@ -163,7 +174,10 @@ def _eval_match_node(
         elif isinstance(node, SimilarNode):
             from .search import similar_match
 
-            m = similar_match(si, node.text, **kw)
+            m = similar_match(
+                si, node.text,
+                similarity_threshold=getattr(node, "threshold", 0), **kw,
+            )
         elif isinstance(node, TermNode):
             if col in reader.meta.get("uvector_sections", ()):
                 # vector section: the whole query text is ONE term
@@ -171,6 +185,8 @@ def _eval_match_node(
             else:
                 tokens = _query_tokens(node.text, reader)
             if not tokens:
+                if node.text.strip():
+                    tokens_dropped = True
                 continue
             m = term_match(
                 reader.section(col), tokens, scorer,
@@ -211,6 +227,8 @@ def _eval_match_node(
                 )
                 results.append(m)
     if not results:
+        if tokens_dropped:
+            return NEUTRAL
         return MatchResult.empty()
     acc = results[0]
     for m in results[1:]:
@@ -907,6 +925,8 @@ def _ref_map_column(table: "IndexedTable", base: str, sub: str, values) -> pa.Ar
 
 
 def _as_match(x, table: "IndexedTable") -> MatchResult:
+    if isinstance(x, _NeutralMatch):
+        return MatchResult.empty()
     return _scan_pred(table, x) if isinstance(x, DeferredPred) else x
 
 
@@ -932,6 +952,14 @@ def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
             # the stored column (exec_text_operator GRN_OP_SUFFIX,
             # lib/operator.c; a bigram content index can't serve it)
             return DeferredPred(("@$", ("col", sec), ("str", node.text)), (sec,))
+        if (
+            isinstance(node, TermNode) and sec and node.text == ""
+            and node.mode == "match" and not getattr(node, "explicit", False)
+        ):
+            # col:"" — equality with the empty string; the lexicon has
+            # no empty term, so this is always the sequential equality
+            # scan (select/index/equal/empty_string)
+            return _pred_of_range(RangeNode(sec, "==", ""))
         if sec and "." not in sec and (
             sec not in reader.sections or table.auto_indexed
         ):
@@ -951,6 +979,9 @@ def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
         return _eval_match_node(node, reader, spec, table)
     if isinstance(node, AndNode):
         parts = [_eval_node_lazy(c, reader, spec, table) for c in node.children]
+        parts = [p for p in parts if not isinstance(p, _NeutralMatch)]
+        if not parts:
+            return NEUTRAL
         matches = [p for p in parts if isinstance(p, MatchResult)]
         preds = [p for p in parts if isinstance(p, DeferredPred)]
         if not matches:
@@ -970,6 +1001,8 @@ def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
         pred_or: DeferredPred | None = None
         for c in node.children:
             r = _eval_node_lazy(c, reader, spec, table)
+            if isinstance(r, _NeutralMatch):
+                continue
             if isinstance(r, DeferredPred):
                 pred_or = r if pred_or is None else DeferredPred(
                     ("or", pred_or.ast, r.ast),
@@ -987,6 +1020,10 @@ def _eval_node_lazy(node, reader, spec, table: "IndexedTable"):
             if node.positive is None
             else _eval_node_lazy(node.positive, reader, spec, table)
         )
+        if isinstance(neg, _NeutralMatch):
+            return pos
+        if isinstance(pos, _NeutralMatch):
+            pos = _all_docs(reader)
         if isinstance(neg, DeferredPred):
             inv = DeferredPred(("not", neg.ast), neg.columns)
             if isinstance(pos, DeferredPred):
@@ -1251,6 +1288,13 @@ def _apply_adjuster(adjuster: str, result: MatchResult, reader: IndexReader) -> 
     global _ADJUSTER_RE
     if _ADJUSTER_RE is None:
         _ADJUSTER_RE = _re.compile(r'(\w+)\s*@\s*"([^"]+)"(?:\s*\*\s*([0-9.]+))?')
+    # factors must be +-separated (grn_parser: adjuster is a sum of
+    # weighted matches — a missing + is a syntax error, rc -63)
+    for part in adjuster.split("+"):
+        if part.strip() and not _re.fullmatch(
+            r'\s*\w+\s*@\s*"[^"]+"(?:\s*\*\s*[0-9.]+)?\s*', part
+        ):
+            raise ValueError(f"Syntax error: <{adjuster}>")
     for col, term, factor in _ADJUSTER_RE.findall(adjuster):
         f = float(factor) if factor else 1.0
         si = reader.section(col)
@@ -1692,6 +1736,7 @@ def select(
     drilldowns: dict | None = None,
     match_escalation_threshold: int = 0,
     query_flags: str | None = None,
+    sort_tie: str = "asc",
 ) -> dict:
     """Returns {"hits": int, "rows": pa.Table, "drilldown": pa.Table?,
     "drilldowns": {label: pa.Table}?}.
@@ -1764,7 +1809,7 @@ def select(
     # ---- sort (grn_table_sort, lib/db.c:10371-10530; key-spec parser
     # db.c:11327-11387 — mixed pseudo (_score/_id) and column keys)
     if sortby in ("-_score", ""):
-        docids, scores = top_k(result, limit, offset)
+        docids, scores = top_k(result, limit, offset, tie=sort_tie)
     elif sortby == "_id":
         order = np.argsort(result.docids)[offset : offset + limit]
         docids, scores = result.docids[order], result.scores[order]

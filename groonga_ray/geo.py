@@ -40,7 +40,10 @@ def parse_geopoint(col) -> tuple[np.ndarray, np.ndarray]:
         col = col.combine_chunks()
     if not isinstance(col, pa.Array):
         col = pa.array(list(col), pa.large_string())
-    parts = pc.split_pattern(pc.fill_null(col, "0x0"), "x")
+    # "," is an accepted separator too ("35.6,139.7" — grn_geo_point
+    # parsing accepts x and , between coordinates, lib/geo.c:1860)
+    col = pc.replace_substring(pc.fill_null(col, "0x0"), ",", "x")
+    parts = pc.split_pattern(col, "x")
 
     def _coord(a: pa.Array) -> np.ndarray:
         try:

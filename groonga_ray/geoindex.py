@@ -158,10 +158,21 @@ def build_geo_index(
     fine-grained pruning (the mesh granularity of the scan side)."""
     def _encode(batch: pa.Table) -> pa.Table:
         col = batch.column(column)
+        docids = batch.column(docid_column).cast(pa.uint32())
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            # vector GeoPoint column: one index entry per element,
+            # docid repeated (grn_ii over a vector source)
+            import pyarrow.compute as pc2
+
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            parents = pc2.list_parent_indices(col)
+            docids = docids.take(parents)
+            col = pc2.list_flatten(col)
         lat, lon = parse_geopoint(col)
         keys = zkey(lat, lon)
         return pa.table({
-            "docid": batch.column(docid_column).cast(pa.uint32()),
+            "docid": docids,
             "lat": pa.array(lat.astype(np.int32)),
             "lon": pa.array(lon.astype(np.int32)),
             "zkey": pa.array(keys),

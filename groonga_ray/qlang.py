@@ -87,9 +87,11 @@ class NearNode:
 @dataclass
 class SimilarNode:
     """``*S"document text"`` — similar-document match (GRN_OP_SIMILAR,
-    grn_ecmascript.lemon:203)."""
+    grn_ecmascript.lemon:203); ``*S2"..."`` sets similarity_threshold
+    (the number of rare tokens used)."""
 
     text: str
+    threshold: int = 0
 
 
 @dataclass
@@ -250,7 +252,7 @@ class _Parser:
                     self.i += 1
                 if kind == "N":
                     return NearNode(text, int(num) if num else 10)
-                return SimilarNode(text)
+                return SimilarNode(text, int(num) if num else 0)
             raise QueryParseError(f"*{kind} expects a quoted phrase at {self.i}")
         if c == '"':
             self.i += 1

@@ -426,23 +426,27 @@ def similar_match(
     counts: dict[str, int] = {}
     for t in toks:
         counts[t] = counts.get(t, 0) + 1
-    weighted: list[tuple[int, int]] = []  # (w1, tid)
+    weighted: list = []  # (w1, tid, postings)
     for term, c in counts.items():
         tid = si.term_id(term)
         if tid is None:
             continue
-        est = si.df_estimate(tid)
+        pl = si.postings(tid)
+        # grn_ii_estimate_size approximates the posting BYTES — which
+        # grow with total occurrences, not just df (a tf-3 singleton
+        # estimates bigger than a tf-1 one), so rarity prefers the
+        # token with the fewest occurrences
+        est = int(pl.tfs.sum())
         if est == 0:
             continue
-        weighted.append((c + max_size // est, tid))
+        weighted.append((c + max_size // est, tid, pl))
     if not weighted:
         return MatchResult.empty()
     limit = similarity_threshold if similarity_threshold else (len(weighted) >> 3) + 1
     limit = min(limit, len(weighted))
     weighted.sort(key=lambda x: -x[0])
     acc = MatchResult.empty()
-    for w1, tid in weighted[:limit]:
-        pl = si.postings(tid)
+    for w1, tid, pl in weighted[:limit]:
         scores = pl.tfs.astype(np.float64) * float(w1) * weight
         acc = op_or(acc, MatchResult(pl.docids.copy(), scores))
     return acc
@@ -516,14 +520,22 @@ def op_adjust(a: MatchResult, b: MatchResult) -> MatchResult:
     return MatchResult(a.docids, scores)
 
 
-def top_k(result: MatchResult, k: int, offset: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """(-score, docid asc) partial sort — grn_table_sort with limit."""
+def top_k(
+    result: MatchResult, k: int, offset: int = 0, tie: str = "asc"
+) -> tuple[np.ndarray, np.ndarray]:
+    """(-score, docid) partial sort — grn_table_sort with limit.
+    ``tie`` orders equal scores by docid: "asc" (the engine/oracle
+    default) or "desc" (grn_table_sort's observed descending-scan
+    order on score ties — select/match_columns/scorer/tf_at_most)."""
     n = result.nhits
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     take = min(n, offset + k)
-    # stable two-key sort: primary -score, secondary docid asc
-    order = np.lexsort((result.docids, -result.scores))[:take]
+    second = (
+        result.docids if tie == "asc"
+        else result.docids.astype(np.int64) * -1
+    )
+    order = np.lexsort((second, -result.scores))[:take]
     order = order[offset:]
     return result.docids[order], result.scores[order]
 

@@ -177,6 +177,9 @@ class CommandServer:
             "request_cancel": self._cmd_request_cancel,
             "logical_count": self._cmd_logical_count,
             "logical_range_filter": self._cmd_logical_range_filter,
+            "range_filter": self._cmd_range_filter,
+            "column_rename": self._cmd_column_rename,
+            "plugin_unregister": self._cmd_plugin_unregister,
             "dump": self._cmd_dump,
             "plugin_register": self._cmd_plugin_register,
         }
@@ -557,6 +560,31 @@ class CommandServer:
                 kwargs[k] = params[k]
         if kwargs.get("filter") and "[" in kwargs["filter"]:
             kwargs["filter"] = self._resolve_record_literals(kwargs["filter"])
+        if kwargs.get("filter") and "_key" in kwargs["filter"]:
+            ddl_t0 = next(
+                (
+                    x for x in self._ddl_tables
+                    if x["name"] == params.get("table")
+                ),
+                None,
+            )
+            if ddl_t0 is not None and (
+                ddl_t0.get("normalizer")
+                or "KEY_NORMALIZE" in (ddl_t0.get("flags") or "")
+            ):
+                # _key comparisons against a normalized key table
+                # normalize the literal (grn_table_get interning —
+                # load/utf8_4byte/normalize)
+                import re as _re3
+                import unicodedata as _ud3
+
+                kwargs["filter"] = _re3.sub(
+                    r'(_key\s*[=!]=\s*)"((?:[^"\\]|\\.)*)"',
+                    lambda m: m.group(1) + json.dumps(
+                        _ud3.normalize("NFKC", m.group(2)).lower()
+                    ),
+                    kwargs["filter"],
+                )
         if params.get("scorer"):
             kwargs["scorer_expr"] = params["scorer"]
         if params.get("sortby"):
@@ -622,8 +650,12 @@ class CommandServer:
         qe = params.get("query_expander") or params.get("query_expansion")
         if qe:
             kwargs["query_expander"] = self._resolve_query_expander(qe)
+        # grn_table_sort's descending scan puts score ties in
+        # DESCENDING id order (select/match_columns/scorer/tf_at_most)
+        kwargs["sort_tie"] = "desc"
         res = select(table, **kwargs)
         self._append_own_index_columns(params, res)
+        self._render_weight_vectors(params, res)
         sets = [self._result_env(res)]
         if res.get("drilldowns") is not None:
             # plain drilldowns append one result set each, in key
@@ -755,6 +787,43 @@ class CommandServer:
                 )
             res["rows"] = rows = rows.append_column(c["name"], counts)
 
+    def _render_weight_vectors(self, params: dict, res: dict) -> None:
+        """A WITH_WEIGHT vector renders as a ``{"element": weight}``
+        object (grn_output weighted vector, lib/output.c). Storage is
+        the repeat encoding (weight+1 copies — see
+        _normalize_weight_vectors), so the weight is count-1."""
+        tname = params.get("table")
+        wcols = {
+            c["name"] for c in self._ddl_cols
+            if c["table"] == tname and not c["is_index"]
+            and "WITH_WEIGHT" in (c["flags"] or "")
+        }
+        rows = res.get("rows")
+        if not wcols or rows is None:
+            return
+        for cn in wcols:
+            if cn not in rows.column_names:
+                continue
+            col = rows.column(cn)
+            if not (
+                pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            ):
+                continue
+            objs = []
+            for lst in col.to_pylist():
+                if lst is None:
+                    objs.append(None)
+                    continue
+                counts: "OrderedDict[str, int]" = OrderedDict()
+                for e in lst:
+                    counts[e] = counts.get(e, 0) + 1
+                objs.append({k: v - 1 for k, v in counts.items()})
+            i = rows.column_names.index(cn)
+            rows = rows.remove_column(i)
+            # dict values ride as python objects through the envelope
+            res["rows"] = rows
+            res.setdefault("_obj_cols", {})[cn] = (i, objs)
+
     def _resolve_record_literals(self, flt: str) -> str:
         """Fold ``Table["key"].column`` record accessors in a filter to
         their constant values (the reference compiles these as constant
@@ -809,6 +878,12 @@ class CommandServer:
 
     def _result_env(self, res: dict) -> list:
         env = _table_envelope(res["rows"])
+        for cn, (i, objs) in (res.get("_obj_cols") or {}).items():
+            # splice object-valued (weighted vector) columns back at
+            # their original position
+            env[1].insert(i, [cn, "ShortText"])
+            for r in range(2, len(env)):
+                env[r].insert(i, objs[r - 2] if r - 2 < len(objs) else None)
         env[0] = [res["hits"]]
         if len(env) == 2 and not env[1] and res.get("n_out", 0):
             # every projected column was dropped: the records still
@@ -949,8 +1024,18 @@ class CommandServer:
         from .engine import IndexedTable
 
         name = params.get("table")
+
+        def _pairs(pairs):
+            # a record with a DUPLICATE key is rejected whole
+            # (grn_load's JSON parser errors the record —
+            # load/array/duplicated_id_key)
+            keys = [k for k, _ in pairs]
+            if len(keys) != len(set(keys)):
+                return {"\x00dup": True}
+            return dict(pairs)
+
         try:
-            records = json.loads(params["values"])
+            records = json.loads(params["values"], object_pairs_hook=_pairs)
         except json.JSONDecodeError:
             # trailing garbage after the closing bracket is tolerated
             # (grn_load consumes one JSON value from the stream)
@@ -959,11 +1044,64 @@ class CommandServer:
             )
         if isinstance(records, dict):
             records = [records]
+        records = [
+            r for r in records
+            if not (isinstance(r, dict) and r.get("\x00dup"))
+        ]
+        if params.get("columns"):
+            cols_req = [
+                c.strip() for c in params["columns"].split(",") if c.strip()
+            ]
+            declared = set(
+                (getattr(self, "_created", {}).get(name) or {})
+            )
+            td_chk = self.pending.get(name)
+            if td_chk is not None:
+                declared |= set(td_chk.columns)
+            if declared or td_chk is not None:
+                for c in cols_req:
+                    if c not in declared and c not in ("_id", "_key"):
+                        raise ValueError(
+                            f"[load] nonexistent column: <{c}>"
+                        )
         records = self._records_to_dicts(records, params)
+        # an explicit _id that can't cast drops the record (grn_load
+        # logs and skips — load/array/invalid_id_value)
+        kept = []
+        for r in records:
+            if isinstance(r, dict) and "_id" in r and not isinstance(
+                r["_id"], bool
+            ):
+                try:
+                    int(r["_id"])
+                except (TypeError, ValueError):
+                    continue
+            kept.append(r)
+        records = kept
         records = self._normalize_weight_vectors(records)
         sg = self._suggest_load(name, records, params)
         if sg is not None:
             return sg
+        each = params.get("each")
+        if each and "suggest_preparer" not in each:
+            # --each 'col = expr': the expression runs per loaded
+            # record with the record as context (grn_load's each expr,
+            # lib/db.c:11451) — vectorized over the batch
+            from .script import eval_filter, parse_assignment
+
+            tgt, op_, rhs = parse_assignment(each)
+            batch = pa.Table.from_pylist(records)
+            vals = eval_filter(rhs, batch)
+            if isinstance(vals, pa.Scalar):
+                vals = [vals.as_py()] * len(records)
+            elif isinstance(vals, (pa.Array, pa.ChunkedArray)):
+                vals = vals.to_pylist()
+            else:
+                vals = list(vals)
+            for r, v in zip(records, vals):
+                if isinstance(v, float) and v == int(v):
+                    v = int(v)
+                r[tgt] = v
         if not records:
             return 0
         if name in self.pending:
@@ -1027,7 +1165,9 @@ class CommandServer:
         text, 1/0 as numbers, 1 microsecond as Time; numeric strings
         parse; Time is epoch seconds (stored float)."""
         if v is None:
-            return None
+            # a null GeoPoint stores the origin (grn_obj_cast NULL →
+            # the type's zero value; geo renders "0x0")
+            return "0x0" if typ.endswith("GeoPoint") else None
         if isinstance(v, dict):
             return v
         if isinstance(v, list):
@@ -1046,6 +1186,8 @@ class CommandServer:
                         except ValueError:
                             continue
                 return out
+            if typ.endswith("GeoPoint"):
+                return [CommandServer._cast_value(e, typ) for e in v]
             return v
         if typ in ("ShortText", "Text", "LongText"):
             if isinstance(v, bool):
@@ -1087,9 +1229,17 @@ class CommandServer:
                     lat = float(lat_s) if "." in lat_s else int(lat_s)
                     lon = float(lon_s) if "." in lon_s else int(lon_s)
                     if "." in lat_s or "." in lon_s:
-                        lat, lon = lat * 3600 * 1000, lon * 3600 * 1000
+                        # degree form stores as msec integers
+                        # (grn_obj_cast text->GeoPoint, lib/geo.c:1860)
+                        lat = int(round(lat * 3600 * 1000))
+                        lon = int(round(lon * 3600 * 1000))
+                        if abs(lat) > 324000000 or abs(lon) >= 648000000:
+                            return "0x0"
+                        return f"{lat}x{lon}"
                     if abs(lat) > 324000000 or abs(lon) >= 648000000:
                         return "0x0"
+                    if "," in v:
+                        return f"{lat}x{lon}"
                 except ValueError:
                     return "0x0"
                 return v
@@ -1168,14 +1318,40 @@ class CommandServer:
             for k in vectors:
                 # scalar into a COLUMN_VECTOR casts to a vector: "" and
                 # null become empty; TEXT splits on whitespace into
-                # elements (grn_obj_cast bulk->vector tokenizes,
-                # lib/db.c:11451 load path)
+                # elements ONLY for builtin-text element types — a
+                # REFERENCE vector interns the whole string as one key
+                # (grn_obj_cast bulk->vector, lib/db.c:11451 load path;
+                # table_create/default_tokenizer/nonexistent)
                 if k in r and not isinstance(r[k], (list, dict)):
                     v = r[k]
+                    el_type = types.get(k, "")
+                    ref_td = next(
+                        (t for t in self._ddl_tables if t["name"] == el_type),
+                        None,
+                    )
                     if v in ("", None):
                         r[k] = []
-                    elif isinstance(v, str):
+                    elif isinstance(v, str) and ref_td is None:
                         r[k] = v.split()
+                    elif isinstance(v, str) and ref_td is not None:
+                        # reference vector: the lexicon's tokenizer
+                        # splits the text into interned records; a
+                        # tokenizer-less lexicon interns it whole
+                        tokname = ref_td.get("default_tokenizer")
+                        if tokname:
+                            from .tokenize import tokenize as _tok2
+
+                            nrm2 = ref_td.get("normalizer") or (
+                                "NormalizerAuto"
+                                if "KEY_NORMALIZE" in (ref_td.get("flags") or "")
+                                else None
+                            )
+                            stream = _tok2(
+                                v, tokname, mode="add", normalizer=nrm2
+                            )
+                            r[k] = [tk.term for tk in stream.tokens]
+                        else:
+                            r[k] = [v]
                     else:
                         r[k] = [v]
             for k, typ in types.items():
@@ -1409,6 +1585,21 @@ class CommandServer:
             self._key_types: dict[str, str] = {}
         self._key_types[name] = td.key_type
         records = self._cast_records(name, records)
+        n_input = len(records)   # the load count includes updates
+        if "NO_KEY" not in (td.flags or "") and any(
+            "_key" in r for r in records
+        ):
+            # duplicate keys in one load UPDATE the earlier record
+            # (grn_table_add returns the existing id; later values
+            # overwrite, unspecified columns keep old values)
+            merged: "OrderedDict[object, dict]" = OrderedDict()
+            for r in records:
+                k = r.get("_key")
+                if k in merged:
+                    merged[k].update(r)
+                else:
+                    merged[k] = r
+            records = list(merged.values())
         if all("_id" in r for r in records) and records:
             # dump reload path: explicit dense 1-based ids are honored
             # (grn_load sets records by _id); anything else is rejected
@@ -1468,6 +1659,7 @@ class CommandServer:
                 text_columns=tuple(text_cols),
                 tokenizer=td.default_tokenizer,
                 token_filters=td.token_filters,
+                stop_words=self._lexicon_stop_words(name, td),
                 # a DECLARED index honors its lexicon's normalizer
                 # (none = case-sensitive PAT keys); the auto-index-all
                 # fallback normalizes so matches mimic the reference's
@@ -1507,16 +1699,117 @@ class CommandServer:
             self._td_archive[name] = self.pending[name]
             del self.pending[name]
             self._invalidate()
-        return tbl.num_rows
+        self._refresh_stop_words(name)
+        return n_input
+
+    def _refresh_stop_words(self, lex_name: str) -> None:
+        """A load into a lexicon table re-resolves TokenFilterStopWord
+        word sets for every data table it indexes (the reference reads
+        ``is_stop_word`` live at query time; our query chain reads the
+        index meta, so the meta updates in place)."""
+        import os
+
+        from .build import read_manifest, write_manifest
+        from .index import open_index
+
+        td = self.pending.get(lex_name) or getattr(
+            self, "_td_archive", {}
+        ).get(lex_name)
+        deleted = getattr(self, "_deleted_terms", {}).get(lex_name, set())
+        if td is None or (
+            "TokenFilterStopWord" not in (td.token_filters or ())
+            and not deleted
+        ):
+            return
+        for c in self._ddl_cols:
+            if c["table"] != lex_name or not c["is_index"]:
+                continue
+            t = self.tables.get(c["type"])
+            if t is None:
+                continue
+            words = tuple(sorted(
+                set(self._lexicon_stop_words(c["type"], td)) | deleted
+            ))
+            mpath = os.path.join(t.index_dir, "meta.json")
+            if not os.path.exists(mpath):
+                continue
+            meta = read_manifest(mpath)
+            if meta.get("config", {}).get("stop_words") != list(words):
+                meta["config"]["stop_words"] = list(words)
+                write_manifest(mpath, meta)
+                open_index.cache_clear()
+                self._invalidate()
+
+    def _lexicon_stop_words(self, data_name: str, td) -> tuple:
+        """TokenFilterStopWord's word set: the lexicon table's records
+        whose ``is_stop_word`` is true (token_filters/stop_word —
+        the filter reads the lexicon column at GET time)."""
+        if "TokenFilterStopWord" not in (td.token_filters or ()):
+            return ()
+        import pyarrow.parquet as pq
+
+        words: list[str] = []
+        for c in self._ddl_cols:
+            if not c["is_index"] or c["type"] != data_name:
+                continue
+            lex = self.tables.get(c["table"])
+            if lex is None:
+                continue
+            for f in lex.source_files:
+                schema = pq.read_schema(f)
+                if "is_stop_word" not in schema.names or "_key" not in schema.names:
+                    continue
+                tb = pq.read_table(f, columns=["_key", "is_stop_word"])
+                for k, sw in zip(
+                    tb.column("_key").to_pylist(),
+                    tb.column("is_stop_word").to_pylist(),
+                ):
+                    if sw:
+                        words.append(k)
+        return tuple(sorted(set(words)))
 
     def _cmd_delete(self, params: dict) -> bool:
         """``/d/delete?table=X&id=N | key=K | filter=EXPR`` —
         proc_delete (lib/proc.c): resolve the victim docids (key =
         equality on the docid column; filter = any script expression)
-        and tombstone them (``build.delete_documents``)."""
+        and tombstone them (``build.delete_documents``). Deleting from
+        a never-loaded LEXICON removes the term: its postings stop
+        serving queries while the indexed documents stay
+        (delete/index/have_tokenizer)."""
         from . import build as build_mod
         from .engine import select
 
+        name0 = params.get("table")
+        if name0 in self.pending:
+            import re as _re2
+
+            victims: list[str] = []
+            if params.get("key"):
+                victims = [params["key"]]
+            elif params.get("filter"):
+                m = _re2.fullmatch(
+                    r'\s*_key\s*==\s*"((?:[^"\\]|\\.)*)"\s*',
+                    params["filter"],
+                )
+                if not m:
+                    raise ValueError(
+                        f"[delete] unsupported lexicon filter: "
+                        f"<{params['filter']}>"
+                    )
+                victims = [m.group(1)]
+            td0 = self.pending[name0]
+            if td0.normalizer or "KEY_NORMALIZE" in (td0.flags or ""):
+                import unicodedata as _ud
+
+                victims = [
+                    _ud.normalize("NFKC", v).lower() for v in victims
+                ]
+            if not hasattr(self, "_deleted_terms"):
+                self._deleted_terms: dict[str, set] = {}
+            self._deleted_terms.setdefault(name0, set()).update(victims)
+            self._refresh_stop_words(name0)
+            self._invalidate()
+            return True
         t = self._table(params)
         if params.get("id"):
             docids = [int(params["id"])]
@@ -1733,6 +2026,141 @@ class CommandServer:
             rows = rows[offset:offset + limit]
         return [cols_def, *rows]
 
+    def _cmd_column_rename(self, params: dict) -> bool:
+        """``column_rename TABLE NAME NEW_NAME`` (proc_column_rename,
+        lib/proc.c): catalog rename; a loaded table's stored files
+        rewrite their column name in place (command-sized tables)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        tname = params.get("table")
+        old = params.get("name")
+        new = params.get("new_name")
+        if not (tname and old and new):
+            raise ValueError("[column][rename] table, name, new_name required")
+        found = False
+        for c in self._ddl_cols:
+            if c["table"] == tname and c["name"] == old:
+                c["name"] = new
+                found = True
+        if not found:
+            raise ValueError(
+                f"[column][rename] no such column: <{tname}.{old}>"
+            )
+        created = getattr(self, "_created", {}).get(tname)
+        if created and old in created:
+            created[new] = created.pop(old)
+        vecs = getattr(self, "_vector_cols", {}).get(tname)
+        if vecs and old in vecs:
+            vecs.discard(old)
+            vecs.add(new)
+        t = self.tables.get(tname)
+        if t is not None:
+            for f in t.source_files:
+                tbl = pq.read_table(f)
+                if old in tbl.column_names:
+                    tbl = tbl.rename_columns(
+                        [new if n == old else n for n in tbl.column_names]
+                    )
+                    pq.write_table(tbl, f)
+            # rebuild so index section names track the renamed column
+            from .build import BuildConfig, build_index, read_manifest
+            import shutil as _sh
+
+            meta = read_manifest(os.path.join(t.index_dir, "meta.json"))
+            cfg = BuildConfig.from_fingerprint(meta["config"])
+            if old in cfg.text_columns:
+                from dataclasses import replace as _replace
+
+                cfg = _replace(
+                    cfg,
+                    text_columns=tuple(
+                        new if c == old else c for c in cfg.text_columns
+                    ),
+                )
+                _sh.rmtree(t.index_dir, ignore_errors=True)
+                build_index(list(t.source_files), t.index_dir, cfg)
+                from .index import open_index
+
+                open_index.cache_clear()
+            self._invalidate()
+        return True
+
+    def _cmd_range_filter(self, params: dict) -> list:
+        """``range_filter TABLE COLUMN --min --min_border --max
+        --max_border [--offset --limit --filter --output_columns]``
+        (proc_range_filter, lib/proc.c:5404-5560): records in COLUMN
+        order inside the range, streamed through the range index —
+        body is [columns, rows...] with no hit count."""
+        name = params.get("table")
+        col = params.get("column") or ""
+        if name not in self.tables and name not in self.pending:
+            raise ValueError(f"[range_filter] unknown table: <{name}>")
+
+        def _lit(v: str) -> str:
+            try:
+                float(v)
+                return v
+            except ValueError:
+                return json.dumps(v)
+
+        def _border(which: str) -> str:
+            v = params.get(which) or "include"
+            if v not in ("include", "exclude"):
+                raise ValueError(
+                    f"[range_filter] border must be include or exclude: <{v}>"
+                )
+            return v
+
+        conds: list[str] = []
+        if params.get("min") not in (None, ""):
+            op = ">=" if _border("min_border") == "include" else ">"
+            conds.append(f"{col} {op} {_lit(params['min'])}")
+        if params.get("max") not in (None, ""):
+            op = "<=" if _border("max_border") == "include" else "<"
+            conds.append(f"{col} {op} {_lit(params['max'])}")
+        if params.get("filter"):
+            conds.append(f"({params['filter']})")
+        offset = int(params.get("offset") or 0)
+        limit = int(params.get("limit")) if params.get("limit") not in (None, "") else 10
+        sub = {
+            "table": name,
+            "sortby": col,
+            "output_columns": params.get("output_columns") or "_id, _key, *",
+            "limit": "-1",
+            "cache": "no",
+        }
+        if conds:
+            sub["filter"] = " && ".join(conds)
+        st = self._cmd_select(sub)[0]
+        rows = st[2:]
+        n = len(rows)
+        # negative offset/limit wrap against the match count; out of
+        # range errors (grn_output_range_normalize, lib/util.c:37-80)
+        if offset < 0:
+            if offset < -n:
+                raise ValueError(f"[range_filter] too small offset: <{offset}>")
+            offset += n
+        elif offset > n:
+            raise ValueError(f"[range_filter] too large offset: <{offset}>")
+        if limit < 0:
+            if limit < -(n + 1):
+                raise ValueError(f"[range_filter] too small limit: <{limit}>")
+            limit = n + limit + 1
+        rows = rows[offset:offset + limit]
+        return [st[1], *rows]
+
+    def _cmd_plugin_unregister(self, params: dict) -> bool:
+        """``plugin_unregister <name>`` (proc_plugin_unregister)."""
+        pname = params.get("name") or params.get("path") or ""
+        if pname in self._plugins:
+            self._plugins.remove(pname)
+        if pname.removesuffix(".so") == "query_expanders/tsv":
+            self._tsv_expander = False
+        self._invalidate()
+        return True
+
     def _cmd_shutdown(self, params: dict) -> bool:
         """``/d/shutdown`` (proc_shutdown): acknowledge, then stop."""
         return True
@@ -1746,6 +2174,8 @@ class CommandServer:
         import re as _re
 
         pname = params.get("name") or params.get("path") or ""
+        if pname.removesuffix(".so") == "query_expanders/tsv":
+            self._tsv_expander = True
         try:
             from . import plugin
 
@@ -1882,6 +2312,18 @@ class CommandServer:
         name = t["name"]
         if "NO_KEY" in t["flags"]:
             return []
+        nrm = t["normalizer"] or (
+            "NormalizerAuto" if "KEY_NORMALIZE" in t["flags"] else ""
+        )
+
+        def _knorm(v):
+            # KEY_NORMALIZE intern form: NFKC + lowercase, blanks kept
+            if nrm and isinstance(v, str):
+                import unicodedata
+
+                return unicodedata.normalize("NFKC", v).lower()
+            return v
+
         seen: dict = {}
 
         def _table_rows(tbl_name: str, cols: list[str]):
@@ -1912,14 +2354,17 @@ class CommandServer:
                             continue
                         vals = v if isinstance(v, list) else [v]
                         for txt in vals:
-                            if not isinstance(txt, str):
-                                seen.setdefault(txt, None)
+                            if not isinstance(txt, str) or not t["default_tokenizer"]:
+                                # no tokenizer: the whole value interns
+                                # as one key (grn_token_cursor over a
+                                # tokenizer-less lexicon)
+                                seen.setdefault(_knorm(txt), None)
                                 continue
                             stream = _tok(
                                 txt,
-                                t["default_tokenizer"] or "TokenBigram",
+                                t["default_tokenizer"],
                                 mode="add",
-                                normalizer=t["normalizer"] or None,
+                                normalizer=nrm or None,
                             )
                             for tk in stream.tokens:
                                 seen.setdefault(tk.term, None)
@@ -1931,7 +2376,9 @@ class CommandServer:
                     if v is None:
                         continue
                     for e in v if isinstance(v, list) else [v]:
-                        seen.setdefault(e, None)
+                        seen.setdefault(_knorm(e), None)
+        for gone in getattr(self, "_deleted_terms", {}).get(name, ()):
+            seen.pop(gone, None)
         return list(seen)
 
     def _index_posting_counts(self, t: dict, c: dict) -> dict:
@@ -1953,6 +2400,22 @@ class CommandServer:
             [pq.read_table(f) for f in st.source_files],
             promote_options="default",
         )
+        # logically deleted records contribute no postings (the lexicon
+        # keys survive the delete with zero entries — delete/index)
+        try:
+            ts = st.reader().tombstones
+        except Exception:  # noqa: BLE001
+            ts = None
+        if ts is not None and len(ts) and "_id" in tb.column_names:
+            import numpy as _np
+
+            ids = tb.column("_id").to_numpy(zero_copy_only=False).astype(
+                _np.uint64
+            )
+            pos = _np.searchsorted(ts, ids)
+            pos = _np.clip(pos, 0, len(ts) - 1)
+            alive = ts[pos] != ids
+            tb = tb.filter(pa.array(alive))
         counts: dict = {}
         for src in srcs:
             col = "_key" if src == "_key" else src
@@ -1962,18 +2425,22 @@ class CommandServer:
                 if v is None:
                     continue
                 terms: set = set()
+                nrm = t["normalizer"] or (
+                    "NormalizerAuto" if "KEY_NORMALIZE" in t["flags"] else None
+                )
                 for txt in v if isinstance(v, list) else [v]:
-                    if not isinstance(txt, str):
+                    if not isinstance(txt, str) or not t["default_tokenizer"]:
+                        if nrm and isinstance(txt, str):
+                            import unicodedata
+
+                            txt = unicodedata.normalize("NFKC", txt).lower()
                         terms.add(txt)
                         continue
                     stream = _tok(
                         txt,
-                        t["default_tokenizer"] or "TokenBigram",
+                        t["default_tokenizer"],
                         mode="add",
-                        normalizer=t["normalizer"] or (
-                            "NormalizerAuto" if "KEY_NORMALIZE" in t["flags"]
-                            else None
-                        ),
+                        normalizer=nrm,
                     )
                     terms.update(tk.term for tk in stream.tokens)
                 for term in terms:
@@ -2069,7 +2536,11 @@ class CommandServer:
 
         tok = params.get("default_tokenizer")
         if tok and not is_known_tokenizer(tok):
-            raise ValueError(f"[table][create] unknown tokenizer: <{tok}>")
+            # an unresolvable tokenizer is ACCEPTED and stored nil
+            # (table_create/default_tokenizer/nonexistent) — the
+            # lexicon behaves tokenizer-less
+            tok = ""
+            params = {**params, "default_tokenizer": ""}
         nrm = params.get("normalizer")
         if nrm and not is_known_normalizer(nrm):
             # an unresolvable normalizer name is ACCEPTED (the
@@ -2078,11 +2549,28 @@ class CommandServer:
             # misspell NormalizerAuto deliberately)
             nrm = ""
             params = {**params, "normalizer": ""}
-        for tf in (params.get("token_filters") or "").split(","):
-            if tf.strip() and tf.strip() not in TOKEN_FILTERS:
-                raise ValueError(
-                    f"[table][create] unknown token filter: <{tf.strip()}>"
-                )
+        tf_raw = params.get("token_filters")
+        tf_err = None
+        tf_clean = ""
+        if tf_raw:
+            parts = tf_raw.split(",")
+            bad = [tf for tf in parts if not tf.strip()]
+            unknown = [
+                tf.strip() for tf in parts
+                if tf.strip() and tf.strip() not in TOKEN_FILTERS
+            ]
+            if bad:
+                # empty name between/around commas errors — but the
+                # table itself is already created by then
+                # (grn_proc_table_set_token_filters runs AFTER
+                # grn_table_create; table_create/token_filters/
+                # leading_comma's dump shows the filterless table)
+                tf_err = f"[table][create] empty token filter name: <{tf_raw}>"
+            elif unknown:
+                tf_err = f"[table][create] unknown token filter: <{unknown[0]}>"
+            else:
+                tf_clean = ",".join(tf.strip() for tf in parts)
+        params = {**params, "token_filters": tf_clean}
         self._obj_id(("t", name))
         self._ddl_tables.append(
             {
@@ -2107,6 +2595,8 @@ class CommandServer:
             ),
         )
         self._invalidate()
+        if tf_err:
+            raise ValueError(tf_err)
         return True
 
     def _cmd_column_create(self, params: dict) -> bool:
@@ -2376,6 +2866,7 @@ class CommandServer:
             text_columns=tuple(dict.fromkeys(existing + cols)),
             tokenizer=lex_td.default_tokenizer,
             token_filters=lex_td.token_filters,
+            stop_words=self._lexicon_stop_words(data_name, lex_td),
             normalizer=lex_td.normalizer or (
                 "NormalizerAuto" if "KEY_NORMALIZE" in lex_td.flags else ""
             ),
@@ -2842,11 +3333,13 @@ class CommandServer:
             # reading the synonyms TSV (GRN_QUERY_EXPANDER_TSV_
             # SYNONYMS_FILE, default <config>/synonyms.tsv)
             self._tsv_expander = True
+            if path not in self._plugins:
+                self._plugins.append(path)
             return True
-        from . import plugin
-
-        plugin.register(params["path"])
-        return True
+        # same surface as plugin_register: python plugins load;
+        # reference plugin names (token_filters/*, ...) whose semantics
+        # are built in journal for dump and no-op
+        return self._cmd_plugin_register({"name": path})
 
     def _cmd_copy_path(self, params: dict) -> bool:
         """grntest's ``#@copy-path src dst`` directive: record the

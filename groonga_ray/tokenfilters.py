@@ -229,8 +229,18 @@ register_token_filter("TokenFilterStem", lambda cfg: TokenFilterStem())
 
 
 def build_chain(config: dict) -> list:
-    """Instantiate the configured filter chain (order preserved)."""
-    return [TOKEN_FILTERS[name](config) for name in config.get("token_filters", ())]
+    """Instantiate the configured filter chain (order preserved). A
+    non-empty ``stop_words`` set implies the stop-word drop even
+    without a declared TokenFilterStopWord — deleted lexicon terms ride
+    this (grn_ii term deletion: the posting list stops serving)."""
+    chain = [
+        TOKEN_FILTERS[name](config) for name in config.get("token_filters", ())
+    ]
+    if config.get("stop_words") and "TokenFilterStopWord" not in config.get(
+        "token_filters", ()
+    ):
+        chain.append(TokenFilterStopWord(config["stop_words"]))
+    return chain
 
 
 def apply_chain(chain: list, terms: pa.Array, mode: str):

@@ -77,8 +77,11 @@ def test_select_matches_select_v1(srv):
     assert status == 200
     head, body = env[0], env[1]
     assert head[0] == 0 and head[2] >= 0  # rc, elapsed
+    # the server mirrors grn_table_sort's descending-scan tie order
+    # (equal scores in descending id order) — pass the same tie here
     direct = select_v1(
-        table, query="query", output_columns=("_id", "_score"), limit=5
+        table, query="query", output_columns=("_id", "_score"), limit=5,
+        sort_tie="desc",
     )
     assert body[0] == direct  # single result set, identical envelope
 
@@ -124,7 +127,9 @@ def test_post_body_is_query_string(srv):
     with urllib.request.urlopen(req, timeout=10) as r:
         env = json.loads(r.read().decode("utf-8"))
     body = env[1][0]
-    direct = select_v1(table, query="query", output_columns=("_id",), limit=3)
+    direct = select_v1(
+        table, query="query", output_columns=("_id",), limit=3, sort_tie="desc"
+    )
     assert body == direct
 
 

@@ -66,6 +66,8 @@ VAR_ORDERS: dict[str, list[str]] = {
     "clearlock": ["target_name"],
     "lock_clear": ["target_name"],
     "register": ["path"],
+    "ruby_eval": ["script"],
+    "ruby_load": ["path"],
     "plugin_register": ["name"],
     "plugin_unregister": ["name"],
     "request_cancel": ["id"],

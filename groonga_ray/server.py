@@ -182,6 +182,8 @@ class CommandServer:
             "plugin_unregister": self._cmd_plugin_unregister,
             "dump": self._cmd_dump,
             "plugin_register": self._cmd_plugin_register,
+            "ruby_eval": self._cmd_ruby_eval,
+            "ruby_load": self._cmd_ruby_load,
         }
         # DDL journal: creation-order record of tables/columns/plugins,
         # exactly what proc_dump walks by object id (lib/proc.c:3296).
@@ -2164,6 +2166,30 @@ class CommandServer:
     def _cmd_shutdown(self, params: dict) -> bool:
         """``/d/shutdown`` (proc_shutdown): acknowledge, then stop."""
         return True
+
+    def _cmd_ruby_eval(self, params: dict) -> dict:
+        """``ruby_eval <script>`` (plugins/ruby/eval.c:22-58): evaluate
+        an mruby expression; an uncaught exception becomes the
+        ``{"exception": {"message": ...}}`` body."""
+        from . import mrb
+
+        script = params.get("script") or ""
+        try:
+            return {"value": mrb.eval_expr(script, self)}
+        except mrb.MrbError as e:
+            return {"exception": {"message": str(e)}}
+
+    def _cmd_ruby_load(self, params: dict) -> dict:
+        """``ruby_load <path>`` (plugins/ruby/load.c:22-57): run a
+        script file from the engine's ruby scripts dir; a missing file
+        is the reference's fopen syscall error."""
+        from . import mrb
+
+        path = params.get("path") or ""
+        try:
+            return {"value": mrb.load_file(path, self)}
+        except mrb.MrbError as e:
+            return {"exception": {"message": str(e)}}
 
     # ----------------------------------------------------------- dump
     def _cmd_plugin_register(self, params: dict) -> bool:

@@ -20,6 +20,7 @@ differences (our Arrow type names vs groonga's, Int32 score encoding).
 from __future__ import annotations
 
 import json
+import re
 
 # positional parameter order per command (lib/proc.c:6749-7020 DEF_VAR
 # tables; select at 6759-6781, load 6785, normalize 6886, tokenize 6891)
@@ -135,6 +136,20 @@ def split_command_line(line: str) -> list[str]:
 def parse_command(line: str) -> tuple[str, dict]:
     """Command line → (name, params) with positionals bound in the
     command's declared var order (grn_expr parse_command + DEF_VAR)."""
+    if line.lstrip().startswith("/d/"):
+        # HTTP-path form: /d/<command>[.<output_type>]?k=v&... (grntest
+        # feeds these through the httpd; src/groonga.c grn_document_root
+        # path dispatch). Values are URL-decoded.
+        from urllib.parse import parse_qsl, urlsplit
+
+        u = urlsplit(line.strip())
+        name = u.path[len("/d/"):]
+        params: dict[str, str] = {}
+        if "." in name:
+            name, ext = name.rsplit(".", 1)
+            params["output_type"] = ext
+        params.update(parse_qsl(u.query, keep_blank_values=True))
+        return name, params
     toks = split_command_line(line)
     if not toks:
         raise ValueError("empty command")
@@ -250,13 +265,37 @@ def parse_expected(text: str) -> list:
         line = text[i:j if j != -1 else n]
         i = (j + 1) if j != -1 else n
         if line.lstrip().startswith("<?xml"):
-            # --output_type xml response: raw text through </SEGMENTS>
-            end_tag = "</SEGMENTS>"
+            # --output_type xml response. select renders inside
+            # <SEGMENTS>; every other command inside <RESULT ...>
+            # (lib/output.c xml branch).
+            if text[i:].lstrip().startswith("<RESULT"):
+                kind, end_tag = "xmlcmd", "</RESULT>"
+            else:
+                kind, end_tag = "xml", "</SEGMENTS>"
             e = text.find(end_tag, line_start)
             if e != -1:
-                envs.append(("xml", text[line_start:e + len(end_tag)]))
+                envs.append((kind, text[line_start:e + len(end_tag)]))
                 i = e + len(end_tag)
                 nl = text.find("\n", i)
+                i = (nl + 1) if nl != -1 else n
+            continue
+        m_cb = re.match(r"\s*([A-Za-z_$][\w$]*)\(", line)
+        if m_cb and not line.lstrip().startswith("["):
+            # JSONP response: callback(<envelope>); (output_type json +
+            # callback=..., lib/output.c grn_output_envelope jsonp)
+            start = line_start + m_cb.end()
+            try:
+                val, end = dec.raw_decode(text[start:])
+            except json.JSONDecodeError:
+                continue
+            if (
+                isinstance(val, list) and val
+                and isinstance(val[0], list) and len(val[0]) in (3, 4)
+                and all(isinstance(x, (int, float)) for x in val[0][:3])
+            ):
+                envs.append(("jsonp", m_cb.group(1), val))
+                consumed = start + end
+                nl = text.find("\n", consumed)
                 i = (nl + 1) if nl != -1 else n
             continue
         if not line.lstrip().startswith("["):
@@ -328,6 +367,55 @@ def render_select_xml(body, offset: int = 0) -> str:
         out.append("</RESULTSET>")
     out += ["</RESULTPAGE>", "</SEGMENT>", "</SEGMENTS>"]
     return "\n".join(out)
+
+
+_XML_CMD_TAGS = {
+    "table_list": ("TABLE_LIST", "TABLE"),
+    "column_list": ("COLUMN_LIST", "COLUMN"),
+}
+
+
+def render_command_xml(cmd: str, body) -> str:
+    """A list-command JSON body ([header, *rows]) → the reference's
+    command-XML rendering (lib/output.c: open tags and leaf values are
+    newline-prefixed, close tags append to the current line; sources
+    arrays render as <SOURCES>, nulls as <NULL/>)."""
+    def esc(v) -> str:
+        return (
+            str(v).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+
+    list_tag, row_tag = _XML_CMD_TAGS[cmd]
+    s = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '\n<RESULT CODE="0" UP="0.0" ELAPSED="0.0">'
+        f"\n<{list_tag}>"
+    )
+    header, rows = body[0], body[1:]
+    s += "\n<HEADER>"
+    for nm, tp in header:
+        s += f"\n<PROPERTY>\n<TEXT>{esc(nm)}</TEXT>\n<TEXT>{esc(tp)}</TEXT></PROPERTY>"
+    s += "</HEADER>"
+    for row in rows:
+        s += f"\n<{row_tag}>"
+        for v in row:
+            if v is None:
+                s += "\n<NULL/>"
+            elif isinstance(v, bool):
+                s += f"\n<TEXT>{'true' if v else 'false'}</TEXT>"
+            elif isinstance(v, int):
+                s += f"\n<INT>{v}</INT>"
+            elif isinstance(v, list):
+                s += "\n<SOURCES>"
+                for x in v:
+                    s += f"\n<TEXT>{esc(x)}</TEXT>"
+                s += "</SOURCES>"
+            else:
+                s += f"\n<TEXT>{esc(v)}</TEXT>"
+        s += f"</{row_tag}>"
+    s += f"</{list_tag}>\n</RESULT>"
+    return s
 
 
 # ------------------------------------------------------------- comparator
@@ -564,6 +652,25 @@ class ScriptRunner:
                 body = self.execute(name, params)
             except Exception as e:  # noqa: BLE001 - reported as mismatch
                 body, err = None, f"{type(e).__name__}: {e}"
+            jsonp_cb = None
+            if isinstance(env, tuple) and env and env[0] == "jsonp":
+                jsonp_cb, env = env[1], env[2]
+            if isinstance(env, tuple) and env and env[0] == "xmlcmd":
+                if err is not None:
+                    out.append({"command": name, "ok": False, "detail": err})
+                    continue
+                got = render_command_xml(name, body).strip()
+                exp_txt = env[1].strip()
+                ok = got == exp_txt
+                out.append(
+                    {
+                        "command": name,
+                        "ok": ok,
+                        "detail": "ok" if ok
+                        else f"ours:\n{got}\nexpected:\n{exp_txt}",
+                    }
+                )
+                continue
             if isinstance(env, tuple) and env and env[0] == "xml":
                 if err is not None:
                     out.append({"command": name, "ok": False, "detail": err})
@@ -591,5 +698,10 @@ class ScriptRunner:
                 ok, detail = False, err
             else:
                 ok, detail = False, f"we succeeded, reference errored: {env[0]!r}"
+            if ok and jsonp_cb is not None and params.get("callback") != jsonp_cb:
+                ok = False
+                detail = (
+                    f"jsonp callback {params.get('callback')!r} != {jsonp_cb!r}"
+                )
             out.append({"command": name, "ok": ok, "detail": detail})
         return out

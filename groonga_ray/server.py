@@ -72,6 +72,85 @@ def _split_cols(v: str | None, default=("_id", "_score")):
     return tuple(p.strip() for p in parts if p.strip())
 
 
+def grn_partial_sort(entries: list, after, offset: int, limit: int) -> list:
+    """Exact replica of the reference's partial quicksort
+    (grn_table_sort_reference, lib/db.c:10029-10060: ``pack`` +
+    median-of-3 ``part`` + range-pruned recursion). Tie order among
+    equal keys is NOT stable — it is the deterministic artifact of this
+    algorithm, and select output depends on it (select/sort/index).
+
+    ``entries`` must be in the table's cursor enumeration order (PAT:
+    key order; array/hash: id order). ``after(a, b)`` returns True iff
+    ``a`` must sort after ``b`` (compare_reference semantics: DESC keys
+    compare with swapped operands). Returns entries[offset:offset+limit]
+    of the partially sorted array."""
+    n = len(entries)
+    if n == 0 or limit <= 0:
+        return []
+    arr: list = [None] * n
+    e_end = offset + limit
+
+    def part(b: int, e: int):
+        # part_reference, lib/db.c:9946-9979
+        d = e - b
+        if after(arr[b], arr[e]):
+            arr[b], arr[e] = arr[e], arr[b]
+        if d < 2:
+            return None
+        c = b + (d >> 1)
+        if after(arr[b], arr[c]):
+            arr[b], arr[c] = arr[c], arr[b]
+        elif after(arr[c], arr[e]):
+            arr[c], arr[e] = arr[e], arr[c]
+        if d < 3:
+            return None
+        b += 1
+        arr[b], arr[c] = arr[c], arr[b]
+        c = b
+        while True:
+            b += 1
+            while after(arr[c], arr[b]):
+                b += 1
+            e -= 1
+            while after(arr[e], arr[c]):
+                e -= 1
+            if b >= e:
+                break
+            arr[b], arr[e] = arr[e], arr[b]
+        arr[c], arr[e] = arr[e], arr[c]
+        return e
+
+    def sort(head: int, tail: int, frm: int, to: int) -> None:
+        # sort_reference, lib/db.c:9983-9999
+        if head < tail:
+            c = part(head, tail)
+            if c is not None:
+                m = c - head + 1
+                if frm < m - 1:
+                    sort(head, c - 1, frm, to)
+                if m < to:
+                    sort(c + 1, tail, frm - m, to - m)
+
+    # pack, lib/db.c:10002-10027: first entry is the pivot guess
+    head, tail = 0, n - 1
+    c0 = entries[0]
+    for ent in entries[1:]:
+        if after(c0, ent):
+            arr[head] = ent
+            head += 1
+        else:
+            arr[tail] = ent
+            tail -= 1
+    arr[head] = c0
+    if n > 2:
+        m = head + 1
+        if offset < m - 1:
+            sort(0, head - 1, offset, e_end)
+        if m < e_end:
+            sort(head + 1, n - 1, offset - m, e_end - m)
+    return arr[offset:e_end]
+
+
 def _table_envelope(tbl, score_int32=True) -> list:
     """One result set in the v1 shape ``[[nhits], [[name, type]...],
     rows...]`` (lib/output.c:1130-1180)."""
@@ -463,28 +542,77 @@ class CommandServer:
             ]
             for i, k in enumerate(keys)
         ]
-        for spec in reversed([
+        sort_specs = [
             s.strip() for s in
             (params.get("sortby") or params.get("sort_keys") or "").split(",")
             if s.strip()
-        ]):
-            desc = spec.startswith("-")
-            col = spec.lstrip("+-")
-            if col == "_key":
-                rows.sort(key=lambda r: (isinstance(r[1], str), r[1]),
-                          reverse=desc)
-            elif col == "_id":
-                rows.sort(key=lambda r: r[0], reverse=desc)
+        ]
+        colpos = {cn: 2 + j for j, (cn, _, _) in enumerate(col_vals)}
+        if any(s.lstrip("+-") not in ("_id", "_key") for s in sort_specs):
+            # a sort key is an own data/index column: the reference
+            # runs grn_table_sort_reference over the table's cursor
+            # order (PAT: key order) — tie order is the quicksort's
+            # (select/sort/index).
+            keyspec = []
+            for s in sort_specs:
+                col = s.lstrip("+-")
+                if col in ("_id", "_key"):
+                    idx = 0 if col == "_id" else 1
+                elif col in colpos:
+                    idx = colpos[col]
+                else:
+                    return None
+                keyspec.append((idx, s.startswith("-")))
+
+            def _after(a, b):
+                for idx, desc in keyspec:
+                    va, vb = (b[idx], a[idx]) if desc else (a[idx], b[idx])
+                    if va != vb:
+                        try:
+                            return va > vb
+                        except TypeError:
+                            return str(va) > str(vb)
+                return False
+
+            if "PAT_KEY" in t["flags"] or "DAT_KEY" in t["flags"]:
+                cursor = sorted(
+                    rows, key=lambda r: (isinstance(r[1], str), r[1])
+                )
             else:
-                return None
-        n = len(rows)
-        offset = int(params.get("offset") or 0)
-        limit = int(params["limit"]) if params.get("limit") not in (None, "") else 10
-        if offset < 0:
-            offset += n
-        if limit < 0:
-            limit += n + 1
-        rows = rows[max(offset, 0):max(offset, 0) + max(limit, 0)]
+                cursor = rows
+            n = len(rows)
+            offset = int(params.get("offset") or 0)
+            limit = (
+                int(params["limit"])
+                if params.get("limit") not in (None, "") else 10
+            )
+            if offset < 0:
+                offset += n
+            if limit < 0:
+                limit += n + 1
+            rows = grn_partial_sort(
+                cursor, _after, max(offset, 0), max(limit, 0)
+            )
+        else:
+            for spec in reversed(sort_specs):
+                desc = spec.startswith("-")
+                col = spec.lstrip("+-")
+                if col == "_key":
+                    rows.sort(key=lambda r: (isinstance(r[1], str), r[1]),
+                              reverse=desc)
+                elif col == "_id":
+                    rows.sort(key=lambda r: r[0], reverse=desc)
+            n = len(rows)
+            offset = int(params.get("offset") or 0)
+            limit = (
+                int(params["limit"])
+                if params.get("limit") not in (None, "") else 10
+            )
+            if offset < 0:
+                offset += n
+            if limit < 0:
+                limit += n + 1
+            rows = rows[max(offset, 0):max(offset, 0) + max(limit, 0)]
         out_cols = _split_cols(params.get("output_columns")) or [
             "_id", "_key", "*",
         ]
@@ -2443,25 +2571,40 @@ class CommandServer:
             pos = _np.clip(pos, 0, len(ts) - 1)
             alive = ts[pos] != ids
             tb = tb.filter(pa.array(alive))
-        counts: dict = {}
+        # The rendered value is grn_ii_estimate_size (lib/db.c:6954 →
+        # lib/ii.c:4470-4494): 1 for an inline single posting, else
+        # a[1] + size_in_buffer + 2.  Under the load-hook update path
+        # (grn_ii_update_one, lib/ii.c:3725-3878) a[1] keeps the first
+        # posting's position after the term graduates from inline to a
+        # buffer (it is never cleared), and size_in_buffer counts
+        # buffer recs — one per (record, section) updspec.  So for an
+        # index populated by load: estimate = 1 when df==1&&tf==1,
+        # else first_pos + n_postings + 2 (first_pos = 0 when the very
+        # first updspec had tf>1 and skipped the inline step).
+        nrm = t["normalizer"] or (
+            "NormalizerAuto" if "KEY_NORMALIZE" in t["flags"] else None
+        )
+        cols = []
         for src in srcs:
             col = "_key" if src == "_key" else src
-            if col not in tb.column_names:
-                continue
-            for rid, v in enumerate(tb.column(col).to_pylist()):
+            if col in tb.column_names:
+                cols.append(tb.column(col).to_pylist())
+        # state: term -> ["inline", first_pos] | ["buffer", a1, nrecs]
+        state: dict = {}
+        for rid in range(tb.num_rows):
+            for vals in cols:
+                v = vals[rid]
                 if v is None:
                     continue
-                terms: set = set()
-                nrm = t["normalizer"] or (
-                    "NormalizerAuto" if "KEY_NORMALIZE" in t["flags"] else None
-                )
+                specs: dict = {}   # term -> (tf, first_pos), doc order
                 for txt in v if isinstance(v, list) else [v]:
                     if not isinstance(txt, str) or not t["default_tokenizer"]:
                         if nrm and isinstance(txt, str):
                             import unicodedata
 
                             txt = unicodedata.normalize("NFKC", txt).lower()
-                        terms.add(txt)
+                        if txt not in specs:
+                            specs[txt] = (1, 0)
                         continue
                     stream = _tok(
                         txt,
@@ -2470,10 +2613,23 @@ class CommandServer:
                         normalizer=nrm,
                     )
                     stream = self._apply_lexicon_chain(t, stream)
-                    terms.update(tk.term for tk in stream.tokens)
-                for term in terms:
-                    counts[term] = counts.get(term, 0) + 1
-        return counts
+                    for tk in stream.tokens:
+                        tf, fp = specs.get(tk.term, (0, tk.pos))
+                        specs[tk.term] = (tf + 1, fp)
+                for term, (tf, fp) in specs.items():
+                    st = state.get(term)
+                    if st is None:
+                        state[term] = (
+                            ["inline", fp] if tf == 1 else ["buffer", 0, 1]
+                        )
+                    elif st[0] == "inline":
+                        state[term] = ["buffer", st[1], 2]
+                    else:
+                        st[2] += 1
+        return {
+            term: 1 if st[0] == "inline" else st[1] + st[2] + 2
+            for term, st in state.items()
+        }
 
     def _apply_lexicon_chain(self, t: dict, stream):
         """ADD-mode token-filter chain of a lexicon table (stemming

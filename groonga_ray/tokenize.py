@@ -428,7 +428,12 @@ def regexp_tokenize(text: str, mode: str = "add", nfkc: bool = True) -> TokenStr
                 stream.force_prefix = True
             break
         if by_blank:
-            out.append(Token(term, i))
+            # pre-blank unmatured tail: UNMATURED|OVERLAP tokens are
+            # position-consuming skips in GET mode (token_cursor.c:
+            # 241-246); a run-initial single char is not overlapping
+            # and is kept
+            if L == 2 or i == 0 or bool(blanks[i - 1]):
+                out.append(Token(term, i))
             n_skip = 0
         elif by_end_mark:
             if is_start or L == 2:

@@ -507,10 +507,18 @@ class ScriptRunner:
                 # no-sortby select order is the table cursor's: key
                 # order for PAT/DAT lexicons, id order otherwise
                 td_p = self.server.pending.get(params.get("table", ""))
-                if td_p is not None and (
-                    "PAT_KEY" in (td_p.flags or "")
-                    or "DAT_KEY" in (td_p.flags or "")
-                ):
+                if td_p is not None:
+                    flags = td_p.flags or ""
+                else:
+                    flags = next(
+                        (
+                            x["flags"] or ""
+                            for x in getattr(self.server, "_ddl_tables", [])
+                            if x["name"] == params.get("table")
+                        ),
+                        "",
+                    )
+                if "PAT_KEY" in flags or "DAT_KEY" in flags:
                     params["sortby"] = "_key"
                 else:
                     params["sortby"] = "_id"

@@ -684,6 +684,15 @@ class CommandServer:
                 self._select_cache.move_to_end(cache_key)
                 return hit
         table = self._table(params)
+        cast_fail = self._html_untag_cast_failure(params, table)
+        if cast_fail is not None:
+            return cast_fail
+        if params.get("match_columns"):
+            alt = self._alt_index_for(
+                params.get("table"), params["match_columns"], table
+            )
+            if alt is not None:
+                table = alt
         kwargs: dict = {}
         for k in ("query", "filter", "match_columns", "adjuster", "query_flags"):
             if params.get(k):
@@ -719,6 +728,25 @@ class CommandServer:
             kwargs["scorer_expr"] = params["scorer"]
         if params.get("sortby"):
             kwargs["sortby"] = params["sortby"]
+        elif not any(
+            kwargs.get(k) for k in ("query", "filter", "match_columns")
+        ):
+            # a no-condition select outputs the table's own cursor
+            # order — KEY order for PAT/DAT-keyed tables (grn_table
+            # cursor default, lib/pat.c; visible when limit truncates:
+            # suffix_search/patricia_trie_key_with_sis)
+            tddl = next(
+                (
+                    x for x in self._ddl_tables
+                    if x["name"] == params.get("table")
+                ),
+                None,
+            )
+            if tddl is not None and (
+                "PAT_KEY" in (tddl["flags"] or "")
+                or "DAT_KEY" in (tddl["flags"] or "")
+            ):
+                kwargs["sortby"] = "_key"
         kwargs["output_columns"] = _split_cols(params.get("output_columns"))
         for k in ("offset", "limit", "match_escalation_threshold"):
             if params.get(k) is not None and params.get(k) != "":
@@ -806,6 +834,55 @@ class CommandServer:
             while len(self._select_cache) > self._cache_max:
                 self._select_cache.popitem(last=False)
         return sets
+
+    def _html_untag_cast_failure(self, params: dict, table) -> list | None:
+        """``html_untag(col)`` over a reference-typed column cannot
+        cast the record to text (proc_html_untag → grn_obj_cast,
+        lib/proc.c:5294): the reference errors with the record repr
+        (select/function/html_untag/cast_failure)."""
+        import re as _re
+
+        m = _re.fullmatch(
+            r"\s*html_untag\((\w+)\)\s*", params.get("output_columns") or ""
+        )
+        if not m:
+            return None
+        colname = m.group(1)
+        cdef = next(
+            (
+                c for c in self._ddl_cols
+                if c["table"] == params.get("table")
+                and c["name"] == colname and not c["is_index"]
+            ),
+            None,
+        )
+        ref_t = cdef and next(
+            (x for x in self._ddl_tables if x["name"] == cdef["type"]), None
+        )
+        if ref_t is None or "NO_KEY" in (ref_t["flags"] or ""):
+            return None
+        kind = (
+            "pat" if "PAT_KEY" in ref_t["flags"]
+            else "dat" if "DAT_KEY" in ref_t["flags"] else "hash"
+        )
+        keys = self._derived_keys(ref_t)
+        import pyarrow.parquet as _pq
+
+        vals = pa.concat_tables(
+            [
+                _pq.read_table(f, columns=[colname])
+                for f in table.source_files
+            ],
+            promote_options="default",
+        ).column(colname).to_pylist()
+        v = next((x for x in vals if x is not None), None)
+        if v is None:
+            return None
+        raise ValueError(
+            "failed to cast to text: "
+            f'<#<record:{kind}:{ref_t["name"]} '
+            f'id:{keys.index(v) + 1 if v in keys else 0} key:"{v}">>'
+        )
 
     def _resolve_query_expander(self, spec: str) -> dict:
         """``--query_expander Synonyms.words`` (expand_query,
@@ -1234,13 +1311,18 @@ class CommandServer:
                 r[tgt] = v
         if not records:
             return 0
+        n_before_sis = len(records)
+        records = self._sis_expand(name, records)
+        sis_added = len(records) != n_before_sis
         if name in self.pending:
-            return self._materialize_load(name, records)
+            n = self._materialize_load(name, records)
+            return n_before_sis if sis_added else n
         t = self._table(params)
         if not t.docid_column:
             raise ValueError("load requires a docid-column table")
         if (name or next(iter(self.tables))) in self._auto_id:
-            return self._load_auto(name or next(iter(self.tables)), t, records)
+            n = self._load_auto(name or next(iter(self.tables)), t, records)
+            return n_before_sis if sis_added else n
         tbl = pa.Table.from_pylist(records)
         if t.docid_column not in tbl.column_names:
             raise ValueError(f"records must carry {t.docid_column}")
@@ -1649,6 +1731,46 @@ class CommandServer:
         }
         return defs or None
 
+    def _sis_expand(self, name: str, records: list) -> list:
+        """KEY_WITH_SIS tables auto-intern every multibyte proper
+        suffix of a newly added key as its own record (grn_pat_add SIS
+        chain, lib/pat.c:841-868: chop one character at a time while
+        the suffix still starts with a 0x80 byte, stopping at the first
+        suffix that already exists). The created records carry default
+        column values and count ids, but load reports only the
+        explicitly loaded records."""
+        td = next(
+            (x for x in self._ddl_tables if x["name"] == name), None
+        )
+        if td is None or "KEY_WITH_SIS" not in (td["flags"] or ""):
+            return records
+        existing: set = set()
+        t = self.tables.get(name)
+        if t is not None and name not in self.pending:
+            import pyarrow.parquet as _pq
+
+            for f in t.source_files:
+                existing.update(
+                    _pq.read_table(f, columns=["_key"])["_key"].to_pylist()
+                )
+        out: list = []
+        for r in records:
+            out.append(r)
+            k = r.get("_key") if isinstance(r, dict) else None
+            if not isinstance(k, str) or not k or k in existing:
+                continue
+            existing.add(k)
+            if k.encode("utf-8")[0] < 0x80:
+                continue
+            s = k
+            while True:
+                s = s[1:]
+                if not s or s.encode("utf-8")[0] < 0x80 or s in existing:
+                    break
+                existing.add(s)
+                out.append({"_key": s})
+        return out
+
     @staticmethod
     def _normalize_weight_vectors(records: list) -> list:
         """WITH_WEIGHT vector values load as ``{"element": weight}``
@@ -1716,6 +1838,40 @@ class CommandServer:
         self._key_types[name] = td.key_type
         records = self._cast_records(name, records)
         n_input = len(records)   # the load count includes updates
+        if "NO_KEY" not in (td.flags or ""):
+            # keys already interned through this table — tokens from
+            # index columns it hosts, values from reference columns
+            # typed to it — are REAL records; an explicit load upserts
+            # onto them (grn_table_add returns the existing id —
+            # delete/reference/cross, delete/reference/vector_type)
+            tddl = next(
+                (x for x in self._ddl_tables if x["name"] == name), None
+            )
+            feeds = tddl is not None and any(
+                (
+                    c["table"] == name and c["is_index"]
+                    and c["type"] in self.tables
+                    and c["type"] not in self.pending
+                )
+                or (
+                    c["type"] == name and not c["is_index"]
+                    and c["table"] in self.tables
+                    and c["table"] not in self.pending
+                )
+                for c in self._ddl_cols
+            )
+            if feeds:
+                derived = self._derived_keys(tddl)
+                if derived:
+                    # Table.from_pylist schemas off the FIRST record —
+                    # the interned-key records carry every explicit
+                    # column (None) so the load's columns survive
+                    proto = {
+                        k: None for r in records for k in r if k != "_id"
+                    }
+                    records = [
+                        {**proto, "_key": k} for k in derived
+                    ] + records
         if "NO_KEY" not in (td.flags or "") and any(
             "_key" in r for r in records
         ):
@@ -1965,10 +2121,73 @@ class CommandServer:
             docids = res["rows"].column("_id").to_pylist()
             if not docids:
                 return True
+        deleted_keys: list = []
+        import pyarrow.parquet as _pq
+
+        if any(
+            c["type"] == name0 and not c["is_index"]
+            for c in self._ddl_cols
+        ) and "_key" in _pq.read_schema(t.source_files[0]).names:
+            kt = pa.concat_tables(
+                [
+                    _pq.read_table(f, columns=["_id", "_key"])
+                    for f in t.source_files
+                ],
+                promote_options="default",
+            )
+            dset = set(docids)
+            deleted_keys = [
+                k for i, k in zip(
+                    kt.column("_id").to_pylist(), kt.column("_key").to_pylist()
+                )
+                if i in dset
+            ]
         with self._mutate_lock:
             build_mod.delete_documents(t.index_dir, docids)
             self._invalidate()
+        if deleted_keys:
+            self._cascade_reference_delete(name0, set(deleted_keys))
         return True
+
+    def _cascade_reference_delete(self, name0: str, gone: set) -> None:
+        """Deleting a record clears references to it: vector reference
+        columns lose the element, scalar references become NIL
+        (grn_obj_remove's dependent walk, lib/db.c:8900;
+        delete/reference/cross)."""
+        import pyarrow.parquet as _pq
+
+        for c in self._ddl_cols:
+            if c["type"] != name0 or c["is_index"]:
+                continue
+            uname = c["table"]
+            u = self.tables.get(uname)
+            if u is None or uname in self.pending:
+                continue
+            sch = _pq.read_schema(u.source_files[0])
+            if c["name"] not in sch.names or "_key" not in sch.names:
+                continue
+            ut = pa.concat_tables(
+                [
+                    _pq.read_table(f, columns=["_key", c["name"]])
+                    for f in u.source_files
+                ],
+                promote_options="default",
+            )
+            ups = []
+            for k, v in zip(
+                ut.column("_key").to_pylist(),
+                ut.column(c["name"]).to_pylist(),
+            ):
+                if isinstance(v, list) and any(x in gone for x in v):
+                    ups.append(
+                        {"_key": k, c["name"]: [x for x in v if x not in gone]}
+                    )
+                elif isinstance(v, str) and v in gone:
+                    ups.append({"_key": k, c["name"]: ""})
+            if ups:
+                self._cmd_load(
+                    {"table": uname, "values": json.dumps(ups)}
+                )
 
     def _cmd_defrag(self, params: dict) -> bool:
         """``/d/defrag`` (proc_defrag analogue): fold tombstones out of
@@ -2419,10 +2638,35 @@ class CommandServer:
             )
             if "_id" in tb.column_names:
                 tb = tb.take(pc.sort_indices(tb, sort_keys=[("_id", "ascending")]))
+            # logically deleted records don't dump (the tombstones are
+            # the delete command's effect — delete/reference/cross)
+            try:
+                ts = self.tables[name].reader().tombstones
+            except Exception:  # noqa: BLE001
+                ts = None
+            if ts is not None and len(ts) and "_id" in tb.column_names:
+                import numpy as _np
+
+                ids = tb.column("_id").to_numpy(
+                    zero_copy_only=False
+                ).astype(_np.uint64)
+                pos = _np.clip(_np.searchsorted(ts, ids), 0, len(ts) - 1)
+                tb = tb.filter(pa.array(ts[pos] != ids))
+            defaults = {
+                c["name"]: (
+                    0 if c["type"].startswith(("Int", "UInt"))
+                    else 0.0 if c["type"] in ("Float", "Time")
+                    else [] if "COLUMN_VECTOR" in (c["flags"] or "")
+                    else ""
+                )
+                for c in own_cols
+            }
             for r in tb.to_pylist():
                 row = []
                 for h in header:
                     v = r.get(h)
+                    if v is None and h in defaults:
+                        v = defaults[h]
                     if h in weight_cols and isinstance(v, list):
                         # repeated-element encoding back to {elem: w}
                         # (elements were extended (w+1) times at load)
@@ -2931,10 +3175,26 @@ class CommandServer:
         ok = self._column_remove_inner(params)
         if ok:
             t, n = params.get("table"), params.get("name")
-            self._ddl_cols = [
+
+            def _depends(c: dict) -> bool:
+                # removing a data column also removes every index
+                # column built over it (grn_obj_remove dependent walk,
+                # lib/db.c:8900 — column_remove/*/with_index)
+                return c["is_index"] and c["type"] == t and n in [
+                    s.strip() for s in (c["source"] or "").split(",")
+                ]
+
+            dropped = [
                 c for c in self._ddl_cols
-                if not (c["table"] == t and c["name"] == n)
+                if (c["table"] == t and c["name"] == n) or _depends(c)
             ]
+            self._ddl_cols = [
+                c for c in self._ddl_cols if c not in dropped
+            ]
+            for c in dropped:
+                getattr(self, "_index_cols", {}).pop(
+                    (c["table"], c["name"]), None
+                )
         return ok
 
     def _column_remove_inner(self, params: dict) -> bool:
@@ -3021,6 +3281,81 @@ class CommandServer:
             raise ValueError(f"unknown table: {name}")
         self._invalidate()
         return True
+
+    def _alt_index_for(self, tname: str, mc: str, table):
+        """When match_columns addresses an index column explicitly
+        (``Lexicon1.memo_index.content``) and that lexicon's analyzer
+        config differs from the one the data table's live index was
+        built with (several lexicons may index one table with different
+        tokenizers — grn_column_index resolves the NAMED index object,
+        lib/expr.c:6050; select/match_columns/section/by_name/1_item/
+        multiple_indexes), lazily build a sibling index with that
+        lexicon's config and route the match through it."""
+        import re as _re
+
+        m = _re.fullmatch(
+            r"(\w+)\.(\w+)((?:\.\w+)|(?:\[\d+\]))?(?:\s*\*\s*[\d.]+)?",
+            mc.strip(),
+        )
+        if not m:
+            return None
+        lexname, iname = m.group(1), m.group(2)
+        entry = getattr(self, "_index_cols", {}).get((lexname, iname))
+        if entry is None:
+            return None
+        data, srcs, is_geo = entry
+        if data != tname or is_geo or not srcs:
+            return None
+        lex_td = self.pending.get(lexname)
+        if lex_td is None:
+            return None
+        import os
+
+        from .build import BuildConfig, build_index, read_manifest
+        from .engine import IndexedTable  # noqa: F401  (type context)
+        from .index import open_index
+
+        meta = read_manifest(os.path.join(table.index_dir, "meta.json"))
+        cur = BuildConfig.from_fingerprint(meta["config"])
+        want_norm = lex_td.normalizer or (
+            "NormalizerAuto" if "KEY_NORMALIZE" in lex_td.flags else ""
+        )
+        cols = tuple(
+            "_key" if s == "_key" else s for s in srcs
+        )
+        if (
+            cur.tokenizer == lex_td.default_tokenizer
+            and (cur.normalizer or "") == (want_norm or "")
+            and (cur.token_filters or ()) == (lex_td.token_filters or ())
+            and all(c in cur.text_columns for c in cols)
+        ):
+            return None
+        cfg = replace(
+            cur,
+            text_columns=cols,
+            tokenizer=lex_td.default_tokenizer,
+            token_filters=lex_td.token_filters,
+            stop_words=self._lexicon_stop_words(tname, lex_td),
+            normalizer=want_norm,
+        )
+        alt_dir = f"{table.index_dir}@{lexname}.{iname}"
+        built = getattr(self, "_alt_built", None)
+        if built is None:
+            built = self._alt_built = {}
+        sig = (alt_dir, tuple(table.source_files), cfg.fingerprint())
+        if built.get(alt_dir) != sig:
+            import shutil
+
+            shutil.rmtree(alt_dir, ignore_errors=True)
+            build_index(list(table.source_files), alt_dir, cfg)
+            open_index.cache_clear()
+            built[alt_dir] = sig
+        return replace(
+            table,
+            index_dir=alt_dir,
+            index_defs={f"{lexname}.{iname}": list(srcs)},
+            auto_indexed=False,
+        )
 
     def _offline_index_build(
         self, data_name: str, lex_td, srcs: list, is_geo: bool

@@ -57,6 +57,27 @@ def test_reference_suite(rel, ray_session, tmp_path):
     assert not bad, f"{rel}: {bad[0]['command']}: {bad[0]['detail']}"
 
 
+def test_pin_list_is_complete():
+    """Every reference command script is pinned except the mecab/kytea
+    ones (external C morphological analyzers, SURVEY §2.2 out of
+    scope). A new reference script showing up unpinned fails here so
+    coverage can't silently erode."""
+    if not os.path.isdir(SUITE):
+        pytest.skip("reference tree absent")
+    all_scripts = set()
+    for root, _dirs, files in os.walk(SUITE):
+        for f in files:
+            if f.endswith(".test"):
+                rel = os.path.relpath(os.path.join(root, f), SUITE)
+                all_scripts.add(rel[: -len(".test")])
+    unpinned = all_scripts - set(ALL_CASES)
+    assert all(
+        "mecab" in p or "kytea" in p for p in unpinned
+    ), f"unpinned non-mecab scripts: {sorted(unpinned)[:10]}"
+    missing = set(ALL_CASES) - all_scripts
+    assert not missing, f"pinned but gone from reference: {sorted(missing)[:10]}"
+
+
 def test_parse_command_line():
     name, params = parse_command(
         "select Entries --match_columns 'title' --query groonga --output_columns 'a, b'"

@@ -300,7 +300,16 @@ def _tokenize_group_word(
                 b_pos = tb.positions[kidx]
         if len(b_rows) == 0:
             continue
-        th = fnv1a(b_terms)
+        # hash the slice VOCABULARY (dictionary-encode is one C++
+        # hash pass), then gather — fnv1a over every token instance
+        # was ~30% of shard wall time
+        denc = pc.dictionary_encode(
+            b_terms.combine_chunks()
+            if isinstance(b_terms, pa.ChunkedArray) else b_terms
+        )
+        vocab = denc.dictionary
+        vh = fnv1a(vocab)
+        th = vh[denc.indices.to_numpy(zero_copy_only=False)]
         docs = docid_of_row[a + b_rows]
         order = np.lexsort((b_pos, docs, th))
         h_s = th[order]
@@ -314,13 +323,9 @@ def _tokenize_group_word(
         pair_docid.append(d_s[starts])
         pair_tf.append(np.diff(np.append(starts, len(order))).astype(np.int64))
         pos_segs.append(p_s)
-        uh, ui = np.unique(th, return_index=True)
-        terms_py = None
-        for hsh, idx in zip(uh.tolist(), ui.tolist()):
+        for hsh, term in zip(vh.tolist(), vocab.to_pylist()):
             if hsh not in term_of_hash:
-                if terms_py is None:
-                    terms_py = b_terms
-                term_of_hash[hsh] = terms_py[idx].as_py()
+                term_of_hash[hsh] = term
     if not pair_hash:
         return None
     H = np.concatenate(pair_hash)

@@ -311,7 +311,11 @@ def _tokenize_group_word(
         vh = fnv1a(vocab)
         th = vh[denc.indices.to_numpy(zero_copy_only=False)]
         docs = docid_of_row[a + b_rows]
-        order = np.lexsort((b_pos, docs, th))
+        # tokens stream out of tokenize_column in (row, ordinal) order
+        # and docids are nondecreasing in row order, so ONE stable sort
+        # by hash keeps (docid, pos) sorted inside every term group —
+        # a radix pass instead of a 3-key lexsort
+        order = np.argsort(th, kind="stable")
         h_s = th[order]
         d_s = docs[order]
         p_s = b_pos[order].astype(np.uint64)

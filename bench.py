@@ -284,16 +284,19 @@ def scaling_child(ncpu: int, rows: int) -> dict:
     )
     conc = max(4, ncpu - 2)
     idx = f"/tmp/scaling_idx_{ncpu}"
-    shutil.rmtree(idx, ignore_errors=True)
-    build_index(files, idx, cfg, concurrency=conc)        # untimed warm pass
-    # min of 3 timed builds: the sandbox VM sees 2-11% CPU steal and
+    warm = int(os.environ.get("BENCH_SCALING_WARM", "1"))
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+    for _ in range(warm):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(files, idx, cfg, concurrency=conc)    # untimed warm pass
+    # min of N timed builds: the sandbox VM sees 2-11% CPU steal and
     # kernel-path noise; min is the robust throughput estimator
     import resource
 
     times = []
     sampler = _RayCpuSampler().start()
     r0 = resource.getrusage(resource.RUSAGE_SELF)
-    for _ in range(3):
+    for _ in range(repeats):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.time()
         meta = build_index(files, idx, cfg, concurrency=conc)
@@ -301,8 +304,8 @@ def scaling_child(ncpu: int, rows: int) -> dict:
     u_d, s_d = sampler.stop()
     r1 = resource.getrusage(resource.RUSAGE_SELF)
     sec = min(times)
-    user = (u_d + r1.ru_utime - r0.ru_utime) / 3     # per build
-    syst = (s_d + r1.ru_stime - r0.ru_stime) / 3
+    user = (u_d + r1.ru_utime - r0.ru_utime) / repeats     # per build
+    syst = (s_d + r1.ru_stime - r0.ru_stime) / repeats
     ray.shutdown()
     return {
         "ncpu": ncpu,
@@ -312,7 +315,7 @@ def scaling_child(ncpu: int, rows: int) -> dict:
         "user_cpu_sec": round(user, 2),
         "sys_cpu_sec": round(syst, 2),
         "sys_frac": round(syst / max(user + syst, 1e-9), 4),
-        "cpu_util": round((user + syst) / (sum(times) / 3 * ncpu), 4),
+        "cpu_util": round((user + syst) / (sum(times) / repeats * ncpu), 4),
         "stage_sec": meta.get("timings", {}),
     }
 

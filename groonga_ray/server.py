@@ -72,6 +72,25 @@ def _split_cols(v: str | None, default=("_id", "_score")):
     return tuple(p.strip() for p in parts if p.strip())
 
 
+def read_command_table(files, columns=None, cap: int = 2_000_000) -> pa.Table:
+    """Whole-table read for COMMAND-SURFACE tables (DDL'd and loaded
+    through ``/d/load`` — at most thousands of rows). The cap asserts
+    this path can never silently absorb a corpus-scale registered
+    table: those are served by the streaming engine scans."""
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    if n > cap:
+        raise ValueError(
+            f"command-surface full-table read of {n} rows (cap {cap}); "
+            "corpus-scale tables must go through the streaming scan paths"
+        )
+    return pa.concat_tables(
+        [pq.read_table(f, columns=columns) for f in files],
+        promote_options="default",
+    )
+
+
 def grn_partial_sort(entries: list, after, offset: int, limit: int) -> list:
     """Exact replica of the reference's partial quicksort
     (grn_table_sort_reference, lib/db.c:10029-10060: ``pack`` +
@@ -2128,13 +2147,7 @@ class CommandServer:
             c["type"] == name0 and not c["is_index"]
             for c in self._ddl_cols
         ) and "_key" in _pq.read_schema(t.source_files[0]).names:
-            kt = pa.concat_tables(
-                [
-                    _pq.read_table(f, columns=["_id", "_key"])
-                    for f in t.source_files
-                ],
-                promote_options="default",
-            )
+            kt = read_command_table(t.source_files, columns=["_id", "_key"])
             dset = set(docids)
             deleted_keys = [
                 k for i, k in zip(
@@ -2166,13 +2179,7 @@ class CommandServer:
             sch = _pq.read_schema(u.source_files[0])
             if c["name"] not in sch.names or "_key" not in sch.names:
                 continue
-            ut = pa.concat_tables(
-                [
-                    _pq.read_table(f, columns=["_key", c["name"]])
-                    for f in u.source_files
-                ],
-                promote_options="default",
-            )
+            ut = read_command_table(u.source_files, columns=["_key", c["name"]])
             ups = []
             for k, v in zip(
                 ut.column("_key").to_pylist(),
@@ -2632,10 +2639,7 @@ class CommandServer:
         if name in self.tables:
             import pyarrow.parquet as pq
 
-            tb = pa.concat_tables(
-                [pq.read_table(f) for f in self.tables[name].source_files],
-                promote_options="default",
-            )
+            tb = read_command_table(self.tables[name].source_files)
             if "_id" in tb.column_names:
                 tb = tb.take(pc.sort_indices(tb, sort_keys=[("_id", "ascending")]))
             # logically deleted records don't dump (the tombstones are
@@ -2795,10 +2799,7 @@ class CommandServer:
         if st is None:
             return {}
         srcs = [s.strip() for s in (c["source"] or "").split(",") if s.strip()]
-        tb = pa.concat_tables(
-            [pq.read_table(f) for f in st.source_files],
-            promote_options="default",
-        )
+        tb = read_command_table(st.source_files)
         # logically deleted records contribute no postings (the lexicon
         # keys survive the delete with zero entries — delete/index)
         try:

@@ -842,6 +842,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def dedup_jaccard_q(sf_dir):
+        from groonga_ray.pipelines.dedup import ngram_jaccard_pairs
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        out = ngram_jaccard_pairs(ds, k=5, threshold=0.8)
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_a": b.column("doc_a"),
+                    "doc_b": b.column("doc_b"),
+                    "jaccard": b.column("jaccard"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def doc_fingerprint_q(sf_dir):
+        from groonga_ray.pipelines.textstats import Fingerprint
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=2).map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "fingerprint": b.column("fingerprint"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
     def minhash_bands(sf_dir):
         from groonga_ray.pipelines.dedup import minhash_lsh_candidates
 
@@ -1273,6 +1303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact_q,
         "dedup_exact_fast": dedup_exact_fast_q,
         "dedup_ngram_key": dedup_ngram_key_q,
+        "dedup_jaccard": dedup_jaccard_q,
+        "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
         "text_stats": text_stats_q,
@@ -1611,6 +1643,22 @@ FROM (SELECT doc_id,
                          x -> x <> '') AS arr
       FROM documents)
 GROUP BY 1
+""",
+        "dedup_jaccard": """
+WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+        FROM documents WHERE length(text) >= 5)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 """,
         "text_stats": f"""
 {_TOKS}

@@ -422,3 +422,146 @@ def embedding_dedup_lsh(
     return per_bucket.map_batches(
         lambda b: b.select([id_col, "keep_id", "capped"]), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------------- exact Jaccard
+
+def _char_shingles_u64(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct k-byte character shingles per row, packed into uint64.
+
+    For k <= 8 the packing is injective (k bytes big-endian into one
+    u64), so shingle equality is EXACTLY substring equality — no hash
+    collisions, which keeps the op bit-identical to a string-based SQL
+    oracle. ASCII corpora only see byte==char windows; multi-byte UTF-8
+    shifts window boundaries vs a character-based oracle (documented).
+
+    Returns (row_idx, shingle) with per-row duplicates removed.
+    """
+    if k > 8:
+        raise ValueError("k <= 8 required for injective u64 packing")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    arr = texts.cast(pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    buf = np.frombuffer(arr.buffers()[2], np.uint8) if arr.buffers()[2] is not None else np.zeros(0, np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], np.int64, len(arr) + 1, offset=arr.offset * 8)
+    lens = np.diff(offs)
+    n_win = np.maximum(lens - k + 1, 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    row_idx = np.repeat(np.arange(len(arr), dtype=np.int64), n_win)
+    starts = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_win) - n_win, n_win
+    ) + np.repeat(offs[:-1], n_win)
+    win = np.lib.stride_tricks.sliding_window_view(buf, k)[starts]
+    pow_ = (np.uint64(256) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+    sh = (win.astype(np.uint64) * pow_).sum(axis=1, dtype=np.uint64)
+    # distinct per row
+    order = np.lexsort((sh, row_idx))
+    r, s = row_idx[order], sh[order]
+    keep = np.concatenate([[True], (r[1:] != r[:-1]) | (s[1:] != s[:-1])])
+    return r[keep], s[keep]
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 32,
+    max_df: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT all-pairs character-k-gram Jaccard >= threshold.
+
+    Distributed inverted-shingle pair counting: (1) map_batches emits
+    (shingle,u64 doc, doc shingle-count) rows, distinct per doc; (2) a
+    hash-partition groupby co-locates equal shingles, one vectorized
+    pass per partition expands same-shingle runs into candidate pairs
+    and pre-aggregates them with np.unique BEFORE the exchange; (3) a
+    groupby over packed pair keys sums intersection counts; jaccard =
+    c / (na + nb - c).
+
+    This is the oracle-parity exact op. At 100 TB the run expansion is
+    quadratic in shingle document-frequency — set ``max_df`` to drop
+    stop-shingles (boilerplate) from pair generation, or use
+    minhash_lsh_candidates + verify_jaccard as the approximate scale
+    path. With max_df=None output matches the SQL oracle exactly.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        row_idx, sh = _char_shingles_u64(texts, k)
+        n_sh = np.bincount(row_idx, minlength=batch.num_rows)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.uint64()),
+                "doc": pa.array(ids[row_idx], pa.int64()),
+                "nsh": pa.array(n_sh[row_idx].astype(np.int64), pa.int64()),
+                "p": pa.array((sh % np.uint64(n_parts)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pairgen(group: pa.Table) -> pa.Table:
+        # one partition: sort by (shingle, doc), expand runs into pairs
+        sh = group.column("sh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        nsh = group.column("nsh").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc, nsh = sh[order], doc[order], nsh[order]
+        run_start = np.concatenate([[True], sh[1:] != sh[:-1]])
+        run_id = np.cumsum(run_start) - 1
+        starts = np.flatnonzero(run_start)
+        sizes = np.diff(np.append(starts, len(sh)))
+        if max_df is not None:
+            ok = sizes[run_id] <= max_df
+            sh, doc, nsh, run_id = sh[ok], doc[ok], nsh[ok], run_id[ok]
+            run_start = np.concatenate([[True], run_id[1:] != run_id[:-1]]) if len(run_id) else run_start[:0]
+            starts = np.flatnonzero(run_start)
+        within = np.arange(len(sh)) - np.repeat(starts, np.diff(np.append(starts, len(sh)))) if len(sh) else np.zeros(0, np.int64)
+        total = int(within.sum())
+        if total == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.uint64()), "c": pa.array([], pa.int64()),
+                 "na": pa.array([], pa.int64()), "nb": pa.array([], pa.int64())}
+            )
+        rep_j = np.repeat(np.arange(len(sh)), within)  # the later element
+        offs = np.arange(total) - np.repeat(np.cumsum(within) - within, within)
+        rep_i = (rep_j - within[rep_j]) + offs  # earlier elements of the run
+        a, b = doc[rep_i], doc[rep_j]  # a < b (docs sorted within run)
+        na, nb = nsh[rep_i], nsh[rep_j]
+        pair = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        # pre-aggregate inside the partition before the exchange
+        upair, first, counts = np.unique(pair, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(upair, pa.uint64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+                "na": pa.array(na[first].astype(np.int64), pa.int64()),
+                "nb": pa.array(nb[first].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pair = batch.column("pair").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("max(na)").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("max(nb)").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = c / (na + nb - c)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array((pair[keep] >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "doc_b": pa.array((pair[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }
+        )
+
+    shingles = ds.map_batches(extract, batch_format="pyarrow")
+    pairs = shingles.groupby("p").map_groups(pairgen, batch_format="pyarrow")
+    agg = pairs.groupby("pair").aggregate(Sum("c"), Max("na"), Max("nb"))
+    return agg.map_batches(finish, batch_format="pyarrow")

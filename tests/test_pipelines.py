@@ -263,3 +263,55 @@ def test_exact_path_guards(ray_session, monkeypatch):
     monkeypatch.setattr(docids.pq, "ParquetFile", _FakePF)
     with _pytest.raises(ValueError, match="sort_input_files"):
         docids.compute_rank_mapping(["x.parquet"], ["repo", "path"])
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Exact Jaccard pairs match a brute-force computation on small input."""
+    import ray.data
+    from groonga_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",       # 0
+        "the quick brown fox jumps over the lazy cat",       # 1 near-dup of 0
+        "completely different content here with no overlap",  # 2
+        "the quick brown fox jumps over the lazy dog",       # 3 exact dup of 0
+        "zz",                                                 # 4 shorter than k=5
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+    out = ngram_jaccard_pairs(ds, k=5, threshold=0.5).to_pandas()
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    # brute force
+    def sh(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    expect = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                expect.append((a, b, round(j, 6)))
+    got = list(zip(out.doc_a, out.doc_b, out.jaccard.round(6)))
+    assert sorted(got) == sorted(expect)
+    assert (0, 3, 1.0) in got  # the exact dup pair scores 1.0
+
+
+def test_ngram_jaccard_max_df_drops_stop_shingles(ray_session):
+    import ray.data
+    from groonga_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    # every doc shares the boilerplate prefix; with max_df=2 the shared
+    # shingles are dropped from pair generation, so no pair survives
+    texts = ["LICENSE HEADER unique%d" % i for i in range(6)]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(texts)})
+    )
+    full = ngram_jaccard_pairs(ds, k=5, threshold=0.5).to_pandas()
+    capped = ngram_jaccard_pairs(ds, k=5, threshold=0.5, max_df=2).to_pandas()
+    assert len(full) >= len(capped)
+    assert len(capped) == 0

@@ -1190,14 +1190,21 @@ def build_index(
                     out.append({"bucket": b, "terms": m["terms"]})
                 return pa.Table.from_pylist(out)
 
-            # modest parallelism: merge work per bucket is small, and a
-            # wide pool of fresh workers costs more in cold start (slow
-            # first-touch pages) than it saves; each task amortizes its
-            # RunReader over several buckets
-            n_tasks = min(concurrency, cfg.stage_b_concurrency, len(todo))
+            # fixed small slices (not one fixed partition per worker):
+            # each task amortizes its RunReader + batched row-group read
+            # over a few buckets, and the surplus tasks load-balance
+            # bucket-size skew dynamically. A FIXED slice size also
+            # keeps per-bucket overhead identical at every pool width —
+            # a one-wave split would make narrow pools amortize more
+            # per task than wide ones and skew scaling comparisons.
+            slice_buckets = min(4, len(todo))
+            n_tasks = min(
+                concurrency, cfg.stage_b_concurrency,
+                -(-len(todo) // max(1, slice_buckets)),
+            )
             ray.data.from_items([{"bucket": b} for b in todo]).map_batches(
                 merge_some,
-                batch_size=max(1, -(-len(todo) // n_tasks)),
+                batch_size=slice_buckets,
                 batch_format="pyarrow",
                 concurrency=n_tasks,
                 num_cpus=1,

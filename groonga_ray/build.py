@@ -293,6 +293,21 @@ def _group_tokens_strings(terms, row_idx, positions, docid_of_row):
     return sorted_terms, term_offsets, g_docid, tf, pos_offsets, s_pos
 
 
+def _grouping_order(h: np.ndarray) -> np.ndarray:
+    """Deterministic order that groups equal 64-bit hashes while
+    preserving input order within a group.
+
+    numpy's stable sort on 8-byte ints is timsort; introsort on a
+    unique composite key (hash's top 32 bits | index) is ~2.5x
+    faster and equivalent for grouping. Distinct hashes sharing
+    their top 32 bits interleave their groups — the caller's
+    docid-monotonicity check detects that and falls back to the
+    exact string path, so collisions only cost speed.
+    """
+    comp = (h & np.uint64(0xFFFFFFFF00000000)) | np.arange(len(h), dtype=np.uint64)
+    return np.argsort(comp)
+
+
 def _tokenize_group_word(
     cfg: BuildConfig, col: pa.Array, docid_of_row: np.ndarray, wt: WordTokenizer,
     chain: list | None = None,
@@ -343,10 +358,10 @@ def _tokenize_group_word(
         th = vh[denc.indices.to_numpy(zero_copy_only=False)]
         docs = docid_of_row[a + b_rows]
         # tokens stream out of tokenize_column in (row, ordinal) order
-        # and docids are nondecreasing in row order, so ONE stable sort
-        # by hash keeps (docid, pos) sorted inside every term group —
-        # a radix pass instead of a 3-key lexsort
-        order = np.argsort(th, kind="stable")
+        # and docids are nondecreasing in row order, so ONE stable-
+        # equivalent sort by hash keeps (docid, pos) sorted inside
+        # every term group — a single pass instead of a 3-key lexsort
+        order = _grouping_order(th)
         h_s = th[order]
         d_s = docs[order]
         p_s = b_pos[order].astype(np.uint64)
@@ -359,8 +374,12 @@ def _tokenize_group_word(
         pair_tf.append(np.diff(np.append(starts, len(order))).astype(np.int64))
         pos_segs.append(p_s)
         for hsh, term in zip(vh.tolist(), vocab.to_pylist()):
-            if hsh not in term_of_hash:
-                term_of_hash[hsh] = term
+            prev = term_of_hash.setdefault(hsh, term)
+            if prev != term:
+                # exact full-hash collision between distinct terms —
+                # the only collision class the docid-monotonicity
+                # check below cannot see (terms in disjoint docs)
+                return None
     if not pair_hash:
         return None
     H = np.concatenate(pair_hash)
@@ -370,7 +389,7 @@ def _tokenize_group_word(
     pair_pos_off = np.zeros(len(H) + 1, np.int64)
     np.cumsum(TF, out=pair_pos_off[1:])
 
-    order = np.argsort(H, kind="stable")
+    order = _grouping_order(H)
     Hs = H[order]
     Ds = D[order]
     TFs = TF[order]
@@ -388,11 +407,21 @@ def _tokenize_group_word(
     term_start[0] = True
     term_start[1:] = Hs[1:] != Hs[:-1]
     term_offsets = np.append(np.flatnonzero(term_start), len(Hs)).astype(np.int64)
-    # collision check: docids must be strictly increasing inside a group
+    # collision checks (the string path is the fallback for both):
+    # (a) equal full hashes for distinct terms merge into one segment
+    #     -> docids repeat -> not strictly increasing;
+    # (b) distinct full hashes sharing their top 32 bits (the
+    #     _grouping_order sort key) interleave as ALTERNATING segments
+    #     -> adjacent segments share their top 32 bits.
     d64 = Ds.astype(np.int64)
     mono_bad = np.flatnonzero((np.diff(d64) <= 0) & ~term_start[1:])
     if len(mono_bad):
-        return None  # hash collision (astronomically rare): caller uses string path
+        return None  # (a): caller uses the exact string path
+    seg_h = Hs[term_start]
+    if len(seg_h) > 1 and bool(
+        ((seg_h[1:] >> np.uint64(32)) == (seg_h[:-1] >> np.uint64(32))).any()
+    ):
+        return None  # (b)
     terms = pa.array(
         [term_of_hash[h] for h in Hs[term_start].tolist()], type=pa.large_string()
     )

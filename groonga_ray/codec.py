@@ -78,6 +78,22 @@ def vb_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = len(a)
     if n == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
+    amax = int(a.max())
+    if amax < 0x80:
+        # tf-1 and position-gap streams are almost always all-1-byte
+        return a.astype(np.uint8), np.ones(n, np.int64)
+    if amax < 0x4000:
+        two = a >= np.uint64(0x80)
+        lens = np.ones(n, np.int64)
+        lens[two] = 2
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        buf = np.empty(int(ends[-1]), np.uint8)
+        lo = (a & np.uint64(0x7F)).astype(np.uint8)
+        lo[two] |= 0x80
+        buf[starts] = lo
+        buf[starts[two] + 1] = (a[two] >> np.uint64(7)).astype(np.uint8)
+        return buf, lens
     lens = np.ones(n, np.int64)
     v = a >> np.uint64(7)
     while v.any():
@@ -87,13 +103,11 @@ def vb_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     starts = ends - lens
     buf = np.zeros(int(ends[-1]), np.uint8)
     max_len = int(lens.max())
-    idx = np.arange(n)
     for j in range(max_len):
         m = lens > j
         byte = ((a[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (j < lens[m] - 1).astype(np.uint8) << 7
         buf[starts[m] + j] = byte | cont
-    del idx
     return buf, lens
 
 
@@ -102,7 +116,11 @@ def vb_decode(buf: np.ndarray) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, memoryview)) else buf
     if len(b) == 0:
         return np.empty(0, np.uint64)
-    ends = np.flatnonzero((b & 0x80) == 0)
+    high = b & 0x80
+    if not high.any():
+        # all-1-byte stream (typical for tf-1 / position gaps)
+        return b.astype(np.uint64)
+    ends = np.flatnonzero(high == 0)
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1

@@ -24,6 +24,33 @@ def test_varbyte_roundtrip_random():
     assert codec.vb_decode(buf).tolist() == vals.tolist()
 
 
+@pytest.mark.parametrize(
+    "hi", [0x7F, 0x80, 0x3FFF, 0x4000, 2**21, 2**40]
+)
+def test_varbyte_roundtrip_each_width_path(hi):
+    """Each specialized encode path (1-byte, 2-byte, general) agrees
+    with the decoder, including streams pinned just at the thresholds."""
+    r = np.random.default_rng(hi)
+    vals = r.integers(0, hi + 1, size=5_000).astype(np.uint64)
+    vals[0] = hi  # force the path selector to see the boundary value
+    buf, lens = codec.vb_encode(vals)
+    assert int(lens.sum()) == len(buf)
+    out = codec.vb_decode(buf)
+    assert np.array_equal(out, vals)
+    # byte-level parity with the reference LEB128 definition
+    ref = bytearray()
+    for v in vals[:64].tolist():
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                ref.append(b | 0x80)
+            else:
+                ref.append(b)
+                break
+    assert bytes(buf[: len(ref)].tobytes()) == bytes(ref)
+
+
 def _random_postings(n_terms=50, max_df=600, with_positions=True, seed=7):
     r = np.random.default_rng(seed)
     terms, term_offsets = [], [0]

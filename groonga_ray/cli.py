@@ -63,6 +63,46 @@ def cmd_select(args):
     print(json.dumps(env, ensure_ascii=False))
 
 
+def cmd_serve(args):
+    """``groonga --protocol {http,gqtp,memcached}`` analogue
+    (src/groonga.c:359 do_alone / server dispatch)."""
+    import signal
+    import threading
+
+    from .server import CommandServer
+
+    tables = {}
+    if args.index and args.files:
+        from .engine import IndexedTable
+
+        tables[args.table] = IndexedTable(
+            args.index, sorted(args.files), args.docid_column
+        )
+    stop_event = threading.Event()
+    if args.protocol == "memcached":
+        from .memcached import MemcachedServer
+
+        server = MemcachedServer(host=args.host, port=args.port)
+    else:
+        cmd = CommandServer(tables, data_dir=args.data_dir, host=args.host,
+                            port=args.port)
+        if args.protocol == "gqtp":
+            from .gqtp import GqtpServer
+
+            server = GqtpServer(cmd, host=args.host, port=args.port)
+        else:
+            server = cmd
+    host, port = server.start()
+    print(json.dumps({"protocol": args.protocol, "host": host, "port": port}),
+          flush=True)
+    signal.signal(signal.SIGTERM, lambda *_: stop_event.set())
+    signal.signal(signal.SIGINT, lambda *_: stop_event.set())
+    try:
+        stop_event.wait()
+    finally:
+        server.stop()
+
+
 def cmd_tokenize(args):
     from .tokenize import tokenize
 
@@ -268,6 +308,18 @@ def main(argv=None):
     dp.add_argument("files", nargs="+")
     dp.add_argument("--limit", type=int, default=-1)
     dp.set_defaults(fn=cmd_dump)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--protocol", default="http",
+                    choices=["http", "gqtp", "memcached"])
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=0)
+    sv.add_argument("--index", default=None)
+    sv.add_argument("--table", default="documents")
+    sv.add_argument("--docid-column", dest="docid_column", default=None)
+    sv.add_argument("--data-dir", dest="data_dir", default=None)
+    sv.add_argument("files", nargs="*")
+    sv.set_defaults(fn=cmd_serve)
 
     st = sub.add_parser("status")
     st.add_argument("--index", required=True)

@@ -367,20 +367,9 @@ class CommandServer:
             name = path[3:]
             if name.endswith(".json"):
                 name = name[: -len(".json")]
-            fn = self._commands.get(name)
-            if fn is None:
-                # invalid command name (lib/ctx.c:1392)
-                status, rc, err = 400, GRN_INVALID_ARGUMENT, f"invalid command name: {name}"
-            else:
-                try:
-                    body = fn(params)
-                    if name == "shutdown":
-                        shutdown = True
-                    self._n_queries += 1
-                except (KeyError, ValueError) as e:
-                    status, rc, err = 400, GRN_INVALID_ARGUMENT, str(e)
-                except Exception as e:  # noqa: BLE001 - envelope everything
-                    status, rc, err = 500, GRN_UNKNOWN_ERROR, f"{type(e).__name__}: {e}"
+            rc, body, err, shutdown = self.dispatch(name, params)
+            if rc != SUCCESS:
+                status = 400 if rc == GRN_INVALID_ARGUMENT else 500
         elapsed = time.time() - started
         head = [rc, round(started, 6), round(elapsed, 6)]
         if err is not None:
@@ -399,6 +388,27 @@ class CommandServer:
             pass
         if shutdown:
             threading.Thread(target=self.stop, daemon=True).start()
+
+    def dispatch(self, name: str, params: dict):
+        """Execute one command; protocol-independent core shared by the
+        HTTP handler and the GQTP server.
+
+        Returns ``(rc, body, err, shutdown)``: the Groonga rc, the
+        result body (None on error), the error message (None on
+        success), and whether the command requests server shutdown.
+        """
+        fn = self._commands.get(name)
+        if fn is None:
+            # invalid command name (lib/ctx.c:1392)
+            return GRN_INVALID_ARGUMENT, None, f"invalid command name: {name}", False
+        try:
+            body = fn(params)
+            self._n_queries += 1
+            return SUCCESS, body, None, name == "shutdown"
+        except (KeyError, ValueError) as e:
+            return GRN_INVALID_ARGUMENT, None, str(e), False
+        except Exception as e:  # noqa: BLE001 - envelope everything
+            return GRN_UNKNOWN_ERROR, None, f"{type(e).__name__}: {e}", False
 
     # ------------------------------------------------------------- commands
     @staticmethod

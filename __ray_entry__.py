@@ -944,6 +944,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def decontaminate_q(sf_dir):
+        import pyarrow.compute as _pc
+        from groonga_ray.pipelines.decontaminate import decontaminate
+
+        files = _files(sf_dir, "documents")
+
+        def _part(keep_eval):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+                m = (ids % 97) == 0
+                return b.filter(pa.array(m if keep_eval else ~m))
+
+            return f
+
+        base = ray.data.read_parquet(files, columns=["doc_id", "text"])
+        train = base.map_batches(_part(False), batch_format="pyarrow")
+        eval_ds = base.map_batches(_part(True), batch_format="pyarrow")
+        out = decontaminate(train, eval_ds, n=3, concurrency=2)
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "n_hits": b.column("n_hits"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).sort("doc_id")
+
     def ann_brute(sf_dir):
         import pyarrow.parquet as pq
         from groonga_ray.pipelines.ann import brute_cosine_topk
@@ -1310,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": text_stats_q,
         "quality": quality_q,
         "langid": langid_q,
+        "decontaminate": decontaminate_q,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
@@ -1632,6 +1661,24 @@ GROUP BY 1, 2
         "dedup_exact": """
 SELECT sha256(text) AS content_hash, min(doc_id)::BIGINT AS keep_id
 FROM documents GROUP BY text
+""",
+        "decontaminate": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     x -> x <> '') AS t
+  FROM documents
+), ngrams AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, UNNEST(range(1, len(t) - 2 + 1)) AS u(i)
+), ev AS (
+  SELECT DISTINCT g FROM ngrams WHERE doc_id % 97 = 0
+)
+SELECT n.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_hits
+FROM ngrams n JOIN ev USING (g)
+WHERE n.doc_id % 97 <> 0
+GROUP BY n.doc_id
+ORDER BY doc_id
 """,
         "dedup_exact_fast": """
 SELECT min(doc_id)::BIGINT AS keep_id FROM documents GROUP BY text

@@ -315,3 +315,52 @@ def test_ngram_jaccard_max_df_drops_stop_shingles(ray_session):
     capped = ngram_jaccard_pairs(ds, k=5, threshold=0.5, max_df=2).to_pandas()
     assert len(full) >= len(capped)
     assert len(capped) == 0
+
+
+# ------------------------------------------------------- decontamination
+
+def test_decontaminate_flags_exact_overlap(ray_session):
+    import ray.data
+
+    from groonga_ray.pipelines.decontaminate import decontaminate
+
+    train = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the quick brown fox jumps",   # contains eval 3-gram
+                        "totally unrelated words here",
+                        "quick brown fox again and quick brown fox",  # two windows
+                    ]
+                ),
+            }
+        )
+    )
+    eval_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100], pa.int64()),
+                "text": pa.array(["a quick brown fox story"]),
+            }
+        )
+    )
+    out = decontaminate(train, eval_ds, n=3, concurrency=1).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == {1: 1, 3: 2}
+
+
+def test_decontaminate_empty_eval(ray_session):
+    import ray.data
+
+    from groonga_ray.pipelines.decontaminate import decontaminate
+
+    train = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b c"])})
+    )
+    eval_ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out = decontaminate(train, eval_ds, n=3, concurrency=1).to_pandas()
+    assert len(out) == 0

@@ -278,9 +278,30 @@ def scaling_child(ncpu: int, rows: int) -> dict:
     # merge slots) waves — 32 buckets over 30 slots forces 2 waves (a
     # built-in 0.5 stage-B efficiency ceiling); buckets should always
     # be ~2x the widest pool a cluster will offer
+    # shard size: ~8M tokens (~8k 1000-token docs) amortizes per-shard
+    # overhead (measured 2x over 2k-row shards at 1M docs) while
+    # staying under the per-worker memory cliff (16k-row shards
+    # regress 3x — the pair buffers outgrow the worker heap). Exact
+    # shard count is a common multiple of both scaling levels so
+    # stage-A waves quantize evenly at either width (49 shards over
+    # 16 workers = ceil 4 waves vs 3.06 ideal = a built-in 0.77
+    # efficiency ceiling; 48 shards = exactly 3). Both levels must
+    # build the IDENTICAL shard layout, so this derives from the
+    # level pair, never from this child's own ncpu.
+    import math
+
+    lo_n, hi_n = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_NCPUS", "4,16").split(",")
+    )
+    lcm = math.lcm(lo_n, hi_n)
+    n_shards = max(lcm, lcm * max(1, round(rows / 8192 / lcm)))
+    # ceil so per-file slicing yields exactly n_shards (a floor leaves
+    # a 2-row tail shard per file)
+    rs = max(2048, -(-rows // n_shards))
     cfg = BuildConfig(
-        text_columns=("content",), n_buckets=64, target_rows_per_shard=2048,
-        hot_local_df=2048, salt_group=4,
+        text_columns=("content",), n_buckets=64,
+        target_rows_per_shard=rs,
+        hot_local_df=rs, salt_group=4,
         # intermediate segment runs on tmpfs = the node-local-scratch
         # pattern (Spark-style local shuffle dirs); avoids dirty-page
         # writeback stalls mid-measurement on this sandbox's disk

@@ -52,6 +52,20 @@ from .search import (
 from .tokenize import WordTokenizer
 
 
+@lru_cache(maxsize=1024)
+def _schema_names_cached(path: str, mtime_ns: int, size: int) -> frozenset:
+    return frozenset(pq.read_schema(path).names)
+
+
+def _schema_names_of(path: str) -> frozenset:
+    """Parquet schema names, cached per (path, mtime, size) — the
+    query hot path resolves output columns per request and must not
+    re-read file footers; the stat key keeps command-surface tables
+    (rewritten in place by load/DDL) correct."""
+    st = os.stat(path)
+    return _schema_names_cached(path, st.st_mtime_ns, st.st_size)
+
+
 @dataclass
 class IndexedTable:
     index_dir: str
@@ -885,7 +899,7 @@ def _ref_map_column(table: "IndexedTable", base: str, sub: str, values) -> pa.Ar
             return _ref_map_column(ref_t, b2, s2, mapped)
     need = [key_col, sub]
     mapping = pa.concat_tables(
-        pq.read_table(f, columns=[c for c in need if c in pq.read_schema(f).names])
+        pq.read_table(f, columns=[c for c in need if c in _schema_names_of(f)])
         for f in sorted(files)
     )
     if isinstance(values, pa.ChunkedArray):
@@ -1915,9 +1929,7 @@ def select(
     def _is_dotted(c: str) -> bool:
         return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z0-9_.]+", c))
 
-    _schema_names = set(
-        pq.read_schema(sorted(table.source_files)[0]).names
-    )
+    _schema_names = _schema_names_of(sorted(table.source_files)[0])
     # a named column that doesn't exist is silently dropped from the
     # output (grn_obj_columns skips unresolvable names, lib/db.c:11187
     # — e.g. `_key` on a TABLE_NO_KEY table)

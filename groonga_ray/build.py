@@ -101,7 +101,11 @@ class BuildConfig:
     normalizer: str = "NormalizerAuto"       # "" = raw (case-sensitive) lexicon
     stop_words: tuple[str, ...] = ()         # TokenFilterStopWord set (GET-mode drop)
     salt_group: int = 4                      # shards per hot-term salt part
-    target_rows_per_shard: int = 200_000
+    # None = derive from the input's parquet metadata so a shard holds
+    # ~TARGET_SHARD_TEXT_BYTES of text (~8M tokens — the measured
+    # throughput optimum; see SCALING.md round-3 shard-size law).
+    # Explicit values are honored unchanged.
+    target_rows_per_shard: int | None = None
     stage_b_concurrency: int = 64            # bucket-merge pool cap (scaling
                                              # is bucket-bound: keep >= n_buckets
                                              # so merge width follows the cluster)
@@ -1125,6 +1129,34 @@ def _write_bucket_lexicon(
 
 # ------------------------------------------------------------------ driver
 
+# ~8M tokens of text per shard (≈6 bytes/token): the measured build
+# throughput optimum — large enough to amortize per-shard overhead and
+# minimize stage-B row-group reads, small enough that a shard's pair
+# buffers fit one worker's heap (SCALING.md round-3 shard-size law)
+TARGET_SHARD_TEXT_BYTES = 48 << 20
+
+
+def auto_rows_per_shard(
+    input_files: list[str], text_columns: tuple[str, ...]
+) -> int:
+    """Derive rows/shard so a shard carries ~TARGET_SHARD_TEXT_BYTES
+    of indexed text. Measures logical string bytes from ONE row group
+    of the first file (parquet's total_uncompressed_size is
+    post-encoding — dictionary/RLE collapse repetitive text — so the
+    footer alone under-counts). Deterministic given the inputs."""
+    f = pq.ParquetFile(sorted(input_files)[0])
+    cols = [c for c in text_columns if c in f.schema_arrow.names]
+    if f.metadata.num_row_groups == 0 or not cols:
+        return 8192
+    rg = f.read_row_group(0, columns=cols)
+    rows = rg.num_rows
+    text_bytes = sum(rg.column(c).nbytes for c in cols)
+    if rows == 0 or text_bytes == 0:
+        return 8192
+    per_row = text_bytes / rows
+    return int(min(65536, max(1024, TARGET_SHARD_TEXT_BYTES / per_row)))
+
+
 def build_index(
     input_files: list[str],
     index_dir: str,
@@ -1134,6 +1166,13 @@ def build_index(
     """Run the full build. Resumable: re-running after a crash skips
     shards and re-merges only buckets (bucket merge is idempotent)."""
     cfg = cfg or BuildConfig()
+    if cfg.target_rows_per_shard is None:
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg,
+            target_rows_per_shard=auto_rows_per_shard(input_files, cfg.text_columns),
+        )
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
     shards = sorted_file_shards(input_files, cfg.target_rows_per_shard, cfg.docid_offset)
@@ -1334,6 +1373,12 @@ def add_documents(index_dir: str, new_files: list[str], cfg: BuildConfig | None 
     meta = read_manifest(meta_path)
     base_cfg = BuildConfig.from_fingerprint(meta["config"])
     cfg = cfg or base_cfg
+    if cfg.target_rows_per_shard is None:
+        # the base's resolved shard size (auto-derivation happens once,
+        # at base build time)
+        from dataclasses import replace
+
+        cfg = replace(cfg, target_rows_per_shard=base_cfg.target_rows_per_shard)
     if cfg.fingerprint() != base_cfg.fingerprint():
         # tokenization/layout must match the base or terms won't align
         raise ValueError("delta config must equal the base build config")

@@ -267,7 +267,7 @@ def main(argv=None):
     b.add_argument("--columns", default="content")
     b.add_argument("--docid-column", default=None)
     b.add_argument("--buckets", type=int, default=32)
-    b.add_argument("--rows-per-shard", type=int, default=200_000)
+    b.add_argument("--rows-per-shard", type=int, default=None)  # None = auto from parquet metadata (~8M tokens/shard)
     b.add_argument("--concurrency", type=int, default=None)
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("files", nargs="+")

@@ -366,3 +366,29 @@ def test_sort_input_files_distributed(built, tmp_path):
         s2 = json.load(fh)
     for k in ("n_docs", "total_len"):
         assert s1.get(k) == s2.get(k), k
+
+
+def test_auto_rows_per_shard_from_metadata(tmp_path):
+    """target_rows_per_shard=None derives the shard size from parquet
+    footer statistics at the ~TARGET_SHARD_TEXT_BYTES text budget."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from groonga_ray.build import TARGET_SHARD_TEXT_BYTES, auto_rows_per_shard
+
+    # ~6 KB of text per row -> expect ~ TARGET/6KB rows, clamped
+    text = "word " * 1200
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "content": pa.array([text] * 100)})
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(t, f)
+    rows = auto_rows_per_shard([f], ("content",))
+    per_row = len(text)
+    expect = TARGET_SHARD_TEXT_BYTES / per_row
+    assert 0.5 * expect <= rows <= 2 * expect
+    # tiny rows clamp at the 65536 ceiling
+    t2 = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                   "content": pa.array(["ab"] * 100)})
+    f2 = str(tmp_path / "t2.parquet")
+    pq.write_table(t2, f2)
+    assert auto_rows_per_shard([f2], ("content",)) == 65536

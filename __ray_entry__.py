@@ -1022,6 +1022,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
 
+    def ann_ivfpq(sf_dir):
+        # IVF-PQ with full probe + exact re-rank (IVFADC+R) == exact
+        # top-k -> oracle-checkable; plain-ADC approximation is
+        # covered by the recall unit test + ann_ivfpq_probe
+        import hashlib as _h
+        import pyarrow.parquet as pq
+        from groonga_ray.pipelines.ann import ivfpq_cosine_topk
+
+        emb = pq.read_table(_files(sf_dir, "embeddings")[0])
+        q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+        ds = ray.data.read_parquet(_files(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        key = _h.md5(("ivfpq:" + sf_dir).encode()).hexdigest()[:10]
+        out = _round(
+            ivfpq_cosine_topk(ds, q, k=10, n_lists=8, n_probe=8, refine=10,
+                              index_dir=f"/tmp/groonga_ray_cache/ivfpq_{key}"),
+            "sim", 4,
+        )
+        return pa.table({"vec_id": out.column("vec_id"), "sim": out.column("sim")})
+
+    def ann_ivfpq_probe(sf_dir):
+        # the honest approximate path: 3 of 8 lists, ADC only
+        import hashlib as _h
+        import pyarrow.parquet as pq
+        from groonga_ray.pipelines.ann import ivfpq_cosine_topk
+
+        emb = pq.read_table(_files(sf_dir, "embeddings")[0])
+        q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+        ds = ray.data.read_parquet(_files(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        key = _h.md5(("ivfpq:" + sf_dir).encode()).hexdigest()[:10]
+        return ivfpq_cosine_topk(ds, q, k=10, n_lists=8, n_probe=3,
+                                 index_dir=f"/tmp/groonga_ray_cache/ivfpq_{key}")
+
     def ann_ivf_probe(sf_dir):
         import pyarrow.parquet as pq
         from groonga_ray.pipelines.ann import ivf_cosine_topk
@@ -1342,6 +1374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,
+        "ann_ivfpq": ann_ivfpq,
+        "ann_ivfpq_probe": ann_ivfpq_probe,
         "ann_ivf_probe": ann_ivf_probe,
         "ft_col_eq": ft_col_eq,
         "ft_delta": ft_delta,
@@ -1745,6 +1779,19 @@ FROM dots, qn ORDER BY sim DESC, vec_id LIMIT 10
 """,
         # full-probe IVF == exact cosine top-k: same oracle as brute
         "ann_ivf": """
+WITH q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+                  unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              unnest(generate_series(1, len(embedding))) AS i
+       FROM embeddings),
+dots AS (SELECT ev.vec_id, sum(ev.v * q.qv) AS dot, sum(ev.v * ev.v) AS n2
+         FROM ev JOIN q USING (i) GROUP BY 1),
+qn AS (SELECT sqrt(sum(qv * qv)) AS qnorm FROM q)
+SELECT vec_id, round(dot / (sqrt(n2) * qnorm), 4) AS sim
+FROM dots, qn ORDER BY sim DESC, vec_id LIMIT 10
+""",
+        "ann_ivfpq": """
 WITH q AS (SELECT unnest(embedding)::DOUBLE AS qv,
                   unnest(generate_series(1, len(embedding))) AS i
            FROM embeddings WHERE vec_id = 0),

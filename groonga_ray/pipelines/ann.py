@@ -306,3 +306,207 @@ def lsh_cosine_topk(
         LshBucketer(q.shape[1], bits, seed, vec_col, id_col), batch_format="pyarrow"
     ).filter(expr=f"({expr})")
     return brute_cosine_topk(bucketed, q, k, id_col, vec_col)
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+def _kmeans_l2(m: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Plain L2 k-means (no normalization) for PQ subspace codebooks."""
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), size=k, replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+        d = -2.0 * (m @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = m[mask].mean(axis=0)
+    return cent
+
+
+class IvfPqIndex:
+    """IVF + product quantization: coarse lists as in :class:`IvfIndex`,
+    vectors stored as M uint8 codes of their RESIDUAL to the list
+    centroid (Jegou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — the public PQ formulation; nothing here
+    derives from the reference repo, which has no vector search).
+
+    This is the memory path for web-scale embedding search: M bytes per
+    vector (e.g. 8) instead of 8*d (64-dim float64 = 512 bytes, a 64x
+    reduction), so a probed list's codes stream through a worker at
+    object-store speed. Queries score candidates with an asymmetric
+    distance table (ADC): one (M x n_codes) table per probed list, then
+    a vectorized gather-sum over the codes.
+    """
+
+    def __init__(self, index_dir: str):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(index_dir, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        self.dir = index_dir
+        self.centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+        self.codebooks = np.load(os.path.join(index_dir, "codebooks.npy"))
+
+    @staticmethod
+    def build(
+        ds: ray.data.Dataset, index_dir: str, n_lists: int = 16,
+        m_subspaces: int = 8, n_codes: int = 256,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+        seed: int = 42, sample_cap: int = 50_000,
+    ) -> "IvfPqIndex":
+        import json
+        import os
+
+        n_rows = ds.count()
+        mod = max(1, n_rows // sample_cap) if n_rows else 1
+        sample = _hash_sample(ds, id_col, vec_col, sample_cap, mod)
+        sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        dim = sample.shape[1]
+        if dim % m_subspaces:
+            raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+        sub = dim // m_subspaces
+        cent = _kmeans(sample, n_lists, seed=seed)
+        # residual codebooks per subspace, trained on the sample
+        d2 = -2.0 * (sample @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        res = sample - cent[d2.argmin(axis=1)]
+        books = np.stack([
+            _kmeans_l2(res[:, j * sub : (j + 1) * sub], n_codes, seed=seed + j)
+            for j in range(m_subspaces)
+        ])  # (M, n_codes, sub)
+        cent_ref = ray.put((cent, books))
+
+        def encode(batch: pa.Table) -> pa.Table:
+            c, bk = ray.get(cent_ref)
+            m = _to_matrix(batch.column(vec_col))
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            d = -2.0 * (mn @ c.T) + (c * c).sum(axis=1)[None, :]
+            lists = d.argmin(axis=1)
+            r = mn - c[lists]
+            codes = np.empty((len(mn), len(bk)), np.uint8)
+            for j in range(len(bk)):
+                rj = r[:, j * sub : (j + 1) * sub]
+                dj = -2.0 * (rj @ bk[j].T) + (bk[j] * bk[j]).sum(axis=1)[None, :]
+                codes[:, j] = dj.argmin(axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "ivf_list": pa.array(lists.astype(np.int32), pa.int32()),
+                    "pq_code": pa.array(list(codes), pa.list_(pa.uint8())),
+                }
+            )
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(encode, batch_format="pyarrow").write_parquet(
+            os.path.join(index_dir, "lists"), partition_cols=["ivf_list"]
+        )
+        np.save(os.path.join(index_dir, "centroids.npy"), cent)
+        np.save(os.path.join(index_dir, "codebooks.npy"), books)
+        with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+            json.dump(
+                {"n_lists": int(len(cent)), "dim": int(dim), "m": int(m_subspaces),
+                 "sub": int(sub), "n_codes": int(n_codes), "vec_col": vec_col,
+                 "id_col": id_col, "seed": seed},
+                fh,
+            )
+        return IvfPqIndex(index_dir)
+
+    def query(
+        self, query: np.ndarray, k: int = 10, n_probe: int = 4,
+        refine: int = 0, source_ds: "ray.data.Dataset | None" = None,
+    ) -> pa.Table:
+        """ADC top-k over the probed lists' codes. With ``refine=R > 0``
+        and a ``source_ds``, the ADC shortlist of R*k candidates is
+        re-ranked with exact vectors read back from the source via a
+        vec-id predicate-pushdown scan (IVFADC+R: plain ADC recall@10
+        is ~0.4-0.5 by construction — the 8-byte code can't separate
+        near-ties; re-ranking restores it while still reading only the
+        shortlist's row groups)."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        meta = self.meta
+        sub, m_sub = meta["sub"], meta["m"]
+        q = np.asarray(query, np.float64).ravel()
+        qn = q / max(np.linalg.norm(q), 1e-12)
+        order = np.argsort(-(self.centroids @ qn))
+        probes = order[: min(n_probe, len(order))].tolist()
+        best: list[tuple[float, int]] = []
+        for p in probes:
+            files = glob.glob(os.path.join(self.dir, "lists", f"ivf_list={p}", "*.parquet"))
+            if not files:
+                continue
+            qr = qn - self.centroids[p]
+            # ADC table: T[j, c] = ||qr_j - codebook[j, c]||^2
+            T = np.stack([
+                ((qr[j * sub : (j + 1) * sub][None, :] - self.codebooks[j]) ** 2).sum(axis=1)
+                for j in range(m_sub)
+            ])
+            for f in files:
+                t = pq.read_table(f, columns=[meta["id_col"], "pq_code"])
+                ids = t.column(meta["id_col"]).to_numpy(zero_copy_only=False)
+                codes_col = t.column("pq_code")
+                if isinstance(codes_col, pa.ChunkedArray):
+                    codes_col = codes_col.combine_chunks()
+                codes = codes_col.values.to_numpy(zero_copy_only=False).reshape(len(ids), m_sub)
+                d2 = T[np.arange(m_sub)[None, :], codes].sum(axis=1)
+                # unit vectors: cos = 1 - d^2/2 (approximate, via PQ)
+                sims = 1.0 - d2 / 2.0
+                keep = (refine if refine else 1) * k
+                for i in np.argsort(-sims)[: keep]:
+                    best.append((float(sims[i]), int(ids[i])))
+        best.sort(key=lambda t: (-t[0], t[1]))
+        if refine and source_ds is not None and best:
+            shortlist = [b[1] for b in best[: refine * k]]
+            import pyarrow.dataset as pads
+
+            cand = source_ds.filter(
+                expr=f"{meta['id_col']} in {shortlist}"
+            )
+            q2 = np.asarray(query, np.float64).reshape(1, -1)
+            return brute_cosine_topk(cand, q2, k, meta["id_col"], meta["vec_col"])
+        best = best[:k]
+        return pa.table(
+            {
+                meta["id_col"]: pa.array([b[1] for b in best], pa.int64()),
+                "sim": pa.array([round(b[0], 4) for b in best], pa.float64()),
+                "rank": pa.array(range(1, len(best) + 1), pa.int32()),
+            }
+        )
+
+
+def ivfpq_cosine_topk(
+    ds: ray.data.Dataset, query: np.ndarray, k: int = 10, n_lists: int = 16,
+    n_probe: int = 4, m_subspaces: int = 8, n_codes: int = 256,
+    vec_col: str = "embedding", id_col: str = "vec_id", seed: int = 42,
+    index_dir: str | None = None, refine: int = 0,
+) -> pa.Table:
+    """IVF-PQ ANN through a persisted index (built once, reused)."""
+    import hashlib
+    import json
+    import os
+
+    if index_dir is None:
+        try:
+            ident = sorted(ds.input_files())
+        except Exception:
+            ident = None
+        if not ident:
+            raise ValueError("ivfpq_cosine_topk: pass index_dir= for datasets "
+                             "without stable input_files()")
+        key = hashlib.md5(
+            json.dumps([ident, n_lists, m_subspaces, n_codes, vec_col, id_col, seed]).encode()
+        ).hexdigest()[:12]
+        index_dir = f"/tmp/groonga_ray_cache/ivfpq_{key}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        IvfPqIndex.build(ds, index_dir, n_lists, m_subspaces, n_codes, vec_col, id_col, seed)
+    return IvfPqIndex(index_dir).query(
+        query, k, n_probe, refine=refine, source_ds=ds if refine else None
+    )

@@ -364,3 +364,66 @@ def test_decontaminate_empty_eval(ray_session):
     )
     out = decontaminate(train, eval_ds, n=3, concurrency=1).to_pandas()
     assert len(out) == 0
+
+
+# ------------------------------------------------------------- IVF-PQ ANN
+
+def test_ivfpq_refined_matches_brute(ray_session, tmp_path):
+    import ray.data
+    import pyarrow.parquet as pqt
+
+    from groonga_ray.pipelines.ann import brute_cosine_topk, ivfpq_cosine_topk
+
+    sf = "/root/testdata/sf0.01/embeddings.parquet"
+    emb = pqt.read_table(sf)
+    q = np.asarray(emb.column("embedding")[0].as_py(), np.float64)
+    ds = ray.data.read_parquet(sf, columns=["vec_id", "embedding"])
+    bf = brute_cosine_topk(ds, q[None, :], k=10)
+    out = ivfpq_cosine_topk(
+        ds, q, k=10, n_lists=8, n_probe=8, refine=10,
+        index_dir=str(tmp_path / "ivfpq"),
+    )
+    # full probe + covering re-rank (refine*k >= list size) == brute
+    assert out.column("vec_id").to_pylist() == bf.column("vec_id").to_pylist()
+
+
+def test_ivfpq_adc_recall_on_clustered(ray_session, tmp_path):
+    """Plain ADC (no refine) keeps usable recall on clusterable data;
+    codes are 8 bytes/vector vs 512 for raw float64 (the memory path)."""
+    import pyarrow.parquet as pqt
+    import ray.data
+
+    from groonga_ray.pipelines.ann import brute_cosine_topk, ivfpq_cosine_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 64))
+    assign = rng.integers(0, 20, 2000)
+    X = centers[assign] + 0.15 * rng.normal(size=(2000, 64))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(2000), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in X], pa.list_(pa.float64())),
+        }
+    )
+    f = str(tmp_path / "emb.parquet")
+    pqt.write_table(tbl, f)
+    ds = ray.data.read_parquet(f)
+    q = X[5]
+    want = set(brute_cosine_topk(ds, q[None, :], k=10).column("vec_id").to_pylist())
+    out = ivfpq_cosine_topk(
+        ds, q, k=10, n_lists=16, n_probe=4, index_dir=str(tmp_path / "idx")
+    )
+    got = set(out.column("vec_id").to_pylist())
+    assert len(got & want) >= 3  # ADC-only floor (IVFADC-typical)
+    ref = ivfpq_cosine_topk(
+        ds, q, k=10, n_lists=16, n_probe=4, refine=5,
+        index_dir=str(tmp_path / "idx"),
+    )
+    assert len(set(ref.column("vec_id").to_pylist()) & want) >= 9
+    # stored codes really are M bytes per vector
+    import glob as _g
+    import json as _j
+
+    meta = _j.load(open(str(tmp_path / "idx" / "meta.json")))
+    t = pqt.read_table(_g.glob(str(tmp_path / "idx" / "lists" / "*" / "*.parquet"))[0])
+    assert len(t.column("pq_code")[0].as_py()) == meta["m"] == 8

@@ -972,6 +972,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         ).sort("doc_id")
 
+    def semantic_dedup_q(sf_dir):
+        from groonga_ray.pipelines.dedup import semantic_dedup
+
+        ds = ray.data.read_parquet(_files(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+        out = semantic_dedup(ds, n_clusters=8, threshold=0.95, id_col="vec_id")
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "vec_id": b.column("vec_id").cast(pa.int64()),
+                    "cluster": b.column("cluster").cast(pa.int64()),
+                    "keep": b.column("keep"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).sort("vec_id")
+
     def ann_brute(sf_dir):
         import pyarrow.parquet as pq
         from groonga_ray.pipelines.ann import brute_cosine_topk
@@ -1371,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": quality_q,
         "langid": langid_q,
         "decontaminate": decontaminate_q,
+        "semantic_dedup": semantic_dedup_q,
         "ann_brute": ann_brute,
         "ann_lsh": ann_lsh,
         "ann_ivf": ann_ivf,

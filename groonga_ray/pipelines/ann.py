@@ -123,15 +123,22 @@ def _hash_sample(ds: ray.data.Dataset, id_col: str, vec_col: str, cap: int, mod:
         h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
         return batch.filter(pa.array(h % np.uint64(mod) == 0))
 
-    rows = []
+    rows, idss = [], []
     total = 0
     for b in ds.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
         rows.append(_to_matrix(b.column(vec_col)))
+        idss.append(b.column(id_col).to_numpy(zero_copy_only=False))
         total += b.num_rows
-        if total >= cap:
+        if total >= cap * 2:
             break
-    m = np.concatenate(rows)[:cap] if rows else np.empty((0, 1))
-    return m
+    if not rows:
+        return np.empty((0, 1))
+    m = np.concatenate(rows)
+    ids = np.concatenate(idss)
+    # batch arrival order is nondeterministic under a streaming
+    # executor: canonicalize by id so centroid training (and thus
+    # every derived index/cluster) is reproducible given the inputs
+    return m[np.argsort(ids, kind="stable")][:cap]
 
 
 def _kmeans(m: np.ndarray, n_centroids: int, iters: int = 8, seed: int = 42) -> np.ndarray:

@@ -565,3 +565,89 @@ def ngram_jaccard_pairs(
     pairs = shingles.groupby("p").map_groups(pairgen, batch_format="pyarrow")
     agg = pairs.groupby("pair").aggregate(Sum("c"), Max("na"), Max("nb"))
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 16,
+    threshold: float = 0.97,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    max_cluster: int = 20_000,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public formulation): k-means-cluster the
+    embeddings, then WITHIN each cluster drop every vector whose
+    cosine to an earlier-kept vector exceeds ``threshold``.
+
+    Scale shape: centroids train on a hash sample and broadcast; the
+    corpus streams through one assignment ``map_batches``; the only
+    shuffle is the ``groupby`` on cluster id, and within-cluster work
+    is O(size^2) vectorized matmul BOUNDED by ``max_cluster`` — rows
+    past the cap keep=True with ``capped`` flagged (the same
+    cap-and-flag honesty as minhash buckets). Size ``n_clusters`` to
+    the corpus (clusters of ~10-50k rows) so the cap never bites;
+    at web scale n_clusters grows with N, keeping per-group work flat.
+
+    Returns ``(id_col, cluster, keep, capped)``: ``keep`` is False for
+    near-duplicate rows (the kept representative is the smallest id —
+    deterministic).
+    """
+    import ray as _ray
+
+    from .ann import _hash_sample, _kmeans, _to_matrix
+
+    n_rows = ds.count()
+    cap = 50_000
+    mod = max(1, n_rows // cap) if n_rows else 1
+    sample = _hash_sample(ds, id_col, vec_col, cap, mod)
+    cent = _kmeans(sample, n_clusters)
+    cent_ref = _ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cent_ref)
+        m = _to_matrix(batch.column(vec_col))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cl = (mn @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "cluster": pa.array(cl, pa.int32()),
+            }
+        )
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        m = _to_matrix(group.column(vec_col))[order]
+        ids_s = ids[order]
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n = len(mn)
+        is_capped = n > max_cluster
+        nc = min(n, max_cluster)
+        keep = np.ones(n, bool)
+        # greedy in ascending-id order: drop j if cos(j, any kept i<j) > thr
+        sims = mn[:nc] @ mn[:nc].T
+        for j in range(1, nc):
+            if (sims[j, :j][keep[:j]] > threshold).any():
+                keep[j] = False
+        cl = int(group.column("cluster")[0].as_py())
+        capped = np.zeros(n, bool)
+        capped[nc:] = is_capped  # rows past the cap: uncompared, flagged
+        return pa.table(
+            {
+                id_col: pa.array(ids_s),
+                "cluster": pa.array(np.full(n, cl, np.int32)),
+                "keep": pa.array(keep),
+                "capped": pa.array(capped),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )

@@ -427,3 +427,37 @@ def test_ivfpq_adc_recall_on_clustered(ray_session, tmp_path):
     meta = _j.load(open(str(tmp_path / "idx" / "meta.json")))
     t = pqt.read_table(_g.glob(str(tmp_path / "idx" / "lists" / "*" / "*.parquet"))[0])
     assert len(t.column("pq_code")[0].as_py()) == meta["m"] == 8
+
+
+def test_semantic_dedup(ray_session, tmp_path):
+    import pyarrow.parquet as pqt
+    import ray.data
+
+    from groonga_ray.pipelines.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(50, 32))
+    rows, ids = [], []
+    for i, b in enumerate(base):
+        rows.append(b)
+        ids.append(i * 10)
+        if i % 5 == 0:  # a near-duplicate (tiny perturbation)
+            rows.append(b + 1e-4 * rng.normal(size=32))
+            ids.append(i * 10 + 1)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows], pa.list_(pa.float64())),
+    })
+    f = str(tmp_path / "se.parquet")
+    pqt.write_table(tbl, f)
+    out = semantic_dedup(
+        ray.data.read_parquet(f), n_clusters=4, threshold=0.99
+    ).to_pandas()
+    assert len(out) == len(ids)
+    kept = set(out[out["keep"]]["doc_id"])
+    dropped = set(out[~out["keep"]]["doc_id"])
+    # every near-dup (id%10==1) dropped, its original (smaller id) kept
+    for d in dropped:
+        assert d % 10 == 1 and (d - 1) in kept
+    assert {i * 10 + 1 for i in range(0, 50, 5)} == dropped
+    assert not out["capped"].any()

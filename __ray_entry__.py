@@ -858,6 +858,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def dedup_clusters_q(sf_dir):
+        from groonga_ray.pipelines.dedup import dup_clusters, ngram_jaccard_pairs
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        pairs = ngram_jaccard_pairs(ds, k=5, threshold=0.8)
+        return dup_clusters(pairs, num_partitions=4)
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1380,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_fast": dedup_exact_fast_q,
         "dedup_ngram_key": dedup_ngram_key_q,
         "dedup_jaccard": dedup_jaccard_q,
+        "dedup_clusters": dedup_clusters_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1741,6 +1750,32 @@ FROM (SELECT doc_id,
                          x -> x <> '') AS arr
       FROM documents)
 GROUP BY 1
+""",
+        "dedup_clusters": """
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+        FROM documents WHERE length(text) >= 5)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pr UNION SELECT doc_b, doc_a FROM pr),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u::BIGINT AS doc, LEAST(u, MIN(v))::BIGINT AS cluster
+FROM reach GROUP BY u
 """,
         "dedup_jaccard": """
 WITH sh AS (

@@ -651,3 +651,210 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(prune, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- duplicate-cluster resolution
+
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _edge_fingerprint(edges: "ray.data.Dataset") -> tuple:
+    """Order-independent fingerprint of an edge multiset: (count,
+    sum(u), sum(v), wrapped sum of a per-edge mix). Only #blocks tiny
+    partial rows ever reach the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = u * np.uint64(0x9E3779B97F4A7C15) ^ v * np.uint64(0xC2B2AE3D27D4EB4F)
+        return pa.table(
+            {
+                "n": pa.array([len(u)], pa.int64()),
+                "su": pa.array([int(u.sum(dtype=np.uint64))], pa.uint64()),
+                "sv": pa.array([int(v.sum(dtype=np.uint64))], pa.uint64()),
+                "sh": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+            }
+        )
+
+    parts = edges.map_batches(partial, batch_format="pyarrow").take_all()
+    M = (1 << 64) - 1
+    return (
+        sum(p["n"] for p in parts),
+        sum(p["su"] for p in parts) & M,
+        sum(p["sv"] for p in parts) & M,
+        sum(p["sh"] for p in parts) & M,
+    )
+
+
+def _distinct_edges(edges: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
+    """Distinct (u, v) rows via a two-key hash groupby (pre-deduped per
+    batch first so the exchange moves unique rows only)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EDGE_SCHEMA.empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.concatenate([[True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
+        return pa.table({"u": pa.array(u[keep], pa.int64()), "v": pa.array(v[keep], pa.int64())})
+
+    def drop_count(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.schema.names:
+            return _EDGE_SCHEMA.empty_table()
+        return batch.select(["u", "v"])
+
+    return (
+        edges.map_batches(local, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .count()
+        .map_batches(drop_count, batch_format="pyarrow")
+    )
+
+
+def _node_min(edges: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
+    """(ju, m) = per-node min neighbor (min over v grouped by u),
+    normalized for use as a join right side. The repartition folds away
+    the hash aggregator's schema-less empty partitions, which otherwise
+    break Dataset.join (pyarrow FieldRef lookup on an empty table)."""
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns < 2:
+            return pa.schema([("ju", pa.int64()), ("m", pa.int64())]).empty_table()
+        return batch.rename_columns(["ju", "m"])
+
+    return (
+        edges.groupby("u")
+        .min("v")
+        .map_batches(rename, batch_format="pyarrow")
+        .repartition(num_partitions)
+    )
+
+
+def dup_clusters(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_partitions: int = 8,
+    max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """Connected components over duplicate pairs -> (doc, cluster).
+
+    Near-dup detection (MinHash LSH, SimHash, ngram_jaccard_pairs,
+    embedding pairs) emits PAIRS; keeping one document per duplicate
+    *cluster* needs their transitive closure. This computes it with
+    alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each
+    round is a per-node groupby-min plus a hash-partitioned join over
+    the EDGE set only (never the corpus), converging in O(log^2 n)
+    rounds to star graphs centered on each component's minimum id.
+    State is a materialized edge Dataset in the object store; the
+    driver sees only a 4-number convergence fingerprint per round.
+
+    Output: one row per distinct doc id appearing in ``pairs`` with
+    ``cluster`` = min doc id of its component (representatives map to
+    themselves). Filter ``doc == cluster`` to pick survivors.
+    """
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        # canonical orientation: u (larger) -> v (smaller)
+        u, v = np.maximum(a, b), np.minimum(a, b)
+        return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+
+    def sym(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks()
+        v = batch.column("v").combine_chunks()
+        return pa.table(
+            {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
+        )
+
+    E = _distinct_edges(pairs.map_batches(to_edges, batch_format="pyarrow"), num_partitions)
+    E = E.materialize()
+    fp = _edge_fingerprint(E)
+    if fp[0] == 0:
+        return ray.data.from_arrow(
+            pa.schema([("doc", pa.int64()), ("cluster", pa.int64())]).empty_table()
+        )
+
+    for _ in range(max_rounds):
+        # ---- large-star: for every node u, connect neighbors v > u to
+        # m = min(N(u) + {u})
+        S = E.map_batches(sym, batch_format="pyarrow")
+        J = S.join(_node_min(S, num_partitions), "inner", num_partitions,
+                   on=("u",), right_on=("ju",))
+
+        def ls_emit(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EDGE_SCHEMA.empty_table()
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            m = np.minimum(batch.column("m").to_numpy(zero_copy_only=False), u)
+            keep = (v > u) & (v != m)
+            return pa.table({"u": pa.array(v[keep], pa.int64()),
+                             "v": pa.array(m[keep], pa.int64())})
+
+        E = _distinct_edges(J.map_batches(ls_emit, batch_format="pyarrow"), num_partitions)
+        E = E.materialize()
+
+        # ---- small-star: edges already point large->small, so N-(u) =
+        # {v}; connect m = min(N-(u) + {u}) to every v and to u itself
+        Mtbl = _node_min(E, num_partitions).materialize()
+        J = E.join(Mtbl, "inner", num_partitions, on=("u",), right_on=("ju",))
+
+        def ss_emit(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EDGE_SCHEMA.empty_table()
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            m = batch.column("m").to_numpy(zero_copy_only=False)
+            keep = v != m
+            return pa.table({"u": pa.array(v[keep], pa.int64()),
+                             "v": pa.array(m[keep], pa.int64())})
+
+        def m_edges(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "ju" not in batch.schema.names:
+                return _EDGE_SCHEMA.empty_table()
+            return pa.table({"u": batch.column("ju"), "v": batch.column("m")})
+
+        E = _distinct_edges(
+            J.map_batches(ss_emit, batch_format="pyarrow")
+            .union(Mtbl.map_batches(m_edges, batch_format="pyarrow")),
+            num_partitions,
+        )
+        E = E.materialize()
+
+        new_fp = _edge_fingerprint(E)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(f"dup_clusters did not converge in {max_rounds} rounds")
+
+    # E is now a union of stars: (v, m) with m = component min
+    def labels(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([("doc", pa.int64()), ("cluster", pa.int64())]).empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc": pa.array(np.concatenate([u, v]), pa.int64()),
+             "cluster": pa.array(np.concatenate([v, v]), pa.int64())}
+        )
+
+    def relabel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc" not in batch.schema.names:
+            return pa.schema([("doc", pa.int64()), ("cluster", pa.int64())]).empty_table()
+        return batch.rename_columns(["doc", "cluster"])
+
+    out = (
+        E.map_batches(labels, batch_format="pyarrow")
+        .groupby("doc")
+        .min("cluster")
+        .map_batches(relabel, batch_format="pyarrow")
+    )
+    return out

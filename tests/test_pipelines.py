@@ -461,3 +461,56 @@ def test_semantic_dedup(ray_session, tmp_path):
         assert d % 10 == 1 and (d - 1) in kept
     assert {i * 10 + 1 for i in range(0, 50, 5)} == dropped
     assert not out["capped"].any()
+
+
+def test_dup_clusters_matches_union_find(ray_session):
+    """Large-star/small-star CC vs a driver-side union-find oracle on a
+    graph with a long chain (worst-case diameter), cliques, and random
+    edges."""
+    import collections
+
+    import numpy as np
+    import ray.data as rd
+
+    from groonga_ray.pipelines.dedup import dup_clusters
+
+    rng = np.random.default_rng(7)
+    pairs = [(i, i + 1) for i in range(100, 140)]           # 41-node chain
+    pairs += [(200 + i, 200 + j) for i in range(6) for j in range(i + 1, 6)]
+    pairs += [(int(a), int(b)) for a, b in rng.integers(1000, 1100, size=(60, 2)) if a != b]
+    pairs += [(5000, 4000), (4000, 5000), (4000, 4000)]      # dups + self loop
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = {}
+    for start in adj:
+        if start in want:
+            continue
+        comp, stack, seen = [], [start], {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    got = {r["doc"]: r["cluster"] for r in dup_clusters(ds, num_partitions=4).take_all()}
+    assert got == want
+
+
+def test_dup_clusters_empty(ray_session):
+    import ray.data as rd
+
+    from groonga_ray.pipelines.dedup import dup_clusters
+
+    ds = rd.from_items([{"doc_a": 3, "doc_b": 3}])  # self loop only
+    out = dup_clusters(ds, num_partitions=2)
+    assert out.take_all() == []

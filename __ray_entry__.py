@@ -866,6 +866,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = ngram_jaccard_pairs(ds, k=5, threshold=0.8)
         return dup_clusters(pairs, num_partitions=4)
 
+
+    def repetition_stats_q(sf_dir):
+        from groonga_ray.pipelines.textstats import repetition_stats
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return repetition_stats(ds).map_batches(
+            lambda b: b.set_column(0, "doc_id", b.column("doc_id").cast(pa.int64())),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1389,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_key": dedup_ngram_key_q,
         "dedup_jaccard": dedup_jaccard_q,
         "dedup_clusters": dedup_clusters_q,
+        "repetition_stats": repetition_stats_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1750,6 +1761,51 @@ FROM (SELECT doc_id,
                          x -> x <> '') AS arr
       FROM documents)
 GROUP BY 1
+""",
+        "repetition_stats": """
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+gr AS (
+  SELECT doc_id,
+         term || ' ' || l1 AS g2,
+         term || ' ' || l1 || ' ' || l2 AS g3,
+         term || ' ' || l1 || ' ' || l2 || ' ' || l3 AS g4
+  FROM (SELECT doc_id, term,
+               lead(term,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+               lead(term,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+               lead(term,3) OVER (PARTITION BY doc_id ORDER BY pos) AS l3
+        FROM toks)
+),
+b2 AS (SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) rn
+       FROM (SELECT doc_id, g2 AS g, count(*) c FROM gr WHERE g2 IS NOT NULL GROUP BY 1,2)),
+b3 AS (SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) rn
+       FROM (SELECT doc_id, g3 AS g, count(*) c FROM gr WHERE g3 IS NOT NULL GROUP BY 1,2)),
+b4 AS (SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) rn
+       FROM (SELECT doc_id, g4 AS g, count(*) c FROM gr WHERE g4 IS NOT NULL GROUP BY 1,2)),
+ln AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+la AS (SELECT doc_id, count(*) AS total, count(DISTINCT line) AS uniq,
+              sum(length(line)) AS chars FROM ln GROUP BY 1),
+ld AS (SELECT doc_id, sum(length(line)) AS uchars
+       FROM (SELECT DISTINCT doc_id, line FROM ln) GROUP BY 1)
+SELECT d.doc_id,
+  round(1.0 - la.uniq * 1.0 / la.total, 6) AS dup_line_frac,
+  round(CASE WHEN la.chars > 0 THEN 1.0 - ld.uchars * 1.0 / la.chars ELSE 0.0 END, 6) AS dup_line_char_frac,
+  round(coalesce(LEAST(1.0, b2.c * length(b2.g) * 1.0 / greatest(length(d.text), 1)), 0.0), 6) AS top2gram_char_frac,
+  round(coalesce(LEAST(1.0, b3.c * length(b3.g) * 1.0 / greatest(length(d.text), 1)), 0.0), 6) AS top3gram_char_frac,
+  round(coalesce(LEAST(1.0, b4.c * length(b4.g) * 1.0 / greatest(length(d.text), 1)), 0.0), 6) AS top4gram_char_frac
+FROM documents d
+JOIN la ON la.doc_id = d.doc_id
+JOIN ld ON ld.doc_id = d.doc_id
+LEFT JOIN b2 ON b2.doc_id = d.doc_id AND b2.rn = 1
+LEFT JOIN b3 ON b3.doc_id = d.doc_id AND b3.rn = 1
+LEFT JOIN b4 ON b4.doc_id = d.doc_id AND b4.rn = 1
+ORDER BY d.doc_id
 """,
         "dedup_clusters": """
 WITH RECURSIVE sh AS (

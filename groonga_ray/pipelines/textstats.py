@@ -154,3 +154,139 @@ def token_stats(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.d
         TokenStats, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=2,
     )
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero at 6 decimals (DuckDB round()
+    semantics; np.round is banker's and differs on exact halves)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+class RepetitionStats:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    per-document duplicate-line fraction, duplicate-line character
+    fraction, and top word-n-gram character fractions (n=2,3,4).
+
+    Definitions (shared exactly with the SQL oracle):
+
+    * ``dup_line_frac``       = 1 - distinct_lines / total_lines
+      (lines split on '\\n', empty lines count)
+    * ``dup_line_char_frac``  = 1 - distinct_line_chars / line_chars
+      (0.0 when no line has characters)
+    * ``top{n}gram_char_frac`` = min(1, c* x len(g*) / max(len(text), 1))
+      where g* is the most frequent space-joined n-gram of word tokens
+      (ties broken by lexicographically smallest gram) occurring c*
+      times; clamped because overlapping occurrences can overshoot.
+
+    Fully vectorized: dictionary-encoded line/gram values, run-length
+    counting over one lexsort per statistic, lexicographic tie-break
+    via an Arrow sort of the dictionary (no Python string compares).
+    """
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.wt = WordTokenizer()
+
+    @staticmethod
+    def _dup_frac(row_idx, codes, lens, n_rows):
+        """Per-row (1 - distinct/total) for counts and char lengths."""
+        total = np.bincount(row_idx, minlength=n_rows).astype(np.float64)
+        chars = np.zeros(n_rows, np.int64)
+        np.add.at(chars, row_idx, lens)
+        order = np.lexsort((codes, row_idx))
+        r, c, ln = row_idx[order], codes[order], lens[order]
+        first = np.concatenate([[True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])]) if len(r) else np.zeros(0, bool)
+        uniq = np.bincount(r[first], minlength=n_rows).astype(np.float64)
+        uchars = np.zeros(n_rows, np.int64)
+        np.add.at(uchars, r[first], ln[first])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            frac = np.where(total > 0, 1.0 - uniq / np.maximum(total, 1), 0.0)
+            cfrac = np.where(chars > 0, 1.0 - uchars / np.maximum(chars, 1), 0.0)
+        return frac, cfrac
+
+    @staticmethod
+    def _top_gram_frac(row_idx, grams: pa.Array, text_lens, n_rows):
+        """c* x len(g*) / max(len(text),1); ties -> smallest gram."""
+        out = np.zeros(n_rows, np.float64)
+        if len(grams) == 0:
+            return out
+        enc = pc.dictionary_encode(grams)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = enc.dictionary
+        # lexicographic rank of each dictionary value (Arrow C++ sort)
+        sort_idx = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(dictionary), np.int64)
+        rank[sort_idx] = np.arange(len(dictionary))
+        glens = pc.utf8_length(dictionary).to_numpy(zero_copy_only=False)
+
+        order = np.lexsort((codes, row_idx))
+        r, c = row_idx[order], codes[order]
+        first = np.concatenate([[True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])])
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, len(r)))
+        gr, gc = r[first], c[first]
+        # argmax per row by (count desc, lex rank asc)
+        sel = np.lexsort((rank[gc], -counts, gr))
+        row_first = np.concatenate([[True], gr[sel][1:] != gr[sel][:-1]])
+        best = sel[row_first]
+        rows = gr[best]
+        # overlapping occurrences can overshoot the text length; clamp
+        # (the SQL oracle applies the same LEAST(1.0, ...))
+        out[rows] = np.minimum(
+            1.0, counts[best] * glens[gc[best]] / np.maximum(text_lens[rows], 1)
+        )
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col).cast(pa.large_string())
+        n = batch.num_rows
+        text_lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+
+        # ---- lines
+        lines = pc.split_pattern(col, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        sizes = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        line_rows = np.repeat(np.arange(n), sizes)
+        enc = pc.dictionary_encode(flat)
+        lcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        llens = pc.utf8_length(enc.dictionary).to_numpy(zero_copy_only=False)[lcodes]
+        dup_line, dup_line_char = self._dup_frac(line_rows, lcodes, llens, n)
+
+        # ---- word n-grams
+        tb = self.wt.tokenize_column(col)
+        terms = tb.terms.combine_chunks() if isinstance(tb.terms, pa.ChunkedArray) else tb.terms
+        fracs = {}
+        for gn in (2, 3, 4):
+            if len(terms) >= gn:
+                parts = [terms.slice(k, len(terms) - gn + 1) for k in range(gn)]
+                grams = pc.binary_join_element_wise(
+                    *parts, pa.scalar(" ", pa.large_string())
+                )
+                ok = tb.row_idx[: len(grams)] == tb.row_idx[gn - 1 :]
+                grams = grams.filter(pa.array(ok))
+                gram_rows = tb.row_idx[: len(ok)][ok]
+            else:
+                grams = pa.array([], pa.large_string())
+                gram_rows = np.empty(0, np.int64)
+            fracs[gn] = self._top_gram_frac(gram_rows, grams, text_lens, n)
+
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "dup_line_frac": pa.array(_round6(dup_line), pa.float64()),
+                "dup_line_char_frac": pa.array(_round6(dup_line_char), pa.float64()),
+                "top2gram_char_frac": pa.array(_round6(fracs[2]), pa.float64()),
+                "top3gram_char_frac": pa.array(_round6(fracs[3]), pa.float64()),
+                "top4gram_char_frac": pa.array(_round6(fracs[4]), pa.float64()),
+            }
+        )
+
+
+def repetition_stats(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        RepetitionStats, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=2,
+    )

@@ -514,3 +514,32 @@ def test_dup_clusters_empty(ray_session):
     ds = rd.from_items([{"doc_a": 3, "doc_b": 3}])  # self loop only
     out = dup_clusters(ds, num_partitions=2)
     assert out.take_all() == []
+
+
+def test_repetition_stats_handcheck(ray_session):
+    """Gopher-style repetition filters on hand-computed fixtures."""
+    import pyarrow as pa
+
+    from groonga_ray.pipelines.textstats import RepetitionStats
+
+    texts = [
+        "aaa bbb aaa bbb aaa bbb\nx\nx\ny",  # 'aaa bbb' x3, dup 'x' line
+        "hello world",
+        "",
+        "line\nline\nline",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    out = RepetitionStats().__call__(batch).to_pydict()
+    # doc 0: 4 lines, 3 distinct -> 0.25; line chars 26, distinct 25
+    assert out["dup_line_frac"][0] == 0.25
+    assert out["dup_line_char_frac"][0] == round(1 - 25 / 26, 6)
+    # top 2-gram 'aaa bbb' (c=3, len 7) over text len 29
+    assert out["top2gram_char_frac"][0] == round(21 / 29, 6)
+    # doc 1: single 2-gram covers 'hello world' exactly
+    assert out["top2gram_char_frac"][1] == 1.0
+    assert out["top3gram_char_frac"][1] == 0.0
+    # doc 2 (empty): all zeros
+    assert all(out[k][2] == 0.0 for k in out if k != "doc_id")
+    # doc 3: 3 identical lines; overlapping 'line line' clamped to 1.0
+    assert out["dup_line_frac"][3] == round(1 - 1 / 3, 6)
+    assert out["top2gram_char_frac"][3] == 1.0

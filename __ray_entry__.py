@@ -876,6 +876,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def stratified_sample_q(sf_dir):
+        from groonga_ray.pipelines.sample import stratified_sample
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "lang"])
+        return stratified_sample(ds, {"en": 0.5, "de": 1.0, "fr": 0.25}).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id").cast(pa.int64()), "lang": b.column("lang")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def train_eval_split_q(sf_dir):
+        from groonga_ray.pipelines.sample import train_eval_split
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id"])
+        return train_eval_split(ds, 0.25).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id").cast(pa.int64()), "split": b.column("split")}
+            ),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1400,6 +1423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": dedup_jaccard_q,
         "dedup_clusters": dedup_clusters_q,
         "repetition_stats": repetition_stats_q,
+        "stratified_sample": stratified_sample_q,
+        "train_eval_split": train_eval_split_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1806,6 +1831,20 @@ LEFT JOIN b2 ON b2.doc_id = d.doc_id AND b2.rn = 1
 LEFT JOIN b3 ON b3.doc_id = d.doc_id AND b3.rn = 1
 LEFT JOIN b4 ON b4.doc_id = d.doc_id AND b4.rn = 1
 ORDER BY d.doc_id
+""",
+        "stratified_sample": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
+  FROM documents)
+WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "train_eval_split": """
+SELECT doc_id,
+       CASE WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT)
+                 / 4294967296.0 < 0.25
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
 """,
         "dedup_clusters": """
 WITH RECURSIVE sh AS (

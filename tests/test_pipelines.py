@@ -543,3 +543,31 @@ def test_repetition_stats_handcheck(ray_session):
     # doc 3: 3 identical lines; overlapping 'line line' clamped to 1.0
     assert out["dup_line_frac"][3] == round(1 - 1 / 3, 6)
     assert out["top2gram_char_frac"][3] == 1.0
+
+
+def test_sampling_deterministic_and_uniform(ray_session):
+    """stratified_sample/train_eval_split: determinism across runs and
+    partitionings; fnv fast path within tolerance of the target rate."""
+    import ray.data as rd
+
+    from groonga_ray.pipelines.sample import stratified_sample, train_eval_split
+
+    rows = [{"doc_id": i, "lang": "en" if i % 3 else "de"} for i in range(3000)]
+    ds1 = rd.from_items(rows).repartition(2)
+    ds2 = rd.from_items(rows).repartition(7)
+
+    for method in ("md5", "fnv"):
+        a = sorted(r["doc_id"] for r in stratified_sample(ds1, {"en": 0.4}, method=method).take_all())
+        b = sorted(r["doc_id"] for r in stratified_sample(ds2, {"en": 0.4}, method=method).take_all())
+        assert a == b  # partitioning-independent
+        n_en = sum(1 for r in rows if r["lang"] == "en")
+        assert abs(len(a) / n_en - 0.4) < 0.05, (method, len(a), n_en)
+
+    sp = {r["doc_id"]: r["split"] for r in train_eval_split(ds1, 0.1).take_all()}
+    assert set(sp.values()) == {"eval", "train"}
+    frac = sum(1 for v in sp.values() if v == "eval") / len(sp)
+    assert abs(frac - 0.1) < 0.03
+    # grows-stable: same ids keep their split in a superset corpus
+    bigger = rd.from_items(rows + [{"doc_id": 10_000 + i, "lang": "en"} for i in range(500)])
+    sp2 = {r["doc_id"]: r["split"] for r in train_eval_split(bigger, 0.1).take_all()}
+    assert all(sp2[k] == v for k, v in sp.items())

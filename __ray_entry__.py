@@ -899,6 +899,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def bpe_token_count_q(sf_dir):
+        from groonga_ray.pipelines.textstats import bpe_token_count
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return bpe_token_count(ds).map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id").cast(pa.int64()),
+                 "n_bpe_tokens": b.column("n_bpe_tokens")}
+            ),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1425,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": repetition_stats_q,
         "stratified_sample": stratified_sample_q,
         "train_eval_split": train_eval_split_q,
+        "bpe_token_count": bpe_token_count_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1838,6 +1852,12 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "bpe_token_count": """
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))::BIGINT AS n_bpe_tokens
+FROM documents
 """,
         "train_eval_split": """
 SELECT doc_id,

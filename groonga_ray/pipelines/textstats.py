@@ -290,3 +290,36 @@ def repetition_stats(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> 
         RepetitionStats, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=2,
     )
+
+
+# GPT-2-style pre-tokenizer pattern, RE2-compatible (no lookaheads, so
+# the same pattern runs in Arrow's count_substring_regex AND DuckDB's
+# regexp_extract_all — both RE2): contractions, space-prefixed letter /
+# digit / punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+class BpeTokenCount:
+    """Per-document token-count estimate under a BPE-ish pre-tokenizer
+    (the budget metric training pipelines actually care about; word
+    counts undercount code/punctuation-heavy text). One vectorized RE2
+    pass per batch — no Python per row, no tokenizer state."""
+
+    def __init__(self, text_col="text", id_col="doc_id", pattern: str = BPE_PATTERN):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.pattern = pattern
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col).cast(pa.large_string())
+        n = pc.count_substring_regex(col, self.pattern)
+        return pa.table(
+            {self.id_col: batch.column(self.id_col), "n_bpe_tokens": n.cast(pa.int64())}
+        )
+
+
+def bpe_token_count(ds: ray.data.Dataset, text_col="text", id_col="doc_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        BpeTokenCount, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=2,
+    )

@@ -733,25 +733,60 @@ def _node_min(edges: "ray.data.Dataset", num_partitions: int) -> "ray.data.Datas
     )
 
 
+def _cc_driver_numpy(u: np.ndarray, v: np.ndarray) -> pa.Table:
+    """Exact CC on the driver: min-label propagation with pointer
+    jumping, pure numpy, O(E log V) total work. Small-side path only
+    (edge list already < driver_threshold rows)."""
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = parent.copy()
+        mn = np.minimum(parent[ui], parent[vi])
+        np.minimum.at(parent, ui, mn)
+        np.minimum.at(parent, vi, mn)
+        while True:  # path compression by pointer doubling
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if np.array_equal(parent, before):
+            break
+    return pa.table(
+        {"doc": pa.array(nodes, pa.int64()), "cluster": pa.array(nodes[parent], pa.int64())}
+    )
+
+
 def dup_clusters(
     pairs: "ray.data.Dataset",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     num_partitions: int = 8,
     max_rounds: int = 64,
+    driver_threshold: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Connected components over duplicate pairs -> (doc, cluster).
 
     Near-dup detection (MinHash LSH, SimHash, ngram_jaccard_pairs,
     embedding pairs) emits PAIRS; keeping one document per duplicate
-    *cluster* needs their transitive closure. This computes it with
-    alternating large-star / small-star rounds (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14): each
-    round is a per-node groupby-min plus a hash-partitioned join over
-    the EDGE set only (never the corpus), converging in O(log^2 n)
-    rounds to star graphs centered on each component's minimum id.
-    State is a materialized edge Dataset in the object store; the
-    driver sees only a 4-number convergence fingerprint per round.
+    *cluster* needs their transitive closure.
+
+    Two paths, chosen by the DISTINCT edge count (the pair set is
+    already a small fraction of the corpus — this is the classic
+    broadcast-the-small-side decision):
+
+    * ``<= driver_threshold`` edges — exact numpy min-label
+      propagation with pointer jumping on the driver (a 2M-edge list
+      is ~32 MB; milliseconds, no per-round task overhead).
+    * above it — alternating large-star / small-star rounds (Kiveris
+      et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14): each round is a per-node groupby-min plus a
+      hash-partitioned join over the EDGE set only (never the
+      corpus), converging in O(log^2 n) rounds to star graphs
+      centered on each component's minimum id. State is a
+      materialized edge Dataset in the object store; the driver sees
+      only a 4-number convergence fingerprint per round.
 
     Output: one row per distinct doc id appearing in ``pairs`` with
     ``cluster`` = min doc id of its component (representatives map to
@@ -774,13 +809,30 @@ def dup_clusters(
             {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
         )
 
-    E = _distinct_edges(pairs.map_batches(to_edges, batch_format="pyarrow"), num_partitions)
-    E = E.materialize()
-    fp = _edge_fingerprint(E)
-    if fp[0] == 0:
+    E_raw = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    n_raw = E_raw.count()  # metadata on a materialized dataset, no pass
+    if n_raw == 0:
         return ray.data.from_arrow(
             pa.schema([("doc", pa.int64()), ("cluster", pa.int64())]).empty_table()
         )
+
+    if n_raw <= driver_threshold:
+        # small side: skip the distributed distinct entirely — the raw
+        # edge list fits on the driver (numpy tolerates duplicates)
+        import ray as _ray
+
+        tbl = pa.concat_tables(
+            _ray.get(E_raw.to_arrow_refs()), promote_options="permissive"
+        )
+        return ray.data.from_arrow(
+            _cc_driver_numpy(
+                tbl.column("u").to_numpy(zero_copy_only=False),
+                tbl.column("v").to_numpy(zero_copy_only=False),
+            )
+        )
+
+    E = _distinct_edges(E_raw, num_partitions).materialize()
+    fp = _edge_fingerprint(E)
 
     for _ in range(max_rounds):
         # ---- large-star: for every node u, connect neighbors v > u to

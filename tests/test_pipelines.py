@@ -503,7 +503,21 @@ def test_dup_clusters_matches_union_find(ray_session):
 
     ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
     got = {r["doc"]: r["cluster"] for r in dup_clusters(ds, num_partitions=4).take_all()}
-    assert got == want
+    assert got == want  # driver numpy path (small side)
+
+
+def test_dup_clusters_distributed_path(ray_session):
+    """Force the large-star/small-star rounds (driver_threshold=0) and
+    check exactness on a chain + triangle."""
+    import ray.data as rd
+
+    from groonga_ray.pipelines.dedup import dup_clusters
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10)]
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    got = {r["doc"]: r["cluster"] for r in
+           dup_clusters(ds, num_partitions=2, driver_threshold=0).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
 
 
 def test_dup_clusters_empty(ray_session):

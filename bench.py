@@ -183,7 +183,6 @@ def run_bench() -> dict:
     queries["qps_batch"] = round(n_q / dt, 1)
     queries["qps_batch_actors"] = conc_q
     assert len(out) > 0
-
     # one representative end-to-end pass: best build times + the query
     # section's wall time (repeats would otherwise double-count builds)
     total = round(
@@ -191,6 +190,45 @@ def run_bench() -> dict:
         + (time.time() - t_queries),
         3,
     )
+
+    # ---- 5. training-data pipeline ops (measured OUTSIDE bench_total
+    # so the headline stays comparable across rounds) over the 50k-row code corpus
+    # (the LLM-pipeline operators are first-class; benchmark the two
+    # dedup hot paths at the same scale as the index build)
+    import ray as _ray
+
+    from groonga_ray.pipelines.dedup import exact_dedup_fast, minhash_lsh_candidates
+    from groonga_ray.utils import fnv1a as _fnv
+
+    def _with_ids(batch):
+        import pyarrow as pa2
+
+        ids = _fnv(
+            pa_.compute.binary_join_element_wise(
+                batch.column("repo").cast(pa_.large_string()),
+                batch.column("path").cast(pa_.large_string()),
+                pa_.scalar("/", pa_.large_string()),
+            )
+        ).view("int64")
+        return pa2.table(
+            {"doc_id": pa_.array(ids, pa_.int64()), "text": batch.column("content")}
+        )
+
+    code_ds = _ray.data.read_parquet(code_files, columns=["repo", "path", "content"])
+    docs_in = code_ds.map_batches(_with_ids, batch_format="pyarrow")
+    t0 = time.time()
+    n_uniq = exact_dedup_fast(docs_in).count()
+    dt = time.time() - t0
+    queries["dedup_exact_sec"] = round(dt, 3)
+    queries["dedup_exact_docs_per_sec"] = round(code_meta["n_docs"] / dt, 1)
+
+    t0 = time.time()
+    n_cand = minhash_lsh_candidates(docs_in, n_perm=64, bands=8).count()
+    dt = time.time() - t0
+    queries["dedup_minhash_sec"] = round(dt, 3)
+    queries["dedup_minhash_docs_per_sec"] = round(code_meta["n_docs"] / dt, 1)
+    assert n_uniq > 0 and n_cand >= 0
+
     return {
         "metric": "bench_total",
         "value": total,

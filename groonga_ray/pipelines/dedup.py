@@ -152,12 +152,26 @@ class _MinHasher:
             shifted = np.roll(tok_hash, -s)
             same_row = np.roll(row, -s) == row
             h = np.where(same_row, h * np.uint64(1099511628211) ^ shifted, h)
-        # per-permutation min per row (vectorized over rows via minimum.at)
-        for p in range(self.n_perm):
-            ph = (self.a[p] * h + self.b[p]) % _MERSENNE
-            m = np.full(batch.num_rows, np.iinfo(np.uint64).max, np.uint64)
-            np.minimum.at(m, row, ph)
-            sigs[:, p] = m
+        # per-permutation min per row. row_idx is non-decreasing (tokens
+        # are emitted in document order), so the per-row min is a
+        # segmented reduce — minimum.reduceat over segment starts is
+        # ~40x faster than the unbuffered minimum.at scatter. Perms are
+        # batched in chunks of 8 to bound the (chunk x n_tokens) matrix.
+        if len(row) == 0:
+            return ids, sigs
+        first = np.concatenate([[True], row[1:] != row[:-1]])
+        starts = np.flatnonzero(first)
+        seg_rows = row[starts]
+        for p0 in range(0, self.n_perm, 8):
+            a = self.a[p0 : p0 + 8, None]
+            b = self.b[p0 : p0 + 8, None]
+            with np.errstate(over="ignore"):
+                ph = a * h[None, :] + b
+                # exact x % (2^61-1) via Mersenne fold (no u64 division)
+                ph = (ph >> np.uint64(61)) + (ph & _MERSENNE)
+                ph = (ph >> np.uint64(61)) + (ph & _MERSENNE)
+                ph[ph >= _MERSENNE] -= _MERSENNE
+            sigs[seg_rows, p0 : p0 + 8] = np.minimum.reduceat(ph, starts, axis=1).T
         return ids, sigs
 
 
@@ -206,37 +220,70 @@ def minhash_lsh_candidates(
     the kept representative" rather than verifying pairs.
     """
 
-    def collapse(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return pa.table(
-                {"band": pa.array([], pa.int32()), "band_hash": pa.array([], pa.int64()),
-                 "doc_ids": pa.array([], pa.list_(pa.int64())), "n": pa.array([], pa.int64()),
-                 "capped": pa.array([], pa.bool_())}
-            )
-        ids = sorted(group.column("doc_id").to_pylist())
-        capped = len(ids) > max_group
-        if capped:
-            ids = ids[:max_group]
+    _EMPTY = pa.schema(
+        [("band", pa.int32()), ("band_hash", pa.int64()),
+         ("doc_ids", pa.list_(pa.int64())), ("n", pa.int64()), ("capped", pa.bool_())]
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.append_column(
+            "p", pa.array((bh % np.uint64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    def collapse_part(group: pa.Table) -> pa.Table:
+        # ONE vectorized pass per hash partition (a per-(band,hash)
+        # map_groups would make 100k+ Python calls on mostly-singleton
+        # buckets): sort, run-detect, cap, build the list array from
+        # offsets. No per-bucket Python.
+        band = group.column("band").to_numpy(zero_copy_only=False)
+        bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, bh, band))
+        band, bh, did = band[order], bh[order], did[order]
+        newg = np.concatenate([[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+        gid = np.cumsum(newg) - 1
+        starts = np.flatnonzero(newg)
+        sizes = np.diff(np.append(starts, len(gid)))
+        keep_g = sizes >= 2
+        ordinal = np.arange(len(gid)) - starts[gid]
+        keep_row = keep_g[gid] & (ordinal < max_group)
+        if not keep_row.any():
+            return _EMPTY.empty_table()
+        band2, bh2, did2, gid2 = band[keep_row], bh[keep_row], did[keep_row], gid[keep_row]
+        newg2 = np.concatenate([[True], gid2[1:] != gid2[:-1]])
+        starts2 = np.flatnonzero(newg2)
+        sizes2 = np.diff(np.append(starts2, len(gid2)))
+        offsets = np.concatenate([[0], np.cumsum(sizes2)])
         return pa.table(
             {
-                "band": group.column("band").slice(0, 1),
-                "band_hash": group.column("band_hash").slice(0, 1),
-                "doc_ids": pa.array([ids], pa.list_(pa.int64())),
-                "n": pa.array([len(ids)], pa.int64()),
-                "capped": pa.array([capped]),
+                "band": pa.array(band2[starts2].astype(np.int32), pa.int32()),
+                "band_hash": pa.array(bh2[starts2], pa.int64()),
+                "doc_ids": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(did2, pa.int64())
+                ),
+                "n": pa.array(sizes2.astype(np.int64), pa.int64()),
+                "capped": pa.array(sizes[keep_g] > max_group),
             }
         )
 
+    import ray as _ray
+
+    n_parts = 32
+    conc = max(2, min(16, int(_ray.cluster_resources().get("CPU", 4)) - 2))
     sig = ds.map_batches(
         MinHashLSH,
         fn_constructor_kwargs=dict(
             n_perm=n_perm, bands=bands, shingle=shingle, text_col=text_col, id_col=id_col
         ),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=conc,
     )
-    return sig.groupby(["band", "band_hash"]).map_groups(collapse, batch_format="pyarrow")
+    return (
+        sig.map_batches(add_part, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(collapse_part, batch_format="pyarrow")
+    )
 
 
 class SimHasher:

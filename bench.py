@@ -375,8 +375,44 @@ def scaling_child(ncpu: int, rows: int) -> dict:
     sec = min(times)
     user = (u_d + r1.ru_utime - r0.ru_utime) / repeats     # per build
     syst = (s_d + r1.ru_stime - r0.ru_stime) / repeats
+
+    # ---- query-side scaling: QueryActor pool sized to the level
+    # (each actor loads the reader once; queries stream through
+    # map_batches). Reported as qps so run_scaling can derive the
+    # serving-path efficiency alongside the build-path one.
+    import pyarrow as pa_
+
+    from groonga_ray.engine import IndexedTable, run_query_batch
+
+    terms = ["def", "return", "if", "for", "while", "class", "import", "static"]
+    conc_q = max(2, ncpu // 2)  # actor count scales exactly with the level
+    # queries per actor held constant so the ~2 s fixed pool spin-up
+    # (actor __init__ loads the reader) amortizes identically at both
+    # levels and the qps ratio measures steady-state throughput
+    n_q = 4000 * conc_q
+    qtbl = pa_.table(
+        {
+            "qid": pa_.array(range(n_q), pa_.int64()),
+            "query": pa_.array(
+                [f"{terms[i % 8]} OR {terms[(i + 3) % 8]}" for i in range(n_q)]
+            ),
+            "match_columns": pa_.array(["content"] * n_q),
+            "scorer": pa_.array(["bm25"] * n_q),
+            "top_k": pa_.array([10] * n_q, pa_.int64()),
+        }
+    )
+    table = IndexedTable(idx, files, None)
+    run_query_batch(table, qtbl, concurrency=conc_q).take_all()   # warm actors
+    qps = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        run_query_batch(table, qtbl, concurrency=conc_q).take_all()
+        qps = max(qps, n_q / (time.time() - t0))
+
     ray.shutdown()
     return {
+        "qps_batch": round(qps, 1),
+        "qps_actors": conc_q,
         "ncpu": ncpu,
         "sec": round(sec, 3),
         "all_sec": [round(t, 3) for t in times],
@@ -430,6 +466,9 @@ def run_scaling() -> dict:
     lo = min(los, key=lambda d: d["sec"])
     hi = min(his, key=lambda d: d["sec"])
     eff = (lo["sec"] / hi["sec"]) / (hi_n / lo_n)
+    qlo = max((d.get("qps_batch") or 0.0) for d in los)
+    qhi = max((d.get("qps_batch") or 0.0) for d in his)
+    q_eff = (qhi / qlo) / (hi_n / lo_n) if qlo else None
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -439,6 +478,9 @@ def run_scaling() -> dict:
             f"build_sec_{hi_n}cpu": hi["sec"],
             f"docs_per_sec_{lo_n}cpu": lo["docs_per_sec"],
             f"docs_per_sec_{hi_n}cpu": hi["docs_per_sec"],
+            f"qps_{lo_n}cpu": qlo,
+            f"qps_{hi_n}cpu": qhi,
+            "query_scaling_efficiency": round(q_eff, 3) if q_eff else None,
             f"sys_frac_{lo_n}cpu": lo.get("sys_frac"),
             f"sys_frac_{hi_n}cpu": hi.get("sys_frac"),
             f"cpu_util_{lo_n}cpu": lo.get("cpu_util"),

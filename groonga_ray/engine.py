@@ -2337,7 +2337,20 @@ def run_query_batch(table: IndexedTable, queries, concurrency: int = 2, batch_si
     """Evaluate a Dataset/table of query rows with a QueryActor pool."""
     import ray.data
 
-    ds = queries if hasattr(queries, "map_batches") else ray.data.from_arrow(queries)
+    if hasattr(queries, "map_batches"):
+        ds = queries
+    else:
+        # one Arrow table would become ONE block -> one actor gets all
+        # the work (the pool idles); pre-slice into enough blocks to
+        # feed every actor without a shuffle. 2 blocks per actor:
+        # per-task dispatch costs ~tens of ms, so fewer, fatter tasks
+        # beat fine-grained balancing for sub-ms queries
+        n = queries.num_rows
+        n_blocks = max(1, min(concurrency * 2, -(-n // max(1, batch_size))))
+        step = -(-n // n_blocks)
+        ds = ray.data.from_arrow(
+            [queries.slice(i, step) for i in range(0, n, step)]
+        )
     return ds.map_batches(
         QueryActor,
         fn_constructor_args=(table,),

@@ -912,6 +912,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def curation_q(sf_dir):
+        from groonga_ray.pipelines.curate import curate
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+        out = curate(
+            ds, {"en": 0.8, "de": 0.5, "zh": 0.9, "fr": 1.0, "es": 0.25},
+            num_partitions=4,
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id").cast(pa.int64()),
+                 "lang": b.column("lang"),
+                 "n_bpe_tokens": b.column("n_bpe_tokens")}
+            ),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1439,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample_q,
         "train_eval_split": train_eval_split_q,
         "bpe_token_count": bpe_token_count_q,
+        "curation": curation_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1852,6 +1871,38 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "curation": """
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+per_doc AS (
+  SELECT doc_id, count(*)::DOUBLE AS n_tok,
+         sum(CASE WHEN term IN ('the','a','an','and','or','of','to','in','is','it')
+             THEN 1 ELSE 0 END)::DOUBLE AS n_stop,
+         sum(length(term))::DOUBLE AS word_chars
+  FROM toks GROUP BY 1),
+ok AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+  WHERE coalesce(p.word_chars, 0) / greatest(length(d.text), 1) >= 0.82
+    AND coalesce(p.n_stop / greatest(p.n_tok, 1), 0) <= 0.12
+),
+rep AS (SELECT min(doc_id) AS doc_id FROM ok GROUP BY text),
+samp AS (
+  SELECT o.doc_id, o.lang, o.text FROM ok o JOIN rep USING (doc_id)
+  WHERE CAST(('0x' || substr(md5(CAST(o.doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0
+        < CASE o.lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 WHEN 'zh' THEN 0.9
+                      WHEN 'fr' THEN 1.0 WHEN 'es' THEN 0.25 ELSE 0.0 END
+)
+SELECT doc_id, lang,
+       len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'))::BIGINT AS n_bpe_tokens
+FROM samp
 """,
         "bpe_token_count": """
 SELECT doc_id,

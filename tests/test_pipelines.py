@@ -585,3 +585,25 @@ def test_sampling_deterministic_and_uniform(ray_session):
     bigger = rd.from_items(rows + [{"doc_id": 10_000 + i, "lang": "en"} for i in range(500)])
     sp2 = {r["doc_id"]: r["split"] for r in train_eval_split(bigger, 0.1).take_all()}
     assert all(sp2[k] == v for k, v in sp.items())
+
+
+def test_curation_pipeline(ray_session):
+    """quality -> exact dedup -> stratified mix -> token budget; checks
+    dedup keeps the min-id representative and quality rejects junk."""
+    import ray.data as rd
+
+    from groonga_ray.pipelines.curate import curate
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [{"doc_id": i, "text": good + f" v{i}", "lang": "en"} for i in range(10)]
+        + [{"doc_id": 100, "text": good, "lang": "en"},
+           {"doc_id": 101, "text": good, "lang": "en"}]        # exact dups
+        + [{"doc_id": 200, "text": "!!! ??? %%% ^^^ &&&", "lang": "en"}]  # junk
+    )
+    ds = rd.from_items(rows)
+    out = {r["doc_id"]: r for r in
+           curate(ds, {"en": 1.0}, min_alpha=0.5, max_stop=0.9, num_partitions=2).take_all()}
+    assert 200 not in out            # junk filtered by alpha_ratio
+    assert 100 in out and 101 not in out  # dup cluster keeps min id
+    assert all(r["n_bpe_tokens"] > 0 for r in out.values())

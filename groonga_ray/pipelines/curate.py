@@ -68,15 +68,25 @@ class _Stage1:
         ok = (alpha >= self.min_alpha) & (stop <= self.max_stop)
 
         bpe = pc.count_substring_regex(col, BPE_PATTERN).cast(pa.int64())
+
+        # content fingerprints are ephemeral (grouping keys for this
+        # run only) — prefer the fast polars native hash like
+        # dedup.exact_dedup_fast does
+        def _chash(seed: int) -> np.ndarray:
+            try:
+                import polars as pl
+
+                return pl.from_arrow(col).hash(seed=seed).to_numpy()
+            except ImportError:
+                return fnv1a(col, seed=seed)
+
         out = pa.table(
             {
                 self.id_col: batch.column(self.id_col),
                 self.group_col: batch.column(self.group_col),
                 "n_bpe_tokens": bpe,
-                "h_lo": pa.array(fnv1a(col).view(np.int64), pa.int64()),
-                "h_hi": pa.array(
-                    fnv1a(col, seed=0x9E3779B97F4A7C15).view(np.int64), pa.int64()
-                ),
+                "h_lo": pa.array(_chash(0).view(np.int64), pa.int64()),
+                "h_hi": pa.array(_chash(0x9E3779B9).view(np.int64), pa.int64()),
             }
         )
         return out.filter(pa.array(ok))

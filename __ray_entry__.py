@@ -930,6 +930,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def pii_redact_q(sf_dir):
+        from groonga_ray.pipelines.pii import redact_pii
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+
+        def synth(batch):
+            # deterministic synthetic contact line (the corpus has no
+            # real PII); the oracle builds the identical string in SQL
+            import numpy as np
+            import pyarrow.compute as pc2
+
+            ids = batch.column("doc_id")
+            idn = ids.to_numpy(zero_copy_only=False)
+            n = batch.num_rows
+
+            def istr(a):
+                return pc2.cast(pa.array(a, pa.int64()), pa.large_string())
+
+            text2 = pc2.binary_join_element_wise(
+                batch.column("text").cast(pa.large_string()),
+                pa.array([" contact user"] * n, pa.large_string()),
+                pc2.cast(ids, pa.large_string()),
+                pa.array(["@mail.example.com or 192.168."] * n, pa.large_string()),
+                istr(idn % 256),
+                pa.array([".42 tel +1 (555) 010-"] * n, pa.large_string()),
+                istr(idn % 9000 + 1000),
+                pa.scalar("", pa.large_string()),
+            )
+            return pa.table({"doc_id": ids, "text": text2})
+
+        out = redact_pii(ds.map_batches(synth, batch_format="pyarrow"))
+        return out.map_batches(
+            lambda b: b.set_column(0, "doc_id", b.column("doc_id").cast(pa.int64())),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1458,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_eval_split": train_eval_split_q,
         "bpe_token_count": bpe_token_count_q,
         "curation": curation_q,
+        "pii_redact": pii_redact_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1871,6 +1909,26 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "pii_redact": """
+WITH t2 AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com or 192.168.' ||
+         (doc_id % 256) || '.42 tel +1 (555) 010-' || (doc_id % 9000 + 1000) AS text
+  FROM documents),
+a AS (SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+             regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+      FROM t2),
+b AS (SELECT doc_id, n_emails,
+             len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\\b'))::BIGINT AS n_ips,
+             regexp_replace(text, '\\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\\b', '<IP>', 'g') AS text
+      FROM a)
+SELECT doc_id,
+       regexp_replace(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS text,
+       n_emails, n_ips,
+       len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]'))::BIGINT AS n_phones
+FROM b
 """,
         "curation": """
 WITH toks AS (

@@ -607,3 +607,22 @@ def test_curation_pipeline(ray_session):
     assert 200 not in out            # junk filtered by alpha_ratio
     assert 100 in out and 101 not in out  # dup cluster keeps min id
     assert all(r["n_bpe_tokens"] > 0 for r in out.values())
+
+
+def test_redact_pii(ray_session):
+    import ray.data as rd
+
+    from groonga_ray.pipelines.pii import redact_pii
+
+    rows = [
+        {"doc_id": 1, "text": "mail a.smith+x@corp.example.co.uk now"},
+        {"doc_id": 2, "text": "server at 10.0.255.7 port 80"},
+        {"doc_id": 3, "text": "call +44 (0)20 7946-0958 today"},
+        {"doc_id": 4, "text": "clean text, nothing here"},
+    ]
+    out = {r["doc_id"]: r for r in redact_pii(rd.from_items(rows)).take_all()}
+    assert out[1]["text"] == "mail <EMAIL> now" and out[1]["n_emails"] == 1
+    assert out[2]["text"] == "server at <IP> port 80" and out[2]["n_ips"] == 1
+    assert out[3]["text"] == "call <PHONE> today" and out[3]["n_phones"] == 1
+    assert out[4]["text"] == rows[3]["text"]
+    assert out[4]["n_emails"] == out[4]["n_ips"] == out[4]["n_phones"] == 0

@@ -967,6 +967,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def paragraph_dedup_q(sf_dir):
+        from groonga_ray.pipelines.dedup import paragraph_dedup
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+
+        def synth(batch):
+            # multi-paragraph docs with corpus-wide shared boilerplate
+            # (the flat corpus has no newlines); oracle mirrors in SQL
+            import pyarrow.compute as pc2
+
+            col = batch.column("text").cast(pa.large_string())
+            n = batch.num_rows
+            sep = pa.array(["\n\n"] * n, pa.large_string())
+            text2 = pc2.binary_join_element_wise(
+                pc2.utf8_slice_codeunits(col, 0, 60), sep,
+                pa.array(["shared boilerplate paragraph"] * n, pa.large_string()), sep,
+                pc2.utf8_slice_codeunits(col, 60, 120), sep,
+                pa.array(["copyright footer all rights reserved"] * n, pa.large_string()),
+                pa.scalar("", pa.large_string()),
+            )
+            return pa.table({"doc_id": batch.column("doc_id"), "text": text2})
+
+        out = paragraph_dedup(ds.map_batches(synth, batch_format="pyarrow"), num_partitions=4)
+        return out.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id").cast(pa.int64()), "text": b.column("text")}
+            ),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1496,6 +1527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": bpe_token_count_q,
         "curation": curation_q,
         "pii_redact": pii_redact_q,
+        "paragraph_dedup": paragraph_dedup_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1909,6 +1941,23 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "paragraph_dedup": """
+WITH t2 AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || chr(10)||chr(10) || 'shared boilerplate paragraph' ||
+         chr(10)||chr(10) || substr(text, 61, 60) || chr(10)||chr(10) ||
+         'copyright footer all rights reserved' AS text
+  FROM documents),
+arr AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS a FROM t2),
+paras AS (SELECT doc_id, unnest(a) AS p,
+                 unnest(generate_series(1, len(a))) AS idx FROM arr),
+win AS (SELECT p, min(doc_id * 1048576 + (idx - 1)) AS w FROM paras GROUP BY p),
+kept AS (SELECT doc_id, idx, paras.p
+         FROM paras JOIN win ON paras.p = win.p
+         WHERE doc_id * 1048576 + (idx - 1) = w)
+SELECT doc_id, string_agg(p, chr(10)||chr(10) ORDER BY idx) AS text
+FROM kept GROUP BY doc_id
 """,
         "pii_redact": """
 WITH t2 AS (

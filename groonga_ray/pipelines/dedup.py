@@ -970,3 +970,135 @@ def dup_clusters(
         .map_batches(relabel, batch_format="pyarrow")
     )
     return out
+
+
+# ------------------------------------------- paragraph-level dedup
+
+def paragraph_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Corpus-wide exact paragraph dedup (RefinedWeb/C4-style): every
+    paragraph that already occurred earlier — in ANY document, ordered
+    by (doc_id, paragraph index) — is removed; survivors are rejoined
+    with ``sep``. Docs whose every paragraph was removed are dropped.
+
+    Shape: explode to (hash128(para), packed_pos) scalar rows (text
+    rides along once), a groupby-min picks each paragraph's first
+    occurrence, a hash join + filter keeps winners, and a
+    partition-wise vectorized pass reassembles documents (sort by
+    (doc, idx) → run-detect → ListArray → binary_join; no per-doc
+    Python). packed_pos = doc_id * 2^20 + idx, so doc_id must fit
+    2^43 and docs are capped at 2^20 paragraphs.
+    """
+    from ray.data.aggregate import Min
+
+    PACK = 1 << 20
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col).cast(pa.large_string())
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (ids >= (1 << 43)).any():
+            raise ValueError("doc ids must fit 43 bits for paragraph packing")
+        lists = pc.split_pattern(col, sep)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        sizes = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        if (sizes >= PACK).any():
+            raise ValueError("document exceeds 2^20 paragraphs")
+        flat = pc.list_flatten(lists).cast(pa.large_string())
+        row = np.repeat(np.arange(batch.num_rows), sizes)
+        starts = np.cumsum(sizes) - sizes
+        idx = np.arange(len(row)) - starts[row]
+
+        def h(seed):
+            try:
+                import polars as pl
+
+                return pl.from_arrow(flat).hash(seed=seed).to_numpy()
+            except ImportError:
+                return fnv1a(flat, seed=seed)
+
+        return pa.table(
+            {
+                "doc": pa.array(ids[row], pa.int64()),
+                "idx": pa.array(idx, pa.int64()),
+                "para": flat,
+                "h_lo": pa.array(h(0).view(np.int64), pa.int64()),
+                "h_hi": pa.array(h(0x2545F491).view(np.int64), pa.int64()),
+                "packed": pa.array(ids[row] * PACK + idx, pa.int64()),
+            }
+        )
+
+    paras = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    win = paras.groupby(["h_lo", "h_hi"]).aggregate(Min("packed", alias_name="w"))
+
+    def norm_win(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns < 3:
+            return pa.schema(
+                [("k_lo", pa.int64()), ("k_hi", pa.int64()), ("w", pa.int64())]
+            ).empty_table()
+        return batch.rename_columns(["k_lo", "k_hi", "w"])
+
+    win = (
+        win.map_batches(norm_win, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    joined = paras.join(
+        win, "inner", num_partitions, on=("h_lo", "h_hi"), right_on=("k_lo", "k_hi")
+    )
+
+    def keep_and_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("doc", pa.int64()), ("idx", pa.int64()),
+                 ("para", pa.large_string()), ("p", pa.int64())]
+            ).empty_table()
+        keep = pc.equal(batch.column("packed"), batch.column("w"))
+        kept = batch.filter(keep)
+        d = kept.column("doc").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc": kept.column("doc"),
+                "idx": kept.column("idx"),
+                "para": kept.column("para"),
+                "p": pa.array((d % num_partitions).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), ("text", pa.large_string())]
+            ).empty_table()
+        d = group.column("doc").to_numpy(zero_copy_only=False)
+        ix = group.column("idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ix, d))
+        d, ix = d[order], ix[order]
+        paras_sorted = group.column("para").take(pa.array(order))
+        first = np.concatenate([[True], d[1:] != d[:-1]])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(d)))
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            paras_sorted.combine_chunks()
+            if isinstance(paras_sorted, pa.ChunkedArray) else paras_sorted,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(d[starts], pa.int64()),
+                "text": pc.binary_join(lists, pa.scalar(sep, pa.large_string())),
+            }
+        )
+
+    return (
+        joined.map_batches(keep_and_part, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(reassemble, batch_format="pyarrow")
+    )

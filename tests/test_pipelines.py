@@ -626,3 +626,26 @@ def test_redact_pii(ray_session):
     assert out[3]["text"] == "call <PHONE> today" and out[3]["n_phones"] == 1
     assert out[4]["text"] == rows[3]["text"]
     assert out[4]["n_emails"] == out[4]["n_ips"] == out[4]["n_phones"] == 0
+
+
+def test_paragraph_dedup(ray_session):
+    """Corpus-wide paragraph dedup keeps only the first occurrence (by
+    doc_id, then paragraph index); emptied docs are dropped."""
+    import ray.data as rd
+
+    from groonga_ray.pipelines.dedup import paragraph_dedup
+
+    SEP = "\n\n"
+    rows = [
+        {"doc_id": 1, "text": SEP.join(["alpha one", "SHARED", "beta two"])},
+        {"doc_id": 2, "text": SEP.join(["gamma", "SHARED", "delta"])},
+        {"doc_id": 3, "text": SEP.join(["SHARED", "SHARED"])},
+        {"doc_id": 4, "text": "unique only"},
+    ]
+    out = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(rd.from_items(rows), num_partitions=2).take_all()}
+    assert out == {
+        1: SEP.join(["alpha one", "SHARED", "beta two"]),
+        2: SEP.join(["gamma", "delta"]),
+        4: "unique only",
+    }

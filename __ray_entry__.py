@@ -998,6 +998,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def sessionize_q(sf_dir):
+        from groonga_ray.pipelines.windows import sessionize
+
+        ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+        return sessionize(ds, 3_600_000_000, num_partitions=4).map_batches(
+            lambda b: pa.table(
+                {"event_id": b.column("event_id").cast(pa.int64()),
+                 "user_id": b.column("user_id").cast(pa.int64()),
+                 "session_seq": b.column("session_seq"),
+                 "session_start_us": b.column("session_start_us")}
+            ),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1528,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": curation_q,
         "pii_redact": pii_redact_q,
         "paragraph_dedup": paragraph_dedup_q,
+        "sessionize": sessionize_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1941,6 +1957,18 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "sessionize": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT event_id, user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 3600000000 THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (SELECT event_id, user_id, t,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) - 1 AS seq
+      FROM m)
+SELECT event_id, user_id, seq::BIGINT AS session_seq,
+       min(t) OVER (PARTITION BY user_id, seq)::BIGINT AS session_start_us
+FROM s
 """,
         "paragraph_dedup": """
 WITH t2 AS (

@@ -65,3 +65,74 @@ def sliding_window_agg(
         .groupby([key_col, "window_us"])
         .aggregate(Count(alias_name="n"), Sum(val_col, alias_name="sum_value"))
     )
+
+
+def sessionize(
+    ds: ray.data.Dataset, gap_us: int,
+    ts_col: str = "ts", key_col: str = "user_id", id_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: within each key, a new session starts
+    when the time since the previous event exceeds ``gap_us``.
+
+    Output: (id_col, key_col, session_seq, session_start_us) — session
+    ids are per-key ordinals (0-based, in time order), session_start is
+    the first event's timestamp, so ids are stable under repartitioning.
+
+    Shape: ONE hash exchange (groupby on a key partition), then a
+    single vectorized pass per partition: lexsort (key, ts, id), gap
+    detection via shifted comparison, per-key cumsum for the ordinal,
+    first-of-session scatter for the start. No per-key Python — a
+    partition with 10^6 users is still three numpy passes.
+    """
+    import pyarrow.compute as pc
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                "ts_us": ts,
+                "p": pa.array((k % num_partitions), pa.int64()),
+            }
+        )
+
+    def assign(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), (key_col, pa.int64()),
+                 ("session_seq", pa.int64()), ("session_start_us", pa.int64())]
+            ).empty_table()
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, k))
+        k, t, eid = k[order], t[order], eid[order]
+        new_key = np.concatenate([[True], k[1:] != k[:-1]])
+        new_sess = new_key | np.concatenate([[True], (t[1:] - t[:-1]) > gap_us])
+        # per-key 0-based session ordinal: global cumsum minus the
+        # cumsum value at each key's first row
+        sid = np.cumsum(new_sess) - 1
+        key_base = sid[np.flatnonzero(new_key)]
+        key_idx = np.cumsum(new_key) - 1
+        seq = sid - key_base[key_idx]
+        # session start = first ts of each session, gathered by sid
+        start = t[np.flatnonzero(new_sess)][sid]
+        return pa.table(
+            {
+                id_col: pa.array(eid, pa.int64()),
+                key_col: pa.array(k, pa.int64()),
+                "session_seq": pa.array(seq.astype(np.int64), pa.int64()),
+                "session_start_us": pa.array(start, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(assign, batch_format="pyarrow")
+    )

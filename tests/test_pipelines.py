@@ -649,3 +649,23 @@ def test_paragraph_dedup(ray_session):
         2: SEP.join(["gamma", "delta"]),
         4: "unique only",
     }
+
+
+def test_sessionize_gaps(ray_session):
+    import ray.data as rd
+
+    from groonga_ray.pipelines.windows import sessionize
+
+    US = 1_000_000
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": 0},
+        {"event_id": 2, "user_id": 7, "ts": 30 * US},        # same session
+        {"event_id": 3, "user_id": 7, "ts": 200 * US},       # gap > 60 s -> new
+        {"event_id": 4, "user_id": 9, "ts": 10 * US},        # other user
+        {"event_id": 5, "user_id": 7, "ts": 260 * US},       # boundary: ==60 s, same
+    ]
+    out = {r["event_id"]: (r["session_seq"], r["session_start_us"])
+           for r in sessionize(rd.from_items(rows), 60 * US, num_partitions=2).take_all()}
+    assert out[1] == (0, 0) and out[2] == (0, 0)
+    assert out[3] == (1, 200 * US) and out[5] == (1, 200 * US)
+    assert out[4] == (0, 10 * US)

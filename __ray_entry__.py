@@ -1013,6 +1013,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def grouped_topk_q(sf_dir):
+        from groonga_ray.pipelines.windows import grouped_topk
+
+        ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+        return grouped_topk(ds, 5, num_partitions=4).map_batches(
+            lambda b: pa.table(
+                {"event_id": b.column("event_id").cast(pa.int64()),
+                 "event_type": b.column("event_type").cast(pa.string()),
+                 "value": b.column("value")}
+            ),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1544,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": pii_redact_q,
         "paragraph_dedup": paragraph_dedup_q,
         "sessionize": sessionize_q,
+        "grouped_topk": grouped_topk_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1957,6 +1972,12 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "grouped_topk": """
+SELECT event_id, event_type, value FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+  FROM events) WHERE rn <= 5
 """,
         "sessionize": """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),

@@ -136,3 +136,64 @@ def sessionize(
         .groupby("p")
         .map_groups(assign, batch_format="pyarrow")
     )
+
+
+def grouped_topk(
+    ds: ray.data.Dataset, k: int,
+    key_col: str = "event_type", val_col: str = "value", id_col: str = "event_id",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Top-k rows per key by value (desc), ties broken by id asc.
+
+    Pre-prune inside each batch BEFORE the exchange (a batch can
+    contribute at most k rows per key), then one hash exchange on a
+    key partition and a vectorized final prune — the shuffle carries
+    O(batches x keys x k) rows, never the corpus.
+    """
+    import pyarrow.compute as pc
+
+    def topk_pass(batch: pa.Table, final: bool) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), (key_col, pa.large_string()),
+                 (val_col, pa.float64()), ("p", pa.int64())]
+            ).empty_table()
+        key = batch.column(key_col).cast(pa.large_string())
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = pc.dictionary_encode(key)
+        kc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False)
+        eid = batch.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -v, kc))
+        kc_s = kc[order]
+        first = np.concatenate([[True], kc_s[1:] != kc_s[:-1]])
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        rank = np.arange(len(kc_s)) - starts[gid]
+        keep = order[rank < k]
+        keep.sort()
+        out = batch.take(pa.array(keep))
+        from ..utils import fnv1a as _f
+
+        p = (
+            _f(out.column(key_col).cast(pa.large_string()).combine_chunks())
+            % np.uint64(num_partitions)
+        ).astype(np.int64)
+        cols = {
+            id_col: out.column(id_col).cast(pa.int64()),
+            key_col: out.column(key_col).cast(pa.large_string()),
+            val_col: out.column(val_col).cast(pa.float64()),
+            "p": pa.array(p, pa.int64()),
+        }
+        return pa.table(cols)
+
+    pruned = ds.map_batches(
+        lambda b: topk_pass(b, False), batch_format="pyarrow"
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        out = topk_pass(group, True)
+        return out.drop_columns(["p"])
+
+    return pruned.groupby("p").map_groups(final, batch_format="pyarrow")

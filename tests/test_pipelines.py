@@ -669,3 +669,23 @@ def test_sessionize_gaps(ray_session):
     assert out[1] == (0, 0) and out[2] == (0, 0)
     assert out[3] == (1, 200 * US) and out[5] == (1, 200 * US)
     assert out[4] == (0, 10 * US)
+
+
+def test_grouped_topk(ray_session):
+    import ray.data as rd
+
+    from groonga_ray.pipelines.windows import grouped_topk
+
+    rows = [{"event_id": i, "event_type": "a" if i % 2 else "b", "value": float(i % 7)}
+            for i in range(40)]
+    out = grouped_topk(rd.from_items(rows).repartition(5), 3, num_partitions=2).take_all()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["event_type"], []).append((r["value"], r["event_id"]))
+    # top-3 per key by (value desc, id asc)
+    for key in ("a", "b"):
+        want = sorted(
+            ((float(i % 7), i) for i in range(40) if ("a" if i % 2 else "b") == key),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert sorted(by_key[key], key=lambda t: (-t[0], t[1])) == want

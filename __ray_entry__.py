@@ -1027,6 +1027,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def exact_quantiles_q(sf_dir):
+        from groonga_ray.pipelines.quantiles import exact_quantiles
+
+        ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["value"])
+        return exact_quantiles(ds, (0.25, 0.5, 0.75, 0.875))
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1559,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": paragraph_dedup_q,
         "sessionize": sessionize_q,
         "grouped_topk": grouped_topk_q,
+        "exact_quantiles": exact_quantiles_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1972,6 +1980,12 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "exact_quantiles": """
+SELECT 0.25::DOUBLE AS q, quantile_disc(value, 0.25)::DOUBLE AS value FROM events UNION ALL
+SELECT 0.5::DOUBLE, quantile_disc(value, 0.5)::DOUBLE FROM events UNION ALL
+SELECT 0.75::DOUBLE, quantile_disc(value, 0.75)::DOUBLE FROM events UNION ALL
+SELECT 0.875::DOUBLE, quantile_disc(value, 0.875)::DOUBLE FROM events
 """,
         "grouped_topk": """
 SELECT event_id, event_type, value FROM (

@@ -689,3 +689,31 @@ def test_grouped_topk(ray_session):
             key=lambda t: (-t[0], t[1]),
         )[:3]
         assert sorted(by_key[key], key=lambda t: (-t[0], t[1])) == want
+
+
+def test_exact_quantiles_matches_sorted(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from groonga_ray.pipelines.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(size=80_000), rng.exponential(size=20_000) * 50])
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)})).repartition(6)
+    out = exact_quantiles(ds, (0.25, 0.5, 0.875), sample_target=2000).to_pydict()
+    sv = np.sort(vals)
+    for q, got in zip(out["q"], out["value"]):
+        assert got == sv[max(0, math.ceil(q * len(sv)) - 1)], q
+
+
+def test_exact_quantiles_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from groonga_ray.pipelines.quantiles import exact_quantiles
+
+    ds = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
+    assert exact_quantiles(ds).num_rows == 0

@@ -1034,6 +1034,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["value"])
         return exact_quantiles(ds, (0.25, 0.5, 0.75, 0.875))
 
+
+    def distinct_count_q(sf_dir):
+        from groonga_ray.pipelines.cardinality import distinct_count
+
+        ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["event_type", "user_id"])
+        return distinct_count(ds).map_batches(
+            lambda b: pa.table(
+                {"event_type": b.column("event_type").cast(pa.string()),
+                 "n_distinct": b.column("n_distinct")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    def hll_distinct_q(sf_dir):
+        from groonga_ray.pipelines.cardinality import hll_count
+
+        ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["event_type", "user_id"])
+        return hll_count(ds, b=12)
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1567,6 +1586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessionize_q,
         "grouped_topk": grouped_topk_q,
         "exact_quantiles": exact_quantiles_q,
+        "distinct_count": distinct_count_q,
+        "hll_distinct": hll_distinct_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -1980,6 +2001,10 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "distinct_count": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type
 """,
         "exact_quantiles": """
 SELECT 0.25::DOUBLE AS q, quantile_disc(value, 0.25)::DOUBLE AS value FROM events UNION ALL

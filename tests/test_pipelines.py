@@ -717,3 +717,21 @@ def test_exact_quantiles_empty(ray_session):
 
     ds = rd.from_arrow(pa.table({"value": pa.array([], pa.float64())}))
     assert exact_quantiles(ds).num_rows == 0
+
+
+def test_hll_accuracy_and_merge_invariance(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from groonga_ray.pipelines.cardinality import hll_count
+
+    n_true = 37_000
+    rows = pa.table({
+        "event_type": pa.array(["k"] * 100_000),
+        "user_id": pa.array(np.arange(100_000) % n_true),
+    })
+    e1 = hll_count(rd.from_arrow(rows).repartition(3), b=12).to_pydict()
+    e2 = hll_count(rd.from_arrow(rows).repartition(11), b=12).to_pydict()
+    assert e1 == e2  # register merge is partitioning-invariant
+    assert abs(e1["estimate"][0] - n_true) / n_true < 0.05

@@ -1053,6 +1053,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(_files(sf_dir, "events"), columns=["event_type", "user_id"])
         return hll_count(ds, b=12)
 
+
+    def broadcast_join_q(sf_dir):
+        from groonga_ray.pipelines.join import broadcast_join
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "lang"])
+        counts = (
+            ray.data.read_parquet(_files(sf_dir, "documents"), columns=["lang"])
+            .groupby("lang").count().take_all()
+        )
+        small = pa.table(
+            {"lang": pa.array([r["lang"] for r in counts]),
+             "lang_count": pa.array([r["count()"] for r in counts], pa.int64())}
+        )
+        return broadcast_join(ds, small, "lang").map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id").cast(pa.int64()),
+                 "lang": b.column("lang").cast(pa.string()),
+                 "lang_count": b.column("lang_count")}
+            ),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1588,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles": exact_quantiles_q,
         "distinct_count": distinct_count_q,
         "hll_distinct": hll_distinct_q,
+        "broadcast_join": broadcast_join_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -2001,6 +2024,11 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "broadcast_join": """
+SELECT d.doc_id, d.lang, c.lang_count
+FROM documents d
+JOIN (SELECT lang, count(*)::BIGINT AS lang_count FROM documents GROUP BY lang) c USING (lang)
 """,
         "distinct_count": """
 SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct

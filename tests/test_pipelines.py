@@ -735,3 +735,19 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
     e2 = hll_count(rd.from_arrow(rows).repartition(11), b=12).to_pydict()
     assert e1 == e2  # register merge is partitioning-invariant
     assert abs(e1["estimate"][0] - n_true) / n_true < 0.05
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from groonga_ray.pipelines.join import broadcast_join
+
+    ds = rd.from_items([{"doc_id": i, "lang": ["en", "de", "xx"][i % 3]} for i in range(30)])
+    small = pa.table({"lang": pa.array(["en", "de"]), "w": pa.array([2.0, 0.5])})
+    inner = broadcast_join(ds, small, "lang").take_all()
+    assert len(inner) == 20 and all(r["lang"] != "xx" for r in inner)
+    assert all(r["w"] == (2.0 if r["lang"] == "en" else 0.5) for r in inner)
+    left = broadcast_join(ds, small, "lang", how="left").take_all()
+    assert len(left) == 30
+    assert sum(1 for r in left if r["w"] is None) == 10

@@ -229,6 +229,27 @@ def run_bench() -> dict:
     queries["dedup_minhash_docs_per_sec"] = round(code_meta["n_docs"] / dt, 1)
     assert n_uniq > 0 and n_cand >= 0
 
+    # relational/sketch ops over the sf events table (event-time ops
+    # at the same scale the fulltext queries run at)
+    from groonga_ray.pipelines.cardinality import distinct_count
+    from groonga_ray.pipelines.quantiles import exact_quantiles
+    from groonga_ray.pipelines.windows import sessionize
+
+    ev_file = os.path.join(SF_DIR, "events.parquet")
+    ev = _ray.data.read_parquet(ev_file, columns=["event_id", "user_id", "ts"])
+    t0 = time.time()
+    n_sess = sessionize(ev, 3_600_000_000, num_partitions=16).count()
+    queries["sessionize_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    exact_quantiles(_ray.data.read_parquet(ev_file, columns=["value"]), (0.25, 0.5, 0.75))
+    queries["quantiles_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    distinct_count(
+        _ray.data.read_parquet(ev_file, columns=["event_type", "user_id"])
+    ).count()
+    queries["distinct_count_sec"] = round(time.time() - t0, 3)
+    assert n_sess > 0
+
     return {
         "metric": "bench_total",
         "value": total,

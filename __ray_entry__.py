@@ -1075,6 +1075,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def dedup_incremental_q(sf_dir):
+        import shutil
+        import tempfile
+
+        from groonga_ray.pipelines.dedup import exact_dedup_incremental
+
+        def prefix30(batch):
+            import pyarrow.compute as pc2
+
+            return pa.table(
+                {"doc_id": batch.column("doc_id").cast(pa.int64()),
+                 "text": pc2.utf8_slice_codeunits(
+                     batch.column("text").cast(pa.large_string()), 0, 30)}
+            )
+
+        ds = ray.data.read_parquet(
+            _files(sf_dir, "documents"), columns=["doc_id", "text"]
+        ).map_batches(prefix30, batch_format="pyarrow")
+        half1 = ds.filter(lambda r: r["doc_id"] < 250)
+        half2 = ds.filter(lambda r: r["doc_id"] >= 250)
+        store = tempfile.mkdtemp(prefix="incstore_")
+        try:
+            a1 = exact_dedup_incremental(store, half1, "i1", n_parts=4).take_all()
+            a2 = exact_dedup_incremental(store, half2, "i2", n_parts=4).take_all()
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+        ids = sorted(r["doc_id"] for r in a1) + sorted(r["doc_id"] for r in a2)
+        return pa.table({"doc_id": pa.array(sorted(ids), pa.int64())})
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1611,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": distinct_count_q,
         "hll_distinct": hll_distinct_q,
         "broadcast_join": broadcast_join_q,
+        "dedup_incremental": dedup_incremental_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -2024,6 +2055,11 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "dedup_incremental": """
+SELECT min(doc_id)::BIGINT AS doc_id
+FROM (SELECT doc_id, substr(text, 1, 30) AS pre FROM documents)
+GROUP BY pre
 """,
         "broadcast_join": """
 SELECT d.doc_id, d.lang, c.lang_count

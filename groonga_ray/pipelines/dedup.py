@@ -1102,3 +1102,118 @@ def paragraph_dedup(
         .groupby("p")
         .map_groups(reassemble, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------- incremental exact dedup
+
+def exact_dedup_incremental(
+    store_dir: str,
+    ds: "ray.data.Dataset",
+    ingest_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 16,
+) -> "ray.data.Dataset":
+    """Continuous-ingestion exact dedup: accept only documents whose
+    content was never seen in ANY previous ingest, recording accepted
+    fingerprints in a hash-partitioned parquet store.
+
+    The store is ``store_dir/part=NN/seg-<ingest_id>.parquet`` —
+    append-only segments, one partition per hash bucket. Each bucket
+    is processed by exactly ONE task per ingest (the groupby
+    guarantees exclusivity, so there are no concurrent writers), which
+    dedups the increment locally (keep min id), anti-joins against its
+    bucket's existing segments, and writes its new fingerprints as a
+    segment named by ``ingest_id`` — re-running the same ingest
+    overwrites the same segment (idempotent resume; same recovery
+    contract as the index build's manifests).
+
+    Returns the ACCEPTED rows (id_col, h_lo, h_hi). At 10^12 docs the
+    state is 16 bytes/unique-doc spread over n_parts buckets; size
+    n_parts so one bucket's segments fit a worker (the same knob as
+    the index's lexicon buckets).
+    """
+    import os
+
+    from ..utils import atomic_write_table
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).cast(pa.large_string())
+
+        def h(seed):
+            try:
+                import polars as pl
+
+                return pl.from_arrow(texts).hash(seed=seed).to_numpy()
+            except ImportError:
+                return fnv1a(texts, seed=seed)
+
+        lo = h(0).view(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "h_lo": pa.array(lo, pa.int64()),
+                "h_hi": pa.array(h(0x9E3779B9).view(np.int64), pa.int64()),
+                "p": pa.array(
+                    (lo.view(np.uint64) % np.uint64(n_parts)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def check_and_commit(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), ("h_lo", pa.int64()), ("h_hi", pa.int64())]
+            ).empty_table()
+        part = int(group.column("p")[0].as_py())
+        lo = group.column("h_lo").to_numpy(zero_copy_only=False)
+        hi = group.column("h_hi").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        # within-increment: keep min id per fingerprint
+        order = np.lexsort((ids, hi, lo))
+        lo, hi, ids = lo[order], hi[order], ids[order]
+        first = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+        lo, hi, ids = lo[first], hi[first], ids[first]
+        # anti-join against this bucket's prior segments
+        pdir = os.path.join(store_dir, f"part={part:02d}")
+        seen_lo, seen_hi = [], []
+        if os.path.isdir(pdir):
+            import pyarrow.parquet as pq
+
+            for seg in sorted(os.listdir(pdir)):
+                if not seg.endswith(".parquet") or seg == f"seg-{ingest_id}.parquet":
+                    continue  # skip own segment from a crashed retry
+                t = pq.read_table(os.path.join(pdir, seg), columns=["h_lo", "h_hi"])
+                seen_lo.append(t.column("h_lo").to_numpy(zero_copy_only=False))
+                seen_hi.append(t.column("h_hi").to_numpy(zero_copy_only=False))
+        if seen_lo:
+            pair_t = np.dtype([("a", "<i8"), ("b", "<i8")])
+            seen = np.empty(sum(map(len, seen_lo)), pair_t)
+            seen["a"] = np.concatenate(seen_lo)
+            seen["b"] = np.concatenate(seen_hi)
+            seen.sort()
+            q = np.empty(len(lo), pair_t)
+            q["a"], q["b"] = lo, hi
+            # vectorized 128-bit membership: structured searchsorted
+            pos = np.searchsorted(seen, q)
+            pos_c = np.minimum(pos, len(seen) - 1)
+            new = ~((seen[pos_c]["a"] == lo) & (seen[pos_c]["b"] == hi) & (pos < len(seen)))
+            lo, hi, ids = lo[new], hi[new], ids[new]
+        out = pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "h_lo": pa.array(lo, pa.int64()),
+                "h_hi": pa.array(hi, pa.int64()),
+            }
+        )
+        atomic_write_table(
+            out.select(["h_lo", "h_hi"]),
+            os.path.join(pdir, f"seg-{ingest_id}.parquet"),
+        )
+        return out
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("p")
+        .map_groups(check_and_commit, batch_format="pyarrow")
+    )

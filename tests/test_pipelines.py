@@ -751,3 +751,31 @@ def test_broadcast_join_inner_and_left(ray_session):
     left = broadcast_join(ds, small, "lang", how="left").take_all()
     assert len(left) == 30
     assert sum(1 for r in left if r["w"] is None) == 10
+
+
+def test_exact_dedup_incremental_store(ray_session, tmp_path):
+    """Cross-ingest dedup: second ingest rejects content seen in the
+    first; retrying an ingest is idempotent (same segment overwritten)."""
+    import ray.data as rd
+
+    from groonga_ray.pipelines.dedup import exact_dedup_incremental
+
+    store = str(tmp_path / "store")
+    r1 = [{"doc_id": i, "text": f"content {i % 5}"} for i in range(10)]
+    a1 = sorted(r["doc_id"] for r in
+                exact_dedup_incremental(store, rd.from_items(r1), "i1", n_parts=4).take_all())
+    assert a1 == [0, 1, 2, 3, 4]
+
+    r2 = [{"doc_id": 100 + i, "text": f"content {3 + i % 5}"} for i in range(10)]
+    a2 = sorted(r["doc_id"] for r in
+                exact_dedup_incremental(store, rd.from_items(r2), "i2", n_parts=4).take_all())
+    assert a2 == [102, 103, 104]  # c3/c4 rejected, c5..c7 accepted
+
+    # crashed-retry of ingest 2: identical acceptance
+    a2b = sorted(r["doc_id"] for r in
+                 exact_dedup_incremental(store, rd.from_items(r2), "i2", n_parts=4).take_all())
+    assert a2b == a2
+
+    # third ingest of everything: all rejected
+    a3 = exact_dedup_incremental(store, rd.from_items(r1 + r2), "i3", n_parts=4).take_all()
+    assert a3 == []

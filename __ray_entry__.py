@@ -1105,6 +1105,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ids = sorted(r["doc_id"] for r in a1) + sorted(r["doc_id"] for r in a2)
         return pa.table({"doc_id": pa.array(sorted(ids), pa.int64())})
 
+
+    def unigram_nll_q(sf_dir):
+        from groonga_ray.pipelines.lm import unigram_nll
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return unigram_nll(ds).map_batches(
+            lambda b: b.set_column(0, "doc_id", b.column("doc_id").cast(pa.int64())),
+            batch_format="pyarrow",
+        )
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1642,6 +1652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": hll_distinct_q,
         "broadcast_join": broadcast_join_q,
         "dedup_incremental": dedup_incremental_q,
+        "unigram_nll": unigram_nll_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -2055,6 +2066,21 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "unigram_nll": """
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+freq AS (SELECT term, count(*)::DOUBLE AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM freq),
+sc AS (SELECT t.doc_id, avg(-ln(f.c / tot.n)) AS nll
+       FROM toks t JOIN freq f USING (term) CROSS JOIN tot GROUP BY t.doc_id)
+SELECT d.doc_id, round(coalesce(sc.nll, 0), 6) AS nll
+FROM documents d LEFT JOIN sc USING (doc_id)
 """,
         "dedup_incremental": """
 SELECT min(doc_id)::BIGINT AS doc_id

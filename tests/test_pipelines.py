@@ -779,3 +779,23 @@ def test_exact_dedup_incremental_store(ray_session, tmp_path):
     # third ingest of everything: all rejected
     a3 = exact_dedup_incremental(store, rd.from_items(r1 + r2), "i3", n_parts=4).take_all()
     assert a3 == []
+
+
+def test_unigram_nll_orders_quality(ray_session):
+    """Rare-token soup must score higher (worse) than common text, and
+    the capped-vocab path must stay close to exact."""
+    import ray.data as rd
+
+    from groonga_ray.pipelines.lm import unigram_nll
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [{"doc_id": i, "text": common} for i in range(20)]
+    rows.append({"doc_id": 100, "text": "zxqv jkwpt mmbrg aawxz qqoplk"})  # rare soup
+    rows.append({"doc_id": 101, "text": ""})
+    out = {r["doc_id"]: r["nll"] for r in unigram_nll(rd.from_items(rows)).take_all()}
+    assert out[100] > out[0] > 0
+    assert out[101] == 0.0
+    capped = {r["doc_id"]: r["nll"]
+              for r in unigram_nll(rd.from_items(rows), vocab_topk=8).take_all()}
+    assert capped[0] == out[0]          # common tokens all in top-8 vocab
+    assert capped[100] >= out[100]      # OOV floor only penalizes more

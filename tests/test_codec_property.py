@@ -114,3 +114,34 @@ def test_word_tokenizer_matches_regex_reference(texts):
         got[r].append(t)
     want = [[t for t in _REF.split(s.lower()) if t] for s in texts]
     assert got == want
+
+
+@st.composite
+def posting_lists_with_positions(draw):
+    df = draw(st.integers(min_value=1, max_value=60))
+    gaps = draw(st.lists(st.integers(1, 1 << 20), min_size=df, max_size=df))
+    docids = np.cumsum(np.array(gaps, np.uint64), dtype=np.uint64)
+    tfs = np.array(draw(st.lists(st.integers(1, 12), min_size=df, max_size=df)), np.uint64)
+    pos_offsets = np.zeros(df + 1, np.int64)
+    np.cumsum(tfs, out=pos_offsets[1:].view(np.int64))
+    rng_seed = draw(st.integers(0, 2**31 - 1))
+    r = np.random.default_rng(rng_seed)
+    pos = np.concatenate(
+        [np.sort(r.choice(1 << 16, size=int(t), replace=False)).astype(np.uint64) for t in tfs]
+    )
+    return docids, tfs, pos_offsets, pos
+
+
+@given(posting_lists_with_positions(), st.sampled_from([5, 4096]))
+@settings(max_examples=40, deadline=None)
+def test_roundtrip_with_positions(pl, chunk):
+    docids, tfs, poff, pos = pl
+    terms = pa.array(["t"], pa.large_string())
+    toff = np.array([0, len(docids)], np.int64)
+    table = codec.encode_posting_table(terms, toff, docids, tfs, poff, pos,
+                                       chunk_postings=chunk)
+    row = {c: table.column(c)[0].as_py() for c in table.column_names}
+    out = codec.decode_postings(row, with_positions=True)
+    assert out.docids.tolist() == docids.tolist()
+    assert out.tfs.tolist() == tfs.tolist()
+    assert out.positions.tolist() == pos.tolist()

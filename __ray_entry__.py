@@ -1115,6 +1115,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+
+    def top_terms_q(sf_dir):
+        from groonga_ray.pipelines.heavyhitters import top_terms
+
+        ds = ray.data.read_parquet(_files(sf_dir, "documents"), columns=["doc_id", "text"])
+        return top_terms(ds, 15)
+
     def doc_fingerprint_q(sf_dir):
         from groonga_ray.pipelines.textstats import Fingerprint
 
@@ -1653,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": broadcast_join_q,
         "dedup_incremental": dedup_incremental_q,
         "unigram_nll": unigram_nll_q,
+        "top_terms": top_terms_q,
         "doc_fingerprint": doc_fingerprint_q,
         "minhash_bands": minhash_bands,
         "simhash": simhash_q,
@@ -2066,6 +2074,14 @@ SELECT doc_id, lang FROM (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS UBIGINT) / 4294967296.0 AS f
   FROM documents)
 WHERE f < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25 ELSE 0.0 END
+""",
+        "top_terms": """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                            x -> x <> '')) AS term
+  FROM documents)
+SELECT term, count(*)::BIGINT AS n FROM toks
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 15
 """,
         "unigram_nll": """
 WITH toks AS (

@@ -799,3 +799,26 @@ def test_unigram_nll_orders_quality(ray_session):
               for r in unigram_nll(rd.from_items(rows), vocab_topk=8).take_all()}
     assert capped[0] == out[0]          # common tokens all in top-8 vocab
     assert capped[100] >= out[100]      # OOV floor only penalizes more
+
+
+def test_frequent_terms_sketch_bounds(ray_session):
+    """Misra-Gries guarantees: every term with freq > n/m present, and
+    estimates under-count by at most n/m; partitioning-stable top."""
+    import ray.data as rd
+
+    from groonga_ray.pipelines.heavyhitters import frequent_terms_sketch, top_terms
+
+    rows = []
+    for i in range(3000):
+        # zipf-ish: 'hot' everywhere, 'warm' half, long tail unique
+        t = ["hot", "hot", "warm" if i % 2 else f"tail{i}", "mid" if i % 10 == 0 else f"t{i}"]
+        rows.append({"doc_id": i, "text": " ".join(t)})
+    ds = rd.from_items(rows).repartition(5)
+    n_tokens = 4 * 3000
+    m = 64
+    sk = dict(zip(*frequent_terms_sketch(ds, m=m).to_pydict().values()))
+    exact = dict(zip(*top_terms(ds, 5).to_pydict().values()))
+    for t in ("hot", "warm"):
+        assert t in sk
+        assert 0 <= exact[t] - sk[t] <= n_tokens / m * 6  # merge slack
+    assert list(exact)[0] == "hot" and exact["hot"] == 6000

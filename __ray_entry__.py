@@ -1604,20 +1604,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sortby="-_score,_key",
         )
 
+    # Ordering contract: the driver's correctness harness checks the
+    # FIRST 50 entries of this dict. Rounds 1-3 pinned the same leading
+    # 50, so 39 gates never received a driver CORRECTNESS row (they are
+    # covered by tests/test_driver_gate.py's identical DuckDB replica).
+    # Round 4 rotates: a 5-gate always-on core, then the 26 gates never
+    # driver-checked, then the 13 last checked in r1/r2, then 6 refresh
+    # slots from the r3-green set = 50; the remaining r3-green gates
+    # follow after the window.
     return {
-        "ft_tokens": ft_tokens,
-        "ft_term_tf": ft_term_tf,
+        # -- always-on core (green r1+r2+r3)
         "ft_topk_bm25": ft_topk_bm25,
+        "ft_phrase": ft_phrase,
+        "ft_tokens": ft_tokens,
+        "content_sha": content_sha,
+        "curation": curation_q,
+        # -- never driver-checked before round 4 (26)
+        "distinct_count": distinct_count_q,
+        "hll_distinct": hll_distinct_q,
+        "broadcast_join": broadcast_join_q,
+        "dedup_incremental": dedup_incremental_q,
+        "unigram_nll": unigram_nll_q,
+        "top_terms": top_terms_q,
+        "doc_fingerprint": doc_fingerprint_q,
+        "decontaminate": decontaminate_q,
+        "semantic_dedup": semantic_dedup_q,
+        "ann_ivfpq": ann_ivfpq,
+        "ann_ivfpq_probe": ann_ivfpq_probe,
+        "ft_compact": ft_compact,
+        "ft_sub_filter": ft_sub_filter,
+        "ft_nested_ref": ft_nested_ref,
+        "ft_uvector": ft_uvector,
+        "embed_dup_pairs": embed_dup_pairs,
+        "embed_dedup_lsh": embed_dedup_lsh,
+        "geo_dist": geo_dist,
+        "geo_circle": geo_circle,
+        "geo_box": geo_box,
+        "media_decode_wav": media_decode_wav,
+        "suggest_items": suggest_items,
+        "suggest_pairs": suggest_pairs,
+        "suggest_complete": suggest_complete,
+        "suggest_suggest": suggest_suggest,
+        "suggest_correct": suggest_correct,
+        # -- last driver-checked in r1/r2 (13)
+        "minhash_bands": minhash_bands,
+        "simhash": simhash_q,
+        "text_stats": text_stats_q,
+        "quality": quality_q,
+        "langid": langid_q,
+        "ann_brute": ann_brute,
+        "ann_lsh": ann_lsh,
+        "ann_ivf": ann_ivf,
+        "ann_ivf_probe": ann_ivf_probe,
+        "ft_col_eq": ft_col_eq,
+        "ft_delta": ft_delta,
+        "ft_delete": ft_delete,
+        "media_decode": media_decode,
+        # -- refresh slots from the r3-green set (6) -> window = 50
+        "dedup_clusters": dedup_clusters_q,
+        "paragraph_dedup": paragraph_dedup_q,
+        "exact_quantiles": exact_quantiles_q,
+        "events_sliding": events_sliding,
+        "ft_near": ft_near,
+        "drill_calc": drill_calc,
+        # ---------------- beyond the driver's 50-entry window ----------
+        # (all green in CORRECTNESS_r03.json; still exercised every run
+        # by tests/test_driver_gate.py)
+        "ft_term_tf": ft_term_tf,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_and": ft_and,
         "ft_not": ft_not,
-        "ft_phrase": ft_phrase,
         "ft_prefix": ft_prefix,
         "ft_count": ft_count,
-        "ft_near": ft_near,
         "ft_scorer_expr": ft_scorer_expr,
         "ft_adjuster": ft_adjuster,
-        "drill_calc": drill_calc,
         "drill_multi": drill_multi,
         "drill_labeled": drill_labeled,
         "sort_mixed": sort_mixed,
@@ -1632,68 +1692,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_dist": edit_dist,
         "ft_doclen": ft_doclen,
         "ft_sections_weighted": ft_sections_weighted,
-        "content_sha": content_sha,
         "drill_lang": drill_lang,
         "sort_limit": sort_limit,
         "agg_lineitem": agg_lineitem,
         "filter_between_in": filter_between_in,
         "events_agg": events_agg,
         "events_window": events_window,
-        "events_sliding": events_sliding,
         "dedup_exact": dedup_exact_q,
         "dedup_exact_fast": dedup_exact_fast_q,
         "dedup_ngram_key": dedup_ngram_key_q,
         "dedup_jaccard": dedup_jaccard_q,
-        "dedup_clusters": dedup_clusters_q,
         "repetition_stats": repetition_stats_q,
         "stratified_sample": stratified_sample_q,
         "train_eval_split": train_eval_split_q,
         "bpe_token_count": bpe_token_count_q,
-        "curation": curation_q,
         "pii_redact": pii_redact_q,
-        "paragraph_dedup": paragraph_dedup_q,
         "sessionize": sessionize_q,
         "grouped_topk": grouped_topk_q,
-        "exact_quantiles": exact_quantiles_q,
-        "distinct_count": distinct_count_q,
-        "hll_distinct": hll_distinct_q,
-        "broadcast_join": broadcast_join_q,
-        "dedup_incremental": dedup_incremental_q,
-        "unigram_nll": unigram_nll_q,
-        "top_terms": top_terms_q,
-        "doc_fingerprint": doc_fingerprint_q,
-        "minhash_bands": minhash_bands,
-        "simhash": simhash_q,
-        "text_stats": text_stats_q,
-        "quality": quality_q,
-        "langid": langid_q,
-        "decontaminate": decontaminate_q,
-        "semantic_dedup": semantic_dedup_q,
-        "ann_brute": ann_brute,
-        "ann_lsh": ann_lsh,
-        "ann_ivf": ann_ivf,
-        "ann_ivfpq": ann_ivfpq,
-        "ann_ivfpq_probe": ann_ivfpq_probe,
-        "ann_ivf_probe": ann_ivf_probe,
-        "ft_col_eq": ft_col_eq,
-        "ft_delta": ft_delta,
-        "ft_delete": ft_delete,
-        "ft_compact": ft_compact,
-        "ft_sub_filter": ft_sub_filter,
-        "ft_nested_ref": ft_nested_ref,
-        "ft_uvector": ft_uvector,
-        "embed_dup_pairs": embed_dup_pairs,
-        "embed_dedup_lsh": embed_dedup_lsh,
-        "geo_dist": geo_dist,
-        "geo_circle": geo_circle,
-        "geo_box": geo_box,
-        "media_decode": media_decode,
-        "media_decode_wav": media_decode_wav,
-        "suggest_items": suggest_items,
-        "suggest_pairs": suggest_pairs,
-        "suggest_complete": suggest_complete,
-        "suggest_suggest": suggest_suggest,
-        "suggest_correct": suggest_correct,
     }
 
 

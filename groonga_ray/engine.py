@@ -1720,11 +1720,32 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
         )
         total = np.zeros(len(acc.docids), np.float64)
         for tgt, smap in subf_scores:
-            for i, v in enumerate(fetched.column(tgt).to_pylist()):
-                if isinstance(v, list):
-                    total[i] += sum(smap.get(e, 0.0) for e in v)
-                else:
-                    total[i] += smap.get(v, 0.0)
+            # vectorized map-and-sum: index_in against the score keys,
+            # list columns flatten once with parent rows from offsets
+            vals = np.fromiter(smap.values(), np.float64, len(smap))
+            col = fetched.column(tgt)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            is_list = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            keys = pa.array(list(smap.keys())).cast(
+                col.type.value_type if is_list else col.type
+            )
+            if is_list:
+                parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+                flat = col.flatten()
+                idx = pc.index_in(flat, value_set=keys)
+                iv = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+                known = ~np.isnan(iv)
+                contrib = np.zeros(len(iv), np.float64)
+                contrib[known] = vals[iv[known].astype(np.int64)]
+                np.add.at(total, parent, contrib)
+            else:
+                idx = pc.index_in(col, value_set=keys)
+                iv = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+                known = ~np.isnan(iv)
+                contrib = np.zeros(len(iv), np.float64)
+                contrib[known] = vals[iv[known].astype(np.int64)]
+                total += contrib
         acc = MatchResult(acc.docids, total)
     return acc if acc is not None else MatchResult.empty()
 
@@ -2245,15 +2266,16 @@ def _ref_column_lookup(
 ) -> pa.Array | None:
     """Map group keys (values of a reference column) to ``name`` in the
     referenced table via its key column — the drilldown accessor walk
-    through a reference type (lib/proc.c:747)."""
-    import pyarrow.parquet as pq
+    through a reference type (lib/proc.c:747). The read goes through
+    the capped command-surface helper: referenced tables are DDL'd
+    lookup tables, never corpus-scale."""
+    from .server import read_command_table
 
     files, key_col, _ref_t = table.refs[ref_col]
     try:
-        ref_tbl = pa.concat_tables(
-            [pq.read_table(f, columns=[key_col, name]) for f in files],
-            promote_options="default",
-        )
+        # the cap's ValueError propagates: a corpus-scale read here is
+        # a bug to surface, not a lookup miss
+        ref_tbl = read_command_table(files, columns=[key_col, name])
     except (pa.ArrowInvalid, KeyError, OSError):
         return None
     mapping = dict(
@@ -2346,6 +2368,8 @@ def run_query_batch(table: IndexedTable, queries, concurrency: int = 2, batch_si
         # per-task dispatch costs ~tens of ms, so fewer, fatter tasks
         # beat fine-grained balancing for sub-ms queries
         n = queries.num_rows
+        if n == 0:
+            return ray.data.from_arrow(queries)
         n_blocks = max(1, min(concurrency * 2, -(-n // max(1, batch_size))))
         step = -(-n // n_blocks)
         ds = ray.data.from_arrow(

@@ -172,6 +172,16 @@ class _MinHasher:
         # batched in chunks of 8 to bound the (chunk x n_tokens) matrix.
         if len(row) == 0:
             return ids, sigs
+        # dedup shingles per row first: min over a multiset equals min
+        # over its support, and real corpora repeat shingles heavily
+        # (boilerplate, code idioms) — one lexsort here shrinks the
+        # perm x shingle matrix for every one of the n_perm/8 chunks
+        order = np.lexsort((h, row))
+        row_s, h_s = row[order], h[order]
+        keep = np.concatenate(
+            [[True], (row_s[1:] != row_s[:-1]) | (h_s[1:] != h_s[:-1])]
+        )
+        row, h = row_s[keep], h_s[keep]
         first = np.concatenate([[True], row[1:] != row[:-1]])
         starts = np.flatnonzero(first)
         seg_rows = row[starts]
@@ -555,6 +565,14 @@ def ngram_jaccard_pairs(
     def extract(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 32):
+            # the pair key packs (a, b) as (a<<32)|b — out-of-range ids
+            # would silently corrupt pair identity (same contract as
+            # paragraph_dedup's 43-bit doc-id guard)
+            raise ValueError(
+                "ngram_jaccard_pairs requires doc ids in [0, 2^32); "
+                "remap ids (e.g. assign_doc_ids) before pairing"
+            )
         row_idx, sh = _char_shingles_u64(texts, k)
         n_sh = np.bincount(row_idx, minlength=batch.num_rows)
         return pa.table(
@@ -1132,6 +1150,14 @@ def exact_dedup_incremental(
     state is 16 bytes/unique-doc spread over n_parts buckets; size
     n_parts so one bucket's segments fit a worker (the same knob as
     the index's lexicon buckets).
+
+    The result is ``materialize()``d before returning: segment writes
+    are a side effect of each bucket's task, so every bucket must
+    execute even when the caller consumes only part of the output
+    (``limit``/``take``) — otherwise the store would be silently
+    missing fingerprints for unconsumed buckets. The materialized set
+    is the accepted increment (bounded by the ingest size, not the
+    store size).
     """
     import os
 
@@ -1216,4 +1242,5 @@ def exact_dedup_incremental(
         ds.map_batches(add_hash, batch_format="pyarrow")
         .groupby("p")
         .map_groups(check_and_commit, batch_format="pyarrow")
+        .materialize()
     )

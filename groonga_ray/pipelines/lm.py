@@ -69,9 +69,18 @@ def unigram_nll(
     id_col: str = "doc_id",
     vocab_topk: int | None = None,
     oov_logp: float | None = None,
+    max_exact_vocab: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """(id, nll) — per-document mean unigram negative log-likelihood
-    under the corpus's own unigram distribution (0.0 for empty docs)."""
+    under the corpus's own unigram distribution (0.0 for empty docs).
+
+    Exact mode (``vocab_topk=None``) broadcasts the FULL corpus
+    vocabulary; ``max_exact_vocab`` guards it — above the cap this
+    raises with a pointer to ``vocab_topk=`` (the capped web-scale
+    path), the same fail-loud contract as
+    :func:`groonga_ray.docids.compute_rank_mapping`. The vocabulary is
+    counted against the cap from the materialized aggregate (object
+    store, spillable) BEFORE anything is pulled to the driver."""
     from ray.data.aggregate import Sum
 
     wt = WordTokenizer()
@@ -88,23 +97,40 @@ def unigram_nll(
             {"term": enc.dictionary, "c": pa.array(counts.astype(np.int64), pa.int64())}
         )
 
-    freq = (
+    freq_ds = (
         ds.map_batches(local_counts, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("c", alias_name="c"))
-        .take_all()
+        .materialize()
     )
-    terms = sorted(r["term"] for r in freq)
-    cmap = {r["term"]: r["c"] for r in freq}
-    counts = np.array([cmap[t] for t in terms], np.float64)
-    total = float(counts.sum())
-    if vocab_topk is not None and len(terms) > vocab_topk:
-        order = np.argsort(-counts)[:vocab_topk]
-        keep = np.sort(order)
-        terms = [terms[i] for i in keep]
-        counts = counts[keep]
-        if oov_logp is None:
+    if vocab_topk is None:
+        n_vocab = freq_ds.count()
+        if n_vocab > max_exact_vocab:
+            raise ValueError(
+                f"exact unigram vocabulary has {n_vocab} terms "
+                f"(max_exact_vocab={max_exact_vocab}); pass vocab_topk= "
+                "(+ oov_logp) for the capped web-scale path"
+            )
+    if vocab_topk is not None:
+        # capped path: total + top-k both computed in the cluster; the
+        # driver only ever holds vocab_topk rows
+        total = float(freq_ds.sum("c") or 0.0)
+        freq = (
+            freq_ds.sort(["c", "term"], descending=[True, False])
+            .limit(vocab_topk)
+            .take_all()
+        )
+        if oov_logp is None and total > 0:
             oov_logp = float(np.log(1.0 / total))  # floor for the tail
+        terms = sorted(r["term"] for r in freq)
+        cmap = {r["term"]: r["c"] for r in freq}
+        counts = np.array([cmap[t] for t in terms], np.float64)
+    else:
+        freq = freq_ds.take_all()
+        terms = sorted(r["term"] for r in freq)
+        cmap = {r["term"]: r["c"] for r in freq}
+        counts = np.array([cmap[t] for t in terms], np.float64)
+        total = float(counts.sum())  # floor for the tail
     ref = ray.put((pa.array(terms, pa.large_string()), counts))
     conc = max(2, min(8, int(ray.cluster_resources().get("CPU", 4)) - 1))
     return ds.map_batches(

@@ -39,15 +39,22 @@ def exact_quantiles(
     val_col: str = "value",
     sample_target: int = 20_000,
     collect_cap: int = 2_000_000,
-    max_attempts: int = 4,
+    max_attempts: int = 6,
 ) -> pa.Table:
     """Returns a small Arrow table (q, value) — exact order statistics."""
 
-    # ---- pass 1: count + deterministic bit-pattern hash sample
+    # ---- pass 1: count + deterministic hash sample. The hash mixes a
+    # per-row component (block-local index) with the value bits: keying
+    # on the value alone would sample every duplicate of a value
+    # together, shrinking the effective sample on heavy-tie
+    # distributions until the 6-sigma bracket misses.
     def stats(batch: pa.Table) -> pa.Table:
         v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[~np.isnan(v)]
-        h = _splitmix(v.view(np.uint64))
+        rowmix = _splitmix(
+            np.arange(len(v), dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        h = _splitmix(v.view(np.uint64) ^ rowmix)
         # rate applied on the driver: emit hash + value for a fixed
         # top slice of hash space (oversample; trimmed below)
         samp = v[h < np.uint64(int(0.05 * (1 << 64)))]
@@ -70,7 +77,11 @@ def exact_quantiles(
 
     targets = {q: max(0, math.ceil(q * n) - 1) for q in qs}
 
-    margin_mult = 1.0
+    # margin_mult search is a monotone bisection: `narrow` is the
+    # largest multiplier that missed a rank, `wide` the smallest that
+    # overflowed collect_cap — the next probe is their geometric mean,
+    # so the widen/tighten ladder cannot oscillate.
+    margin_mult, narrow, wide = 1.0, None, None
     for _ in range(max_attempts):
         # bracket each rank via sample order statistics; margin from
         # the binomial deviation of sample ranks (generous 6 sigma)
@@ -107,7 +118,10 @@ def exact_quantiles(
             np.concatenate([np.asarray(p["inr"], np.float64) for p in parts2])
         )
         if len(inrange) > collect_cap:
-            margin_mult *= 0.5   # bracket too wide — tighten
+            wide = margin_mult   # bracket too wide — tighten
+            margin_mult = (
+                math.sqrt(narrow * wide) if narrow is not None else margin_mult * 0.5
+            )
             continue
         ranks = list(targets.values())
         if all(n_below <= r < n_below + len(inrange) for r in ranks):
@@ -118,5 +132,8 @@ def exact_quantiles(
             return pa.table(
                 {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
             )
-        margin_mult *= 4.0       # bracket missed a rank — widen
+        narrow = margin_mult     # bracket missed a rank — widen
+        margin_mult = (
+            math.sqrt(narrow * wide) if wide is not None else margin_mult * 4.0
+        )
     raise RuntimeError("exact_quantiles failed to bracket the target ranks")

@@ -192,6 +192,94 @@ def _table_envelope(tbl, score_int32=True) -> list:
     return [[tbl.num_rows], cols, *rows]
 
 
+class _TSVWriter:
+    """Replica of the reference's TSV content serializer — the same
+    open/close/scalar event machine that drives the JSON writer, with
+    the TSV delimiter rules (lib/output.c:35-62 put_delimiter,
+    :71-134 array open/close, :136-201 map open/close, scalar cases).
+    State: a stack of per-depth element counters (LEVELS); containers
+    push a counter (arrays 0, maps 1), every element/close adds 2 to
+    its parent's counter."""
+
+    def __init__(self):
+        self.buf: list[str] = []
+        self.levels: list[int] = []
+
+    # -- machine primitives
+    def _delim(self) -> None:
+        level = self.levels[-1] if self.levels else 0
+        if level < 2:
+            return
+        if len(self.levels) <= 2:
+            self.buf.append("\t" if (level & 3) == 3 else "\n")
+        else:
+            self.buf.append("\t")
+
+    def _incr(self) -> None:
+        if self.levels:
+            self.levels[-1] += 2
+
+    def _open(self, mark: str, init: int) -> None:
+        self._delim()
+        if len(self.levels) > 2:
+            self.buf.append(mark + "\t")
+        self.levels.append(init)
+
+    def _close(self, mark: str) -> None:
+        if len(self.levels) > 3:
+            if self.levels[-1] >= 2:
+                self.buf.append("\t")
+            self.buf.append(mark)
+        self.levels.pop()
+        self._incr()
+
+    def _scalar(self, v) -> None:
+        self._delim()
+        if v is None:
+            pass  # TSV null is empty (lib/output.c:408-410)
+        elif isinstance(v, bool):
+            self.buf.append("true" if v else "false")
+        elif isinstance(v, (int, float)):
+            self.buf.append(json.dumps(v))
+        else:
+            # grn_text_esc: JSON-style quoted escape (lib/output.c:337)
+            self.buf.append(json.dumps(str(v), ensure_ascii=False))
+        self._incr()
+
+    # -- generic walk (the grn_output_obj event stream)
+    def emit(self, obj) -> None:
+        if isinstance(obj, (list, tuple)):
+            self._open("[", 0)
+            for el in obj:
+                self.emit(el)
+            self._close("]")
+        elif isinstance(obj, dict):
+            self._open("{", 1)
+            for k, v in obj.items():
+                self._scalar(k)
+                self.emit(v)
+            self._close("}")
+        else:
+            self._scalar(obj)
+
+    def result(self) -> str:
+        return "".join(self.buf)
+
+
+def tsv_envelope(rc, started, elapsed, body, err=None) -> str:
+    """The TSV envelope (lib/output.c:1878-1893): tab-joined header
+    line, the body event stream, then the END footer."""
+    head = f"{rc}\t{started}\t{elapsed}"
+    if err is not None:
+        head += "\t" + json.dumps(str(err), ensure_ascii=False)
+    out = head + "\n"
+    if err is None and body is not None:
+        w = _TSVWriter()
+        w.emit(body)
+        out += w.result()
+    return out + "\nEND"
+
+
 @dataclass
 class TableDef:
     """A created-but-not-yet-loaded table (proc_table_create /
@@ -354,7 +442,10 @@ class CommandServer:
         params = {k: v for k, v in parse_qsl(parts.query, keep_blank_values=True)}
         if body_values is not None:
             params["values"] = body_values
-        params.pop("output_type", None)  # json only
+        # output_type: json (default) or tsv, from the query arg or the
+        # /d/<command>.<type> path suffix (grn_ctx_qe_exec,
+        # lib/ctx.c:1240-1256); xml/msgpack stay out of scope
+        output_type = params.pop("output_type", "json")
         params.pop("command_version", None)  # v1 only
         status = 200
         rc = SUCCESS
@@ -365,22 +456,31 @@ class CommandServer:
             status, rc, err = 404, GRN_INVALID_ARGUMENT, f"not found: {path}"
         else:
             name = path[3:]
-            if name.endswith(".json"):
-                name = name[: -len(".json")]
+            for suffix in (".json", ".tsv"):
+                if name.endswith(suffix):
+                    name = name[: -len(suffix)]
+                    output_type = suffix[1:]
             rc, body, err, shutdown = self.dispatch(name, params)
             if rc != SUCCESS:
                 status = 400 if rc == GRN_INVALID_ARGUMENT else 500
         elapsed = time.time() - started
-        head = [rc, round(started, 6), round(elapsed, 6)]
-        if err is not None:
-            head.append(err)
-            env = [head]
+        if output_type == "tsv":
+            payload = tsv_envelope(
+                rc, round(started, 6), round(elapsed, 6), body, err
+            ).encode("utf-8")
+            mime = "text/tab-separated-values"
         else:
-            env = [head, body] if body is not None else [head]
-        payload = json.dumps(env, ensure_ascii=False).encode("utf-8")
+            head = [rc, round(started, 6), round(elapsed, 6)]
+            if err is not None:
+                head.append(err)
+                env = [head]
+            else:
+                env = [head, body] if body is not None else [head]
+            payload = json.dumps(env, ensure_ascii=False).encode("utf-8")
+            mime = "application/json"
         try:
             req.send_response(status)
-            req.send_header("Content-Type", "application/json")
+            req.send_header("Content-Type", mime)
             req.send_header("Content-Length", str(len(payload)))
             req.end_headers()
             req.wfile.write(payload)

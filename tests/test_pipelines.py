@@ -719,6 +719,63 @@ def test_exact_quantiles_empty(ray_session):
     assert exact_quantiles(ds).num_rows == 0
 
 
+def test_exact_quantiles_heavy_ties(ray_session):
+    """A distribution dominated by one repeated value: the sample hash
+    mixes a per-row component, so duplicates are not sampled as a unit
+    and the bracket still lands (the value-keyed hash collapsed all
+    duplicates into one sample decision and could miss)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from groonga_ray.pipelines.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([np.zeros(90_000), rng.normal(size=10_000)])
+    rng.shuffle(vals)
+    ds = rd.from_arrow(pa.table({"value": pa.array(vals)})).repartition(5)
+    out = exact_quantiles(ds, (0.25, 0.5, 0.875), sample_target=2000).to_pydict()
+    sv = np.sort(vals)
+    for q, got in zip(out["q"], out["value"]):
+        assert got == sv[max(0, math.ceil(q * len(sv)) - 1)], q
+
+
+def test_unigram_nll_exact_vocab_guard(ray_session):
+    """Exact mode must refuse to broadcast a vocabulary above the cap
+    and point at the capped path."""
+    import pytest
+    import ray.data as rd
+
+    from groonga_ray.pipelines.lm import unigram_nll
+
+    rows = [{"doc_id": i, "text": f"tok{i} tok{i + 1} tok{i + 2}"} for i in range(40)]
+    with pytest.raises(ValueError, match="vocab_topk"):
+        unigram_nll(rd.from_items(rows), max_exact_vocab=10).take_all()
+    # the capped path stays available under the same cap
+    out = unigram_nll(
+        rd.from_items(rows), vocab_topk=10, max_exact_vocab=10
+    ).take_all()
+    assert len(out) == 40 and all(r["nll"] > 0 for r in out)
+
+
+def test_ngram_jaccard_id_range_guard(ray_session):
+    """doc ids outside [0, 2^32) would corrupt the packed pair key —
+    the op must fail loudly instead."""
+    import pytest
+    import ray.data as rd
+
+    from groonga_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    rows = [
+        {"doc_id": 1 << 40, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon"},
+    ]
+    with pytest.raises((ValueError, Exception), match="2\\^32"):
+        ngram_jaccard_pairs(rd.from_items(rows)).take_all()
+
+
 def test_hll_accuracy_and_merge_invariance(ray_session):
     import numpy as np
     import pyarrow as pa

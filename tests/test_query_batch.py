@@ -38,6 +38,19 @@ def test_run_query_batch_matches_select(doc_table):
         assert sub["score"].tolist() == pytest.approx(res["rows"].column("_score").to_pylist())
 
 
+def test_run_query_batch_empty_table(doc_table):
+    """An empty query table must return an empty dataset, not crash
+    on the zero-step block pre-slicing."""
+    queries = pa.table(
+        {
+            "qid": pa.array([], pa.int64()),
+            "query": pa.array([], pa.string()),
+            "match_columns": pa.array([], pa.string()),
+        }
+    )
+    assert run_query_batch(doc_table, queries).count() == 0
+
+
 def test_select_v1_envelope(doc_table):
     env = select_v1(doc_table, query="spark", match_columns="text", limit=3,
                     output_columns=("_id", "_score", "lang"))

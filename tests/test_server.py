@@ -117,6 +117,40 @@ def test_labeled_drilldowns_over_http(srv):
     assert len(labeled["by_lang"]) - 2 <= 2
 
 
+def test_output_type_tsv_select_and_status(srv):
+    """TSV envelope + content serializer parity: the delimiter machine
+    of lib/output.c (head line, '\\n' between depth-2 rows, '[\\t'/']'
+    marks below, END footer) applied to the same v1 body the JSON
+    path serializes."""
+    table, base = srv
+    with urllib.request.urlopen(
+        base + "/d/select?table=documents&query=query&output_columns=_id,_score"
+        "&limit=2&output_type=tsv",
+        timeout=10,
+    ) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/tab-separated-values")
+        text = r.read().decode("utf-8")
+    assert text.endswith("\nEND")
+    lines = text.split("\n")
+    head = lines[0].split("\t")
+    assert head[0] == "0" and float(head[2]) >= 0
+    direct = select_v1(
+        table, query="query", output_columns=("_id", "_score"), limit=2,
+        sort_tie="desc",
+    )
+    nhits = direct[0][0]
+    assert lines[1] == str(nhits)
+    assert lines[2] == '[\t"_id"\t"UInt32"\t]\t[\t"_score"\t"Int32"\t]'
+    for lineno, row in enumerate(direct[2:], start=3):
+        assert lines[lineno] == "\t".join(str(v) for v in row)
+
+    # .tsv path suffix on a map-shaped body (status)
+    with urllib.request.urlopen(base + "/d/status.tsv", timeout=10) as r:
+        st = r.read().decode("utf-8")
+    assert st.endswith("\nEND") and "\t" in st.split("\n")[1]
+
+
 def test_post_body_is_query_string(srv):
     table, base = srv
     req = urllib.request.Request(

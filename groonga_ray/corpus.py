@@ -48,13 +48,18 @@ def generate_code_corpus(
     min_tokens: int = 50,
     max_tokens: int = 2000,
     seed: int = SEED,
+    row_offset: int = 0,
+    file_prefix: str = "corpus",
 ) -> list[str]:
     """Write the corpus as ``n_files`` Parquet files sorted by (repo, path).
 
-    Deterministic in (n_rows, n_files, seed). Returns the file paths.
+    Deterministic in (n_rows, n_files, seed, row_offset). ``row_offset``
+    shifts the global row ids that repo/path/unique-identifier naming
+    derive from, so multi-chunk corpora (:func:`large_corpus_cache_dir`)
+    get globally unique keys. Returns the file paths.
     """
     rng = np.random.default_rng(seed)
-    i = np.arange(n_rows)
+    i = np.arange(row_offset, row_offset + n_rows)
     repo = np.array([f"org{a % 7}/proj{a % 23}" for a in i])
     path = np.array(
         [
@@ -76,14 +81,17 @@ def generate_code_corpus(
     offsets = np.zeros(n_rows + 1, np.int64)
     np.cumsum(lens, out=offsets[1:])
     rows = np.arange(n_rows)
-    # unique tail identifier once per row (df=1 terms)
+    # unique tail identifier once per row (df=1 terms; named by the
+    # GLOBAL row id so multi-chunk corpora never repeat one)
     tokens[offsets[:-1] + lens // 2] = np.array(
-        [f"uniq_{r:08d}_{seed}" for r in rows], dtype=object
+        [f"uniq_{r:08d}_{seed}" for r in i], dtype=object
     )
     # occasional non-ASCII (NFKC exercise) + symbol runs
-    na = rows[rows % 251 == 0]
-    tokens[offsets[na]] = np.array(NON_ASCII_SAMPLES, dtype=object)[na % len(NON_ASCII_SAMPLES)]
-    sym = rows[rows % 17 == 0]
+    na = rows[i % 251 == 0]
+    tokens[offsets[na]] = np.array(NON_ASCII_SAMPLES, dtype=object)[
+        i[na] % len(NON_ASCII_SAMPLES)
+    ]
+    sym = rows[i % 17 == 0]
     tokens[offsets[sym] + 1] = "x->y(*z)"
     tok_arr = pa.array(tokens, pa.large_string())
     if isinstance(tok_arr, pa.ChunkedArray):
@@ -113,7 +121,7 @@ def generate_code_corpus(
         part = table.slice(f * per, per)
         if part.num_rows == 0:
             break
-        p = os.path.join(out_dir, f"corpus-{f:04d}.parquet")
+        p = os.path.join(out_dir, f"{file_prefix}-{f:04d}.parquet")
         pq.write_table(part, p, row_group_size=max(1024, per // 4))
         paths.append(p)
     return paths
@@ -125,6 +133,47 @@ def corpus_cache_dir(n_rows: int, seed: int = SEED, root: str = "/tmp/groonga_ra
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         generate_code_corpus(d, n_rows=n_rows, seed=seed)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def large_corpus_cache_dir(
+    n_rows: int,
+    chunk_rows: int = 1_000_000,
+    seed: int = SEED,
+    root: str = "/tmp/groonga_ray_cache",
+) -> str:
+    """Multi-million-row corpus generated in bounded-memory chunks.
+
+    One chunk = one :func:`generate_code_corpus` call with a distinct
+    seed and ``row_offset`` (globally unique repo/path keys and
+    df=1 identifiers). Chunks are each internally key-sorted but NOT
+    globally sorted against each other — exactly the shape real
+    multi-source ingests have — so a build over this corpus goes
+    through :func:`groonga_ray.docids.sort_input_files` (the
+    distributed range-partitioned sort) for docid assignment. Chunk
+    markers make generation resumable."""
+    d = os.path.join(root, f"code_corpus_large_n{n_rows}_c{chunk_rows}_s{seed}")
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        n_chunks = -(-n_rows // chunk_rows)
+        for c in range(n_chunks):
+            cm = os.path.join(d, f"_chunk_{c:03d}_done")
+            if os.path.exists(cm):
+                continue
+            rows_c = min(chunk_rows, n_rows - c * chunk_rows)
+            generate_code_corpus(
+                d,
+                n_rows=rows_c,
+                n_files=max(8, rows_c // 125_000),
+                seed=seed + 1000 * c,
+                row_offset=c * chunk_rows,
+                file_prefix=f"chunk{c:03d}",
+            )
+            with open(cm, "w") as fh:
+                fh.write("ok")
         with open(marker, "w") as fh:
             fh.write("ok")
     return d

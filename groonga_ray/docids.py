@@ -139,6 +139,7 @@ def sort_input_files(
     out_dir: str,
     n_ranges: int | None = None,
     target_rows_per_range: int = 500_000,
+    row_group_rows: int = 8192,
 ) -> list[str]:
     """Distributed range-partitioned sort of *unsorted* input files into
     key-sorted Parquet files whose lexical filename order is the global
@@ -258,7 +259,11 @@ def sort_input_files(
         )
         tbl = tbl.take(order)
         path = os.path.join(out_dir, f"sorted-{range_id:05d}.parquet")
-        pq.write_table(tbl, path, row_group_size=64 * 1024)
+        # row groups sized to the build's shard optimum (~8k rows):
+        # sorted_file_shards slices at row granularity but read_shard
+        # reads whole row groups, so oversized groups multiply stage-A
+        # read volume (measured 5x at 64k-row groups vs 8k shards)
+        pq.write_table(tbl, path, row_group_size=row_group_rows)
         return path
 
     out = [p for p in ray.get([_finalize.remote(i) for i in range(n_ranges)]) if p]

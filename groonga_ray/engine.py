@@ -2355,16 +2355,49 @@ class QueryActor:
         )
 
 
+# per-worker-process QueryActor cache for task-based batch dispatch:
+# the engine state (lexicon, stats, posting LRUs, result cache) loads
+# once per process and SURVIVES across Dataset executions — an actor
+# pool pays ~1s of pool spin-up on every execution, while Ray reuses
+# idle worker processes so this cache is usually already warm. Keyed
+# on the index meta fingerprint so a rebuilt/delta'd index gets a
+# fresh engine; bounded to the 2 most recent indexes per process.
+_PROC_QUERY_ENGINES: dict = {}
+
+
+def _query_batch_task(batch: pa.Table, *, table, cache_key) -> pa.Table:
+    qa = _PROC_QUERY_ENGINES.get(cache_key)
+    if qa is None:
+        while len(_PROC_QUERY_ENGINES) >= 2:
+            _PROC_QUERY_ENGINES.pop(next(iter(_PROC_QUERY_ENGINES)))
+        qa = _PROC_QUERY_ENGINES[cache_key] = QueryActor(table)
+    return qa(batch)
+
+
 def run_query_batch(table: IndexedTable, queries, concurrency: int = 2, batch_size: int = 64):
-    """Evaluate a Dataset/table of query rows with a QueryActor pool."""
+    """Evaluate a Dataset/table of query rows over the index.
+
+    Dispatches as TASKS over a per-process cached engine (load-once
+    semantics of the stateful-stage pattern without the per-execution
+    actor-pool spin-up); ``concurrency`` only sizes the block
+    pre-slicing for driver-side Arrow inputs."""
+    import os
+
     import ray.data
+
+    meta_path = os.path.join(table.index_dir, "meta.json")
+    try:
+        st = os.stat(meta_path)
+        cache_key = (table.index_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        cache_key = (table.index_dir, 0, 0)
 
     if hasattr(queries, "map_batches"):
         ds = queries
     else:
-        # one Arrow table would become ONE block -> one actor gets all
-        # the work (the pool idles); pre-slice into enough blocks to
-        # feed every actor without a shuffle. 2 blocks per actor:
+        # one Arrow table would become ONE block -> one task gets all
+        # the work; pre-slice into enough blocks to spread the load
+        # without a shuffle. 2 blocks per requested concurrency:
         # per-task dispatch costs ~tens of ms, so fewer, fatter tasks
         # beat fine-grained balancing for sub-ms queries
         n = queries.num_rows
@@ -2376,11 +2409,10 @@ def run_query_batch(table: IndexedTable, queries, concurrency: int = 2, batch_si
             [queries.slice(i, step) for i in range(0, n, step)]
         )
     return ds.map_batches(
-        QueryActor,
-        fn_constructor_args=(table,),
+        _query_batch_task,
+        fn_kwargs=dict(table=table, cache_key=cache_key),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=1,
     )
 

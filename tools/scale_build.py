@@ -72,11 +72,19 @@ def main() -> None:
     ap.add_argument("--shard-rows", type=int, default=8192,
                     help="target_rows_per_shard (8192 = the measured 8M-tokens/shard optimum)")
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--merge-slice-postings", type=int, default=None,
+                    help="stage-B decoded-postings-per-slice cap (per-worker memory "
+                         "bound; default = BuildConfig's conservative 4M). Raise on "
+                         "high-memory workers to cut stage-B re-read passes")
     ap.add_argument("--out", default=None, help="index dir (default /tmp/scale_idx_<rows>)")
     ap.add_argument("--kill-after", type=float, default=None,
                     help="resume demo: SIGKILL a subprocess build after this many seconds, then rebuild")
     ap.add_argument("--skip-sort", action="store_true",
                     help="reuse an existing sorted dir from a prior run")
+    ap.add_argument("--keep-runs", action="store_true",
+                    help="do NOT wipe the stage-A run dir before building (the "
+                         "kill-resume demo needs surviving manifests; a timed "
+                         "fresh build must not reuse them)")
     args = ap.parse_args()
 
     if args.kill_after is not None:
@@ -125,11 +133,16 @@ def main() -> None:
 
     idx_dir = args.out or f"/tmp/scale_idx_{args.rows}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    cfg = BuildConfig(
+    if not args.keep_runs:
+        shutil.rmtree("/dev/shm/scale_runs", ignore_errors=True)
+    cfg_kw = dict(
         text_columns=("content",), n_buckets=args.buckets,
         target_rows_per_shard=args.shard_rows, hot_local_df=2048, salt_group=2,
         runs_root="/dev/shm/scale_runs",
     )
+    if args.merge_slice_postings:
+        cfg_kw["merge_slice_postings"] = args.merge_slice_postings
+    cfg = BuildConfig(**cfg_kw)
     ms = MemSampler(); ms.start()
     t0 = time.time()
     meta = build_index(sorted_files, idx_dir, cfg, concurrency=max(4, args.cpus - 2))
@@ -154,10 +167,17 @@ def run_kill_resume(args) -> None:
             "--rows", str(args.rows), "--cpus", str(args.cpus),
             "--chunk-rows", str(args.chunk_rows),
             "--shard-rows", str(args.shard_rows), "--buckets", str(args.buckets),
-            "--out", idx_dir, "--skip-sort"]
+            "--out", idx_dir, "--skip-sort", "--keep-runs"]
+    if args.merge_slice_postings:
+        base += ["--merge-slice-postings", str(args.merge_slice_postings)]
     p = subprocess.Popen(base, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
     time.sleep(args.kill_after)
     p.kill(); p.wait()
+    # SIGKILL on the driver orphans the raylet + workers; they keep
+    # burning CPU and poison the resume timing — tear the session down
+    subprocess.run(["ray", "stop", "--force"], stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL, check=False)
+    time.sleep(3)
     # count shard runs completed before the kill (validated manifests
     # under runs_root are exactly what the rerun reuses)
     import glob

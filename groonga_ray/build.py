@@ -403,8 +403,7 @@ def _tokenize_group_word(
     np.cumsum(lens, out=out_off[1:])
     total = int(out_off[-1])
     gather = np.arange(total, dtype=np.int64)
-    gather -= np.repeat(out_off[:-1], lens)
-    gather += np.repeat(pair_pos_off[:-1][order], lens)
+    gather += np.repeat(pair_pos_off[:-1][order] - out_off[:-1], lens)
     Ps = P[gather]
 
     term_start = np.empty(len(Hs), bool)

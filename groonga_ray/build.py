@@ -91,7 +91,13 @@ class BuildConfig:
     text_columns: tuple[str, ...] = ("content",)
     tokenizer: str = "TokenCodeWord"         # vectorized word tokenizer (scale path)
     with_positions: bool = True
-    n_buckets: int = 32
+    # None = derive from the input so postings/bucket stays ~constant
+    # (~16M — the regime the 1M-doc record ran in; 4x the postings per
+    # bucket measured >=2.3x super-linear stage-B cost). Explicit
+    # values are honored unchanged. At 100 TB the derived count grows
+    # with the corpus instead of the per-bucket merge growing without
+    # bound — buckets are the unit of stage-B parallelism AND memory.
+    n_buckets: int | None = 32
     chunk_postings: int = codec.CHUNK_POSTINGS
     hot_local_df: int = 65536                # per-shard df above which a term is salted
     hot_df_ratio: float = 0.25               # ...or above this fraction of the shard's rows
@@ -1135,6 +1141,34 @@ def _write_bucket_lexicon(
 TARGET_SHARD_TEXT_BYTES = 48 << 20
 
 
+TARGET_BUCKET_POSTINGS = 16_000_000
+
+
+def auto_n_buckets(
+    input_files: list[str], text_columns: tuple[str, ...]
+) -> int:
+    """Derive the bucket count so each bucket merges
+    ~TARGET_BUCKET_POSTINGS postings (~1 posting per ~6 text bytes
+    with the word tokenizer). Power of two in [16, 4096], estimated
+    from one row group's logical text bytes scaled by the metadata row
+    count — deterministic given the inputs."""
+    files = sorted(input_files)
+    f = pq.ParquetFile(files[0])
+    cols = [c for c in text_columns if c in f.schema_arrow.names]
+    if f.metadata.num_row_groups == 0 or not cols:
+        return 64
+    rg = f.read_row_group(0, columns=cols)
+    if rg.num_rows == 0:
+        return 64
+    per_row = sum(rg.column(c).nbytes for c in cols) / rg.num_rows
+    total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+    est_postings = total_rows * per_row / 6.0
+    import math
+
+    want = max(16, min(4096, est_postings / TARGET_BUCKET_POSTINGS))
+    return 1 << int(round(math.log2(want)))
+
+
 def auto_rows_per_shard(
     input_files: list[str], text_columns: tuple[str, ...]
 ) -> int:
@@ -1165,12 +1199,21 @@ def build_index(
     """Run the full build. Resumable: re-running after a crash skips
     shards and re-merges only buckets (bucket merge is idempotent)."""
     cfg = cfg or BuildConfig()
-    if cfg.target_rows_per_shard is None:
+    if cfg.target_rows_per_shard is None or cfg.n_buckets is None:
         from dataclasses import replace
 
         cfg = replace(
             cfg,
-            target_rows_per_shard=auto_rows_per_shard(input_files, cfg.text_columns),
+            target_rows_per_shard=(
+                cfg.target_rows_per_shard
+                if cfg.target_rows_per_shard is not None
+                else auto_rows_per_shard(input_files, cfg.text_columns)
+            ),
+            n_buckets=(
+                cfg.n_buckets
+                if cfg.n_buckets is not None
+                else auto_n_buckets(input_files, cfg.text_columns)
+            ),
         )
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)

@@ -392,3 +392,53 @@ def test_auto_rows_per_shard_from_metadata(tmp_path):
     f2 = str(tmp_path / "t2.parquet")
     pq.write_table(t2, f2)
     assert auto_rows_per_shard([f2], ("content",)) == 65536
+
+
+def test_auto_n_buckets_tracks_corpus_size(tmp_path):
+    """n_buckets=None derives the bucket count so postings/bucket stays
+    ~TARGET_BUCKET_POSTINGS; small corpora clamp at the 16 floor."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from groonga_ray.build import TARGET_BUCKET_POSTINGS, auto_n_buckets
+
+    t = pa.table({"content": pa.array(["alpha beta gamma"] * 50)})
+    f = str(tmp_path / "small.parquet")
+    pq.write_table(t, f)
+    assert auto_n_buckets([f], ("content",)) == 16
+
+    # ~6 KB of text/row x 200k rows (one row group sampled, total rows
+    # from metadata) -> ~200M postings -> ~16 buckets x 16M... scale up:
+    text = "word " * 1200
+    big = pa.table({"content": pa.array([text] * 2000)})
+    fb = str(tmp_path / "big.parquet")
+    pq.write_table(big, fb)
+    # duplicate metadata rows by listing the file many times
+    n = auto_n_buckets([fb] * 400, ("content",))
+    est = 400 * 2000 * len(text) / 6.0 / TARGET_BUCKET_POSTINGS
+    assert n & (n - 1) == 0           # power of two
+    assert est / 4 <= n <= est * 4    # tracks the corpus estimate
+
+
+def test_build_with_auto_buckets(ray_session, tmp_path):
+    """End-to-end build with n_buckets=None (derived)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from groonga_ray.build import BuildConfig, build_index
+    from groonga_ray.engine import IndexedTable, select
+
+    t = pa.table({
+        "doc_id": pa.array(range(1, 41), pa.int64()),
+        "text": pa.array([f"spark window doc{i}" for i in range(40)]),
+    })
+    f = str(tmp_path / "docs.parquet")
+    pq.write_table(t, f)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(text_columns=("text",), docid_column="doc_id",
+                      n_buckets=None, target_rows_per_shard=16)
+    meta = build_index([f], idx, cfg)
+    assert meta["config"]["n_buckets"] == 16   # floor clamp
+    res = select(IndexedTable(idx, [f], "doc_id"),
+                 query="spark", match_columns="text", limit=-1)
+    assert res["hits"] == 40

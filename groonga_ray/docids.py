@@ -138,8 +138,10 @@ def sort_input_files(
     key_columns: list[str],
     out_dir: str,
     n_ranges: int | None = None,
-    target_rows_per_range: int = 500_000,
+    target_rows_per_range: int | None = None,
     row_group_rows: int = 8192,
+    target_range_bytes: int = 1 << 30,
+    target_batch_bytes: int = 128 << 20,
 ) -> list[str]:
     """Distributed range-partitioned sort of *unsorted* input files into
     key-sorted Parquet files whose lexical filename order is the global
@@ -175,6 +177,21 @@ def sort_input_files(
     os.makedirs(runs_dir, exist_ok=True)
 
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    # byte-aware sizing: a range is sorted IN MEMORY by one finalize
+    # task and scatter batches are fully materialized per task, so both
+    # must be sized by row WIDTH, not row count (text tables are
+    # KB-wide; the old fixed 500k-row ranges put multi-GB tables in
+    # every finalize worker at once and peak memory hit the host
+    # ceiling on an 11 GB corpus)
+    f0 = pq.ParquetFile(files[0])
+    if f0.metadata.num_row_groups:
+        rg0 = f0.read_row_group(0)
+        per_row = max(16, rg0.nbytes / max(1, rg0.num_rows))
+    else:
+        per_row = 256
+    if target_rows_per_range is None:
+        target_rows_per_range = max(10_000, int(target_range_bytes / per_row))
+    batch_rows = max(1024, int(target_batch_bytes / per_row))
     if n_ranges is None:
         n_ranges = max(1, min(4096, -(-total // target_rows_per_range)))
 
@@ -218,7 +235,7 @@ def sort_input_files(
 
     ds = ray.data.read_parquet(files)
     ds.map_batches(
-        _scatter, batch_format="pyarrow", batch_size=128 * 1024
+        _scatter, batch_format="pyarrow", batch_size=batch_rows
     ).materialize()
 
     # ---- stage 3: per-range sorted write (tasks; each reads only its
@@ -266,7 +283,12 @@ def sort_input_files(
         pq.write_table(tbl, path, row_group_size=row_group_rows)
         return path
 
-    out = [p for p in ray.get([_finalize.remote(i) for i in range(n_ranges)]) if p]
+    # declare each finalize task's working set (parts + concat + take
+    # copy ≈ 3x the range bytes) so Ray's memory-aware scheduler bounds
+    # how many run at once — with num_cpus alone, every range runs
+    # concurrently and peak memory scales with n_ranges, not workers
+    fin = _finalize.options(memory=int(3 * target_range_bytes))
+    out = [p for p in ray.get([fin.remote(i) for i in range(n_ranges)]) if p]
     import shutil
 
     shutil.rmtree(runs_dir, ignore_errors=True)

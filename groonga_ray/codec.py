@@ -94,6 +94,26 @@ def vb_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         buf[starts] = lo
         buf[starts[two] + 1] = (a[two] >> np.uint64(7)).astype(np.uint8)
         return buf, lens
+    if amax < 0x200000:
+        # <= 3-byte fast path: docid-gap streams of multi-million-doc
+        # corpora land here (values < 2^21); two masked writes instead
+        # of the general max_len-pass loop
+        lens = np.ones(n, np.int64)
+        lens += a >= np.uint64(0x80)
+        lens += a >= np.uint64(0x4000)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        buf = np.empty(int(ends[-1]), np.uint8)
+        b0 = (a & np.uint64(0x7F)).astype(np.uint8)
+        multi = lens > 1
+        b0[multi] |= 0x80
+        buf[starts] = b0
+        b1 = ((a[multi] >> np.uint64(7)) & np.uint64(0x7F)).astype(np.uint8)
+        three = lens == 3
+        b1[three[multi]] |= 0x80
+        buf[starts[multi] + 1] = b1
+        buf[starts[three] + 2] = (a[three] >> np.uint64(14)).astype(np.uint8)
+        return buf, lens
     lens = np.ones(n, np.int64)
     v = a >> np.uint64(7)
     while v.any():

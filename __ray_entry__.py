@@ -1605,71 +1605,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     # Ordering contract: the driver's correctness harness checks the
-    # FIRST 50 entries of this dict. Rounds 1-3 pinned the same leading
-    # 50, so 39 gates never received a driver CORRECTNESS row (they are
-    # covered by tests/test_driver_gate.py's identical DuckDB replica).
-    # Round 4 rotates: a 5-gate always-on core, then the 26 gates never
-    # driver-checked, then the 13 last checked in r1/r2, then 6 refresh
-    # slots from the r3-green set = 50; the remaining r3-green gates
-    # follow after the window.
+    # FIRST 50 entries of this dict. Standing policy (adopted round 4,
+    # see COVERAGE.md): rotate every round so no gate's most recent
+    # driver row is older than one round. Round 5 window = the 5-gate
+    # always-on core + the 39 gates whose last driver row is r3 + 6
+    # refresh slots picked from the r4-checked set to re-cover the
+    # code paths this round touched (sub_filter/nested_ref
+    # vectorization, minhash hash contract, streaming hll, CC +
+    # IVF scale probes). The remaining 39 r4-green gates follow after
+    # the window and stay exercised every run by
+    # tests/test_driver_gate.py's identical DuckDB replica.
     return {
-        # -- always-on core (green r1+r2+r3)
+        # -- always-on core (green r1+r2+r3+r4)
         "ft_topk_bm25": ft_topk_bm25,
         "ft_phrase": ft_phrase,
         "ft_tokens": ft_tokens,
         "content_sha": content_sha,
         "curation": curation_q,
-        # -- never driver-checked before round 4 (26)
-        "distinct_count": distinct_count_q,
-        "hll_distinct": hll_distinct_q,
-        "broadcast_join": broadcast_join_q,
-        "dedup_incremental": dedup_incremental_q,
-        "unigram_nll": unigram_nll_q,
-        "top_terms": top_terms_q,
-        "doc_fingerprint": doc_fingerprint_q,
-        "decontaminate": decontaminate_q,
-        "semantic_dedup": semantic_dedup_q,
-        "ann_ivfpq": ann_ivfpq,
-        "ann_ivfpq_probe": ann_ivfpq_probe,
-        "ft_compact": ft_compact,
-        "ft_sub_filter": ft_sub_filter,
-        "ft_nested_ref": ft_nested_ref,
-        "ft_uvector": ft_uvector,
-        "embed_dup_pairs": embed_dup_pairs,
-        "embed_dedup_lsh": embed_dedup_lsh,
-        "geo_dist": geo_dist,
-        "geo_circle": geo_circle,
-        "geo_box": geo_box,
-        "media_decode_wav": media_decode_wav,
-        "suggest_items": suggest_items,
-        "suggest_pairs": suggest_pairs,
-        "suggest_complete": suggest_complete,
-        "suggest_suggest": suggest_suggest,
-        "suggest_correct": suggest_correct,
-        # -- last driver-checked in r1/r2 (13)
-        "minhash_bands": minhash_bands,
-        "simhash": simhash_q,
-        "text_stats": text_stats_q,
-        "quality": quality_q,
-        "langid": langid_q,
-        "ann_brute": ann_brute,
-        "ann_lsh": ann_lsh,
-        "ann_ivf": ann_ivf,
-        "ann_ivf_probe": ann_ivf_probe,
-        "ft_col_eq": ft_col_eq,
-        "ft_delta": ft_delta,
-        "ft_delete": ft_delete,
-        "media_decode": media_decode,
-        # -- refresh slots from the r3-green set (6) -> window = 50
-        "dedup_clusters": dedup_clusters_q,
-        "paragraph_dedup": paragraph_dedup_q,
-        "exact_quantiles": exact_quantiles_q,
-        "events_sliding": events_sliding,
-        "ft_near": ft_near,
-        "drill_calc": drill_calc,
-        # ---------------- beyond the driver's 50-entry window ----------
-        # (all green in CORRECTNESS_r03.json; still exercised every run
-        # by tests/test_driver_gate.py)
+        # -- last driver-checked in r3 (39)
         "ft_term_tf": ft_term_tf,
         "ft_topk_tfidf": ft_topk_tfidf,
         "ft_and": ft_and,
@@ -1709,6 +1662,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": pii_redact_q,
         "sessionize": sessionize_q,
         "grouped_topk": grouped_topk_q,
+        # -- refresh slots from the r4-green set, targeting round-5
+        #    changed paths (6) -> window = 50
+        "ft_sub_filter": ft_sub_filter,
+        "ft_nested_ref": ft_nested_ref,
+        "minhash_bands": minhash_bands,
+        "hll_distinct": hll_distinct_q,
+        "dedup_clusters": dedup_clusters_q,
+        "ann_ivf": ann_ivf,
+        # ---------------- beyond the driver's 50-entry window ----------
+        # (all green in CORRECTNESS_r04.json; still exercised every run
+        # by tests/test_driver_gate.py)
+        "distinct_count": distinct_count_q,
+        "broadcast_join": broadcast_join_q,
+        "dedup_incremental": dedup_incremental_q,
+        "unigram_nll": unigram_nll_q,
+        "top_terms": top_terms_q,
+        "doc_fingerprint": doc_fingerprint_q,
+        "decontaminate": decontaminate_q,
+        "semantic_dedup": semantic_dedup_q,
+        "ann_ivfpq": ann_ivfpq,
+        "ann_ivfpq_probe": ann_ivfpq_probe,
+        "ft_compact": ft_compact,
+        "ft_uvector": ft_uvector,
+        "embed_dup_pairs": embed_dup_pairs,
+        "embed_dedup_lsh": embed_dedup_lsh,
+        "geo_dist": geo_dist,
+        "geo_circle": geo_circle,
+        "geo_box": geo_box,
+        "media_decode_wav": media_decode_wav,
+        "suggest_items": suggest_items,
+        "suggest_pairs": suggest_pairs,
+        "suggest_complete": suggest_complete,
+        "suggest_suggest": suggest_suggest,
+        "suggest_correct": suggest_correct,
+        "simhash": simhash_q,
+        "text_stats": text_stats_q,
+        "quality": quality_q,
+        "langid": langid_q,
+        "ann_brute": ann_brute,
+        "ann_lsh": ann_lsh,
+        "ann_ivf_probe": ann_ivf_probe,
+        "ft_col_eq": ft_col_eq,
+        "ft_delta": ft_delta,
+        "ft_delete": ft_delete,
+        "media_decode": media_decode,
+        "paragraph_dedup": paragraph_dedup_q,
+        "exact_quantiles": exact_quantiles_q,
+        "events_sliding": events_sliding,
+        "ft_near": ft_near,
+        "drill_calc": drill_calc,
     }
 
 

@@ -437,11 +437,20 @@ def _tokenize_group_word(
     return terms, term_offsets, Ds, TFs.astype(np.uint64), out_off, Ps, n_tokens, n_truncated
 
 
-def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str) -> dict:
+def build_shard_run(
+    cfg: BuildConfig, shard: Shard, section: str, index_dir: str,
+    data: "pa.Table | None" = None,
+) -> dict:
     """Tokenize + encode one shard of one section into a segment run.
 
     Returns the manifest payload (also written to disk). Idempotent:
     validates and reuses an existing manifest.
+
+    ``data``: the shard's rows already in memory (exactly
+    ``read_shard(shard, ...)``'s rows, extra columns allowed) — the
+    fused sort+build path passes the just-sorted range slice so stage A
+    never re-reads the corpus it just wrote. Manifest fingerprints are
+    identical either way, so resume may freely mix both paths.
     """
     run_dir = os.path.join(runs_base(cfg, index_dir), f"sec={section}", "runs", f"shard={shard.shard_id:05d}")
     man_path = os.path.join(run_dir, "manifest.json")
@@ -457,7 +466,10 @@ def build_shard_run(cfg: BuildConfig, shard: Shard, section: str, index_dir: str
 
     t0 = time.time()
     cols = [section] + ([cfg.docid_column] if cfg.docid_column else [])
-    data = read_shard(shard, columns=cols)
+    if data is None:
+        data = read_shard(shard, columns=cols)
+    else:
+        data = data.select([c for c in cols if c in data.column_names])
     col = data.column(section)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()

@@ -163,7 +163,70 @@ def sort_input_files(
     Mirrors grn_ii_build's external sort-merge shape (lib/ii.c:8029:
     blocks → sorted runs → key-order merge) applied to docid
     assignment instead of terms.
+
+    The fused cold path (:func:`groonga_ray.build.sort_build_index`)
+    shares stages 1-2 (:func:`_scatter_to_runs`) and the per-range
+    reader (:func:`_read_sorted_range`) but tokenizes each range
+    in the same task that sorts it, eliminating the build's stage-A
+    re-read of the freshly written corpus.
     """
+    import shutil
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    runs_dir = os.path.join(out_dir, "_sort_runs")
+    sc = _scatter_to_runs(
+        files, key_columns, runs_dir,
+        n_ranges=n_ranges, target_rows_per_range=target_rows_per_range,
+        target_range_bytes=target_range_bytes,
+        target_batch_bytes=target_batch_bytes,
+    )
+    run_files, n_ranges = sc["run_files"], sc["n_ranges"]
+
+    @ray.remote
+    def _finalize(range_id: int) -> str | None:
+        tbl = _read_sorted_range(run_files, range_id, key_columns)
+        if tbl is None:
+            return None
+        path = os.path.join(out_dir, f"sorted-{range_id:05d}.parquet")
+        # row groups sized to the build's shard optimum (~8k rows):
+        # sorted_file_shards slices at row granularity but read_shard
+        # reads whole row groups, so oversized groups multiply stage-A
+        # read volume (measured 5x at 64k-row groups vs 8k shards)
+        pq.write_table(tbl, path, row_group_size=row_group_rows)
+        return path
+
+    fin = _finalize.options(
+        memory=_range_task_memory(sc["per_row"], sc["target_rows_per_range"])
+    )
+    out = [p for p in ray.get([fin.remote(i) for i in range(n_ranges)]) if p]
+    shutil.rmtree(runs_dir, ignore_errors=True)
+    return sorted(out)
+
+
+def _scatter_to_runs(
+    files: list[str],
+    key_columns: list[str],
+    runs_dir: str,
+    n_ranges: int | None = None,
+    target_rows_per_range: int | None = None,
+    target_range_bytes: int = 1 << 30,
+    target_batch_bytes: int = 128 << 20,
+) -> dict:
+    """Stages 1+2 of the distributed sort: boundary sample + range
+    scatter into bucket-row-grouped run files. Returns
+    ``{run_files, n_ranges, per_row, target_rows_per_range,
+    range_counts}`` — ``range_counts[i]`` (from run metadata only) lets
+    callers prefix-sum global docid bases before any range is read.
+
+    Resumable: a ``scatter.done.json`` marker pins the input
+    fingerprint (file names + row counts), the chosen boundaries and
+    the counts; a rerun with a valid marker skips both stages, so the
+    fused build's kill/resume never repeats the corpus-wide pass.
+    """
+    import base64
+    import json
     import uuid
 
     import pyarrow as pa
@@ -172,17 +235,16 @@ def sort_input_files(
     import ray.data
 
     files = sorted(files)
-    os.makedirs(out_dir, exist_ok=True)
-    runs_dir = os.path.join(out_dir, "_sort_runs")
     os.makedirs(runs_dir, exist_ok=True)
+    marker = os.path.join(runs_dir, "scatter.done.json")
 
-    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    file_rows = [(os.path.basename(f), pq.ParquetFile(f).metadata.num_rows) for f in files]
+    total = sum(n for _, n in file_rows)
     # byte-aware sizing: a range is sorted IN MEMORY by one finalize
     # task and scatter batches are fully materialized per task, so both
     # must be sized by row WIDTH, not row count (text tables are
-    # KB-wide; the old fixed 500k-row ranges put multi-GB tables in
-    # every finalize worker at once and peak memory hit the host
-    # ceiling on an 11 GB corpus)
+    # KB-wide; fixed 500k-row ranges put multi-GB tables in every
+    # finalize worker at once on an 11 GB corpus)
     f0 = pq.ParquetFile(files[0])
     if f0.metadata.num_row_groups:
         rg0 = f0.read_row_group(0)
@@ -194,6 +256,33 @@ def sort_input_files(
     batch_rows = max(1024, int(target_batch_bytes / per_row))
     if n_ranges is None:
         n_ranges = max(1, min(4096, -(-total // target_rows_per_range)))
+
+    fingerprint = {
+        "files": file_rows,
+        "key_columns": list(key_columns),
+        "n_ranges": n_ranges,
+    }
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                m = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            m = None
+        if m and m.get("fingerprint") == fingerprint:
+            return {
+                "run_files": sorted(
+                    os.path.join(runs_dir, f)
+                    for f in os.listdir(runs_dir)
+                    if f.endswith(".parquet")
+                ),
+                "n_ranges": n_ranges,
+                "per_row": float(m["per_row"]),
+                "target_rows_per_range": int(m["target_rows_per_range"]),
+                "range_counts": np.array(m["range_counts"], np.int64),
+            }
+        # stale or partial scatter: start clean
+        for f in os.listdir(runs_dir):
+            os.unlink(os.path.join(runs_dir, f))
 
     # ---- stage 1: boundary sample (driver holds only the sample)
     sample_ds = ray.data.read_parquet(files, columns=key_columns)
@@ -238,58 +327,103 @@ def sort_input_files(
         _scatter, batch_format="pyarrow", batch_size=batch_rows
     ).materialize()
 
-    # ---- stage 3: per-range sorted write (tasks; each reads only its
-    # row groups via parquet stats)
     run_files = sorted(
         os.path.join(runs_dir, f)
         for f in os.listdir(runs_dir)
         if f.endswith(".parquet")
     )
+    # per-range row counts from run METADATA only (each row group holds
+    # one bucket; its stats min == the bucket id)
+    range_counts = np.zeros(n_ranges, np.int64)
+    for rf in run_files:
+        meta = pq.ParquetFile(rf).metadata
+        bcol = [
+            i for i in range(meta.num_columns)
+            if meta.schema.column(i).path == "bucket"
+        ][0]
+        for i in range(meta.num_row_groups):
+            st = meta.row_group(i).column(bcol).statistics
+            if st is not None:
+                range_counts[int(st.min)] += meta.row_group(i).num_rows
 
-    @ray.remote
-    def _finalize(range_id: int) -> str | None:
-        parts = []
-        for rf in run_files:
-            pf = pq.ParquetFile(rf)
-            meta = pf.metadata
-            bcol = [
-                i for i in range(meta.num_columns)
-                if meta.schema.column(i).path == "bucket"
-            ][0]
-            grps = [
-                i for i in range(meta.num_row_groups)
-                if (st := meta.row_group(i).column(bcol).statistics) is not None
-                and st.min <= range_id <= st.max
-            ]
-            if grps:
-                t = pf.read_row_groups(grps)
-                mask = pc.equal(t.column("bucket"), pa.scalar(range_id, pa.uint32()))
-                t = t.filter(mask)
-                if t.num_rows:
-                    parts.append(t.drop_columns(["bucket"]))
-        if not parts:
-            return None
-        tbl = pa.concat_tables(parts, promote_options="default")
-        order = pc.sort_indices(
-            tbl.select(key_columns),
-            sort_keys=[(c, "ascending") for c in key_columns],
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "fingerprint": fingerprint,
+                "boundaries_b64": [
+                    base64.b64encode(b).decode() for b in boundaries
+                ],
+                "range_counts": range_counts.tolist(),
+                "per_row": per_row,
+                "target_rows_per_range": target_rows_per_range,
+            },
+            fh,
         )
-        tbl = tbl.take(order)
-        path = os.path.join(out_dir, f"sorted-{range_id:05d}.parquet")
-        # row groups sized to the build's shard optimum (~8k rows):
-        # sorted_file_shards slices at row granularity but read_shard
-        # reads whole row groups, so oversized groups multiply stage-A
-        # read volume (measured 5x at 64k-row groups vs 8k shards)
-        pq.write_table(tbl, path, row_group_size=row_group_rows)
-        return path
+    os.replace(tmp, marker)
+    return {
+        "run_files": run_files,
+        "n_ranges": n_ranges,
+        "per_row": per_row,
+        "target_rows_per_range": target_rows_per_range,
+        "range_counts": range_counts,
+    }
 
-    # declare each finalize task's working set (parts + concat + take
-    # copy ≈ 3x the range bytes) so Ray's memory-aware scheduler bounds
-    # how many run at once — with num_cpus alone, every range runs
-    # concurrently and peak memory scales with n_ranges, not workers
-    fin = _finalize.options(memory=int(3 * target_range_bytes))
-    out = [p for p in ray.get([fin.remote(i) for i in range(n_ranges)]) if p]
-    import shutil
 
-    shutil.rmtree(runs_dir, ignore_errors=True)
-    return sorted(out)
+def _read_sorted_range(
+    run_files: list[str], range_id: int, key_columns: list[str]
+):
+    """Read one range's rows from the scatter runs (stats-pruned row
+    groups only) and return them key-sorted, bucket column dropped.
+    ``None`` when the range is empty."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = []
+    for rf in run_files:
+        pf = pq.ParquetFile(rf)
+        meta = pf.metadata
+        bcol = [
+            i for i in range(meta.num_columns)
+            if meta.schema.column(i).path == "bucket"
+        ][0]
+        grps = [
+            i for i in range(meta.num_row_groups)
+            if (st := meta.row_group(i).column(bcol).statistics) is not None
+            and st.min <= range_id <= st.max
+        ]
+        if grps:
+            t = pf.read_row_groups(grps)
+            mask = pc.equal(t.column("bucket"), pa.scalar(range_id, pa.uint32()))
+            t = t.filter(mask)
+            if t.num_rows:
+                parts.append(t.drop_columns(["bucket"]))
+    if not parts:
+        return None
+    tbl = pa.concat_tables(parts, promote_options="default")
+    order = pc.sort_indices(
+        tbl.select(key_columns),
+        sort_keys=[(c, "ascending") for c in key_columns],
+    )
+    return tbl.take(order)
+
+
+def _range_task_memory(per_row: float, target_rows_per_range: int) -> int:
+    """Memory declaration for a per-range task (parts + concat + take
+    copy ≈ 3x the range bytes) so Ray's memory-aware scheduler bounds
+    how many run at once — with num_cpus alone, every range runs
+    concurrently and peak memory scales with n_ranges, not workers.
+    Sized from the ACTUAL resolved rows-per-range (not the default
+    1 GiB target): explicit small ranges must not serialize behind a
+    3 GiB declaration, and the declaration must stay schedulable on
+    hosts whose Ray memory resource is small."""
+    import ray
+
+    est_range_bytes = int(3 * per_row * target_rows_per_range)
+    try:
+        avail = int(ray.cluster_resources().get("memory", 0))
+    except Exception:
+        avail = 0
+    if avail:
+        est_range_bytes = min(est_range_bytes, avail // 2)
+    return max(32 << 20, est_range_bytes)

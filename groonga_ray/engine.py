@@ -1394,11 +1394,18 @@ def _reverse_sub_filter_keys(
             if pa.types.is_list(vals.type) or pa.types.is_large_list(vals.type):
                 vals = pc.list_flatten(vals)
             chunks.append(vals)
-    out: dict = {}
-    for arr in chunks:
-        for v in arr.to_pylist():
-            out[v] = out.get(v, 0.0) + 1.0
-    return out
+    if not chunks:
+        return {}
+    # vectorized count per distinct source value (each index-table row
+    # matching the sub filter contributes 1 to its source value's score)
+    vc = pc.value_counts(pa.chunked_array(chunks))
+    return {
+        v: float(c)
+        for v, c in zip(
+            vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+        )
+        if v is not None
+    }
 
 
 def _sub_select_keys(ref_t, files: list[str], key_col: str, sub: str) -> dict:
@@ -1453,6 +1460,8 @@ def _sub_filter_path_keys(table: "IndexedTable", path: str, sub: str) -> pa.Arra
         # ref_t's keys — join back on the key column itself
         seg = key_col
     out: dict = {}
+    inner_vals = np.fromiter(inner.values(), np.float64, len(inner))
+    inner_keys_py = list(inner.keys())
     for f in sorted(files):
         pf = pq.ParquetFile(f)
         for rg in range(pf.metadata.num_row_groups):
@@ -1460,19 +1469,41 @@ def _sub_filter_path_keys(table: "IndexedTable", path: str, sub: str) -> pa.Arra
                 rg, columns=sorted({key_col, seg})
             )
             col = tbl.column(seg)
-            keys = tbl.column(key_col).to_pylist()
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
-                for k, elems in zip(keys, col.to_pylist()):
-                    s = sum(inner.get(e, 0.0) for e in (elems or []))
-                    if s > 0:
-                        out[k] = out.get(k, 0.0) + s
+            # vectorized join-back: index_in against the inner key set,
+            # per-row sums via list_parent_indices for list columns;
+            # only rows with a positive score enter the (small) result
+            is_list = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            try:
+                kset = pa.array(inner_keys_py).cast(
+                    col.type.value_type if is_list else col.type
+                )
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                continue  # type mismatch: zero contributions (see above)
+            totals = np.zeros(tbl.num_rows, np.float64)
+            if is_list:
+                parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+                iv = pc.index_in(col.flatten(), value_set=kset).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                known = ~np.isnan(iv)
+                contrib = np.zeros(len(iv), np.float64)
+                if len(inner_vals):
+                    contrib[known] = inner_vals[iv[known].astype(np.int64)]
+                np.add.at(totals, parent, contrib)
             else:
-                for k, v in zip(keys, col.to_pylist()):
-                    s = inner.get(v, 0.0)
-                    if s > 0:
-                        out[k] = out.get(k, 0.0) + s
+                iv = pc.index_in(col, value_set=kset).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                known = ~np.isnan(iv)
+                if len(inner_vals):
+                    totals[known] = inner_vals[iv[known].astype(np.int64)]
+            hit = np.nonzero(totals > 0)[0]
+            if len(hit):
+                hkeys = tbl.column(key_col).take(pa.array(hit)).to_pylist()
+                for k, s in zip(hkeys, totals[hit]):
+                    out[k] = out.get(k, 0.0) + float(s)
     return out
 
 
@@ -1727,9 +1758,15 @@ def _eval_filter(filter_str: str, reader: IndexReader, table: IndexedTable, spec
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             is_list = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
-            keys = pa.array(list(smap.keys())).cast(
-                col.type.value_type if is_list else col.type
-            )
+            try:
+                keys = pa.array(list(smap.keys())).cast(
+                    col.type.value_type if is_list else col.type
+                )
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                # key/column type mismatch: no value can match — the
+                # dict-get path contributed 0.0 here, preserve that
+                # degrade-to-zero behavior instead of failing the select
+                continue
             if is_list:
                 parent = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
                 flat = col.flatten()
@@ -2388,9 +2425,16 @@ def run_query_batch(table: IndexedTable, queries, concurrency: int = 2, batch_si
     meta_path = os.path.join(table.index_dir, "meta.json")
     try:
         st = os.stat(meta_path)
-        cache_key = (table.index_dir, st.st_mtime_ns, st.st_size)
+        mt, sz = st.st_mtime_ns, st.st_size
     except OSError:
-        cache_key = (table.index_dir, 0, 0)
+        mt, sz = 0, 0
+    # the full table identity, not just the index dir: two
+    # IndexedTables over the same index with different source files /
+    # docid column must NOT share a cached engine
+    cache_key = (
+        table.index_dir, tuple(table.source_files), table.docid_column,
+        mt, sz,
+    )
 
     if hasattr(queries, "map_batches"):
         ds = queries

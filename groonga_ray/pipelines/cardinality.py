@@ -77,13 +77,18 @@ def distinct_count(
 
 def hll_count(
     ds: "ray.data.Dataset", key_col: str = "event_type", val_col: str = "user_id",
-    b: int = 12, n_parts: int = 32,
-) -> pa.Table:
-    """HyperLogLog distinct estimate per key -> small (key, estimate)
-    Arrow table (sorted by key). One streaming pass emitting
-    (key, 2^b-byte register) partials; the max-merge runs distributed
-    (hash-partitioned groupby, vectorized reduceat per partition), so
-    the driver sees exactly one row per key."""
+    b: int = 12, n_parts: int = 32, collect: bool = True,
+) -> "pa.Table | ray.data.Dataset":
+    """HyperLogLog distinct estimate per key. One streaming pass
+    emitting (key, 2^b-byte register) partials; the max-merge runs
+    distributed (hash-partitioned groupby, vectorized reduceat per
+    partition), so exactly one row per key leaves the merge.
+
+    ``collect=True`` (convenience, for modest key cardinality) returns
+    a small key-sorted Arrow table on the driver. ``collect=False`` is
+    the fully streaming path: returns the key-sorted ``(key,
+    estimate)`` Dataset — at extreme key cardinality the result itself
+    is large, so consume it with ``write_parquet``/``iter_batches``."""
     m = 1 << b
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -163,12 +168,14 @@ def hll_count(
             }
         )
 
-    out = (
+    merged = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("p")
         .map_groups(merge_part, batch_format="pyarrow")
-        .take_all()
     )
+    if not collect:
+        return merged.sort("key")
+    out = merged.take_all()
     out.sort(key=lambda r: r["key"])
     return pa.table(
         {

@@ -37,9 +37,19 @@ def _hash_tokens(terms: pa.Array) -> np.ndarray:
     (the hot input of minhash); fall back to fnv1a without polars.
     Only used where cross-version hash stability is NOT part of the
     contract (minhash is an approximate, rows-only op) — content
-    fingerprints keep using fnv1a/sha."""
+    fingerprints keep using fnv1a/sha.
+
+    Result contract: minhash signatures / LSH buckets are a pure
+    function of (data, polars version). Outputs compared ACROSS
+    environments (different polars, or none) must set
+    ``GROONGA_RAY_STABLE_HASH=1`` to pin the fnv1a implementation
+    (identical everywhere, ~6x slower on the perm stage)."""
+    import os
+
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
+    if os.environ.get("GROONGA_RAY_STABLE_HASH"):
+        return fnv1a(terms)
     try:
         import polars as pl
 

@@ -792,6 +792,14 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
     e2 = hll_count(rd.from_arrow(rows).repartition(11), b=12).to_pydict()
     assert e1 == e2  # register merge is partitioning-invariant
     assert abs(e1["estimate"][0] - n_true) / n_true < 0.05
+    # streaming path (collect=False): key-sorted Dataset, same values
+    ds_out = hll_count(rd.from_arrow(rows).repartition(3), b=12, collect=False)
+    import ray.data
+
+    assert isinstance(ds_out, ray.data.Dataset)
+    pdf = ds_out.to_pandas()
+    assert list(pdf["key"]) == e1["key"]
+    assert list(pdf["estimate"]) == e1["estimate"]
 
 
 def test_broadcast_join_inner_and_left(ray_session):

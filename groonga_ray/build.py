@@ -1397,6 +1397,201 @@ def build_index(
     return meta
 
 
+# --------------------------------------------------- fused sort+build
+
+def sort_build_index(
+    input_files: list[str],
+    key_columns: list[str],
+    sorted_dir: str,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    concurrency: int | None = None,
+    row_group_rows: int = 8192,
+) -> dict:
+    """Cold path for UNSORTED input: distributed range sort fused with
+    stage-A tokenization. One task per key range sorts its rows, writes
+    the corpus file the engine will serve from, and immediately
+    tokenizes the in-memory table into that range's shard runs — the
+    unfused path (``sort_input_files`` then ``build_index``) pays a
+    full corpus write + re-read between those two steps (measured 270 s
+    sort vs 156 s build at 4M docs; the re-read was pure overhead).
+
+    Everything reuses the existing machinery, so artifacts are
+    IDENTICAL to the unfused path: per-range row counts come from run
+    metadata (``_scatter_to_runs``), the shard plan mirrors
+    ``sorted_file_shards`` over the future files byte-for-byte, and
+    ``build_shard_run`` writes the same manifests. The trailing
+    ``build_index`` call re-validates those manifests (cheap skips) and
+    runs stage B — so kill/resume works at ANY point: mid-scatter
+    (scatter.done.json marker), mid-fused-finalize (atomic range files;
+    missing shard runs are rebuilt from the written file), or
+    mid-merge (bucket manifests), with no artifact divergence.
+    """
+    import shutil
+
+    from .docids import _range_task_memory, _read_sorted_range, _scatter_to_runs
+
+    cfg = cfg or BuildConfig()
+    if cfg.docid_column:
+        raise ValueError(
+            "sort_build_index assigns docids positionally from the sort; "
+            "docid_column inputs are already ranked — use build_index"
+        )
+    if cfg.target_rows_per_shard is None or cfg.n_buckets is None:
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg,
+            target_rows_per_shard=(
+                cfg.target_rows_per_shard
+                if cfg.target_rows_per_shard is not None
+                else auto_rows_per_shard(input_files, cfg.text_columns)
+            ),
+            n_buckets=(
+                cfg.n_buckets
+                if cfg.n_buckets is not None
+                else auto_n_buckets(input_files, cfg.text_columns)
+            ),
+        )
+    t0 = time.time()
+    os.makedirs(sorted_dir, exist_ok=True)
+    os.makedirs(index_dir, exist_ok=True)
+    done_marker = os.path.join(sorted_dir, "sort.done.json")
+    input_fp = [
+        (os.path.basename(f), pq.ParquetFile(f).metadata.num_rows)
+        for f in sorted(input_files)
+    ]
+
+    def _marker_valid() -> list[str] | None:
+        if not os.path.exists(done_marker):
+            return None
+        try:
+            with open(done_marker) as fh:
+                m = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if m.get("input") != [list(x) for x in input_fp] and m.get("input") != input_fp:
+            return None
+        paths = []
+        for name, rows in m.get("outputs", []):
+            p = os.path.join(sorted_dir, name)
+            if not os.path.exists(p) or pq.ParquetFile(p).metadata.num_rows != rows:
+                return None
+            paths.append(p)
+        return sorted(paths)
+
+    sorted_files = _marker_valid()
+    if sorted_files is None:
+        runs_dir = os.path.join(sorted_dir, "_sort_runs")
+        # range count sets the FUSED task pool's parallelism (one task
+        # sorts + tokenizes one range), so unlike the plain sort —
+        # where ranges only bound finalize memory — aim for ≥4 waves
+        # across the cluster's cores, while keeping the per-task
+        # working set (~3x range bytes) well under worker memory
+        f0 = pq.ParquetFile(sorted(input_files)[0])
+        if f0.metadata.num_row_groups:
+            rg0 = f0.read_row_group(0)
+            per_row_est = max(16, rg0.nbytes / max(1, rg0.num_rows))
+        else:
+            per_row_est = 256
+        total_rows = sum(n for _, n in input_fp)
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        mem_bytes = total_rows * per_row_est
+        n_ranges = int(min(
+            4096,
+            max(1, -(-mem_bytes // (1 << 30)), 4 * ncpu, -(-total_rows // 2_000_000)),
+        ))
+        # don't shatter a small corpus into sub-shard ranges
+        n_ranges = max(1, min(n_ranges, total_rows // max(1, cfg.target_rows_per_shard) or 1))
+        sc = _scatter_to_runs(input_files, key_columns, runs_dir, n_ranges=n_ranges)
+        counts = sc["range_counts"]
+
+        # shard plan over the FUTURE sorted files — must mirror
+        # sorted_file_shards exactly (same per-file slicing loop) so a
+        # resumed unfused build_index over the written files produces
+        # identical shards and every manifest revalidates
+        target = cfg.target_rows_per_shard
+        plans: list[tuple[int, str, list[Shard]]] = []
+        base, sid = cfg.docid_offset, 0
+        for i, n in enumerate(counts.tolist()):
+            if n == 0:
+                continue
+            path = os.path.join(sorted_dir, f"sorted-{i:05d}.parquet")
+            n_shards = max(1, -(-n // target))
+            per = -(-n // n_shards)
+            shards, start = [], 0
+            while start < n:
+                cnt = min(per, n - start)
+                shards.append(Shard(sid, path, start, cnt, base))
+                base += cnt
+                sid += 1
+                start += cnt
+            plans.append((i, path, shards))
+
+        run_files = sc["run_files"]
+        sections = tuple(cfg.text_columns)
+
+        @ray.remote
+        def _finalize_fused(range_id: int, path: str, shards: list) -> int:
+            tbl = None
+            if not (
+                os.path.exists(path)
+                and pq.ParquetFile(path).metadata.num_rows
+                == sum(s.num_rows for s in shards)
+            ):
+                tbl = _read_sorted_range(run_files, range_id, key_columns)
+                if tbl is None:  # counts said non-empty; defensive
+                    return 0
+                import tempfile
+
+                fd, tmp = tempfile.mkstemp(dir=sorted_dir, suffix=".tmp")
+                os.close(fd)
+                try:
+                    pq.write_table(tbl, tmp, row_group_size=row_group_rows)
+                    os.replace(tmp, path)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+            off = 0
+            for s in shards:
+                sl = tbl.slice(off, s.num_rows) if tbl is not None else None
+                for section in sections:
+                    build_shard_run(cfg, s, section, index_dir, data=sl)
+                off += s.num_rows
+            return sum(s.num_rows for s in shards)
+
+        fin = _finalize_fused.options(
+            memory=_range_task_memory(sc["per_row"], sc["target_rows_per_range"])
+        )
+        ray.get([fin.remote(i, p, sh) for i, p, sh in plans])
+        tmp = done_marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "input": input_fp,
+                    "outputs": [
+                        (os.path.basename(p), sum(s.num_rows for s in sh))
+                        for _, p, sh in plans
+                    ],
+                },
+                fh,
+            )
+        os.replace(tmp, done_marker)
+        shutil.rmtree(runs_dir, ignore_errors=True)
+        sorted_files = sorted(p for _, p, _ in plans)
+    fused_sec = time.time() - t0
+
+    meta = build_index(sorted_files, index_dir, cfg, concurrency)
+    meta["timings"]["fused_sort_tokenize_sec"] = round(fused_sec, 3)
+    meta["timings"]["cold_total_sec"] = round(time.time() - t0, 3)
+    meta["sorted_files"] = [os.path.basename(f) for f in sorted_files]
+    write_manifest(os.path.join(index_dir, "meta.json"), meta)
+    return meta
+
+
 # ------------------------------------------------------- incremental
 
 def add_documents(index_dir: str, new_files: list[str], cfg: BuildConfig | None = None) -> dict:

@@ -252,7 +252,12 @@ def _scatter_to_runs(
     else:
         per_row = 256
     if target_rows_per_range is None:
-        target_rows_per_range = max(10_000, int(target_range_bytes / per_row))
+        if n_ranges is not None:
+            # explicit range count: report the ACTUAL rows per range so
+            # the finalize memory declaration matches reality
+            target_rows_per_range = max(1, -(-total // n_ranges))
+        else:
+            target_rows_per_range = max(10_000, int(target_range_bytes / per_row))
     batch_rows = max(1024, int(target_batch_bytes / per_row))
     if n_ranges is None:
         n_ranges = max(1, min(4096, -(-total // target_rows_per_range)))

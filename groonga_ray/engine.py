@@ -262,7 +262,18 @@ def _query_tokens(text: str, reader_or_chain=()) -> list[tuple[str, int]]:
     chain: list = ()
     tokenizer = "TokenCodeWord"
     normalizer = "NormalizerAuto"
+    cache = None
     if isinstance(reader_or_chain, IndexReader):
+        # tokenizer/normalizer/chain are fixed per reader, so query
+        # tokenization is a pure function of the text — memoize on the
+        # reader (the vectorized tokenizer's constant overhead is ~25%
+        # of a short query's latency; serving batches repeat terms)
+        cache = getattr(reader_or_chain, "_qtok_cache", None)
+        if cache is None:
+            cache = reader_or_chain._qtok_cache = {}
+        hit = cache.get(text)
+        if hit is not None:
+            return list(hit)
         chain = reader_or_chain.query_chain
         cfg = reader_or_chain.meta.get("config", {})
         tokenizer = cfg.get("tokenizer", "TokenCodeWord")
@@ -277,6 +288,8 @@ def _query_tokens(text: str, reader_or_chain=()) -> list[tuple[str, int]]:
         stream = _tok(text, tokenizer, mode="get", normalizer=normalizer or None)
         toks = [(t.term, t.pos) for t in stream.tokens]
     if not chain or not toks:
+        if cache is not None and len(cache) < 8192:
+            cache[text] = tuple(toks)
         return toks
     from .tokenfilters import apply_chain
 
@@ -284,7 +297,10 @@ def _query_tokens(text: str, reader_or_chain=()) -> list[tuple[str, int]]:
         chain, pa.array([t for t, _ in toks], type=pa.large_string()), "get"
     )
     pos = [toks[i][1] for i in idx.tolist()]
-    return list(zip(terms.to_pylist(), pos))
+    out = list(zip(terms.to_pylist(), pos))
+    if cache is not None and len(cache) < 8192:
+        cache[text] = tuple(out)
+    return out
 
 
 def _collect_query_keywords(query: str) -> list[str]:

@@ -142,6 +142,16 @@ class SectionIndex:
         self._bucket_files: dict[int, _BucketFile] = {}
         self._rg_cache: dict[tuple[int, int], pa.Table] = {}
         self._row_cache: dict[int, list[dict]] = {}
+        # decoded-postings LRU (hot query terms skip varbyte decode +
+        # concat entirely — the index-structure analogue of the
+        # reference's mmap'd buffers staying in page cache; NOT the
+        # result cache, so --cache no does not bypass it). Byte-bounded
+        # so a few mega-df terms can't blow up a query actor's heap.
+        from collections import OrderedDict
+
+        self._pl_cache: OrderedDict[tuple, codec.PostingList] = OrderedDict()
+        self._pl_cache_bytes = 0
+        self._pl_cache_max_bytes = 64 << 20
         self.bytes_read = 0          # posting bytes fetched (test/observability)
         self.lex_bytes_read = 0      # lexicon bytes fetched
 
@@ -349,13 +359,36 @@ class SectionIndex:
         return rows
 
     def postings(self, tid: int, min_docid: int | None = None, with_positions: bool = False) -> codec.PostingList:
+        key = (tid, with_positions)
+        if min_docid is None:
+            pl = self._pl_cache.get(key)
+            if pl is not None:
+                self._pl_cache.move_to_end(key)
+                return pl
         rows = self.posting_rows(tid)
         if not rows:
             return codec.PostingList(np.empty(0, np.uint64), np.empty(0, np.uint64))
         if len(rows) == 1:
-            return codec.decode_postings(rows[0], min_docid=min_docid, with_positions=with_positions)
-        merged = codec.concat_posting_rows(rows)
-        return codec.decode_postings(merged, min_docid=min_docid, with_positions=with_positions)
+            pl = codec.decode_postings(rows[0], min_docid=min_docid, with_positions=with_positions)
+        else:
+            merged = codec.concat_posting_rows(rows)
+            pl = codec.decode_postings(merged, min_docid=min_docid, with_positions=with_positions)
+        if min_docid is None:
+            nb = pl.docids.nbytes + pl.tfs.nbytes
+            if pl.positions is not None:
+                nb += pl.positions.nbytes + pl.pos_offsets.nbytes
+            # cached PostingLists are shared read-only snapshots; all
+            # consumers index into them (copies), never write in place
+            if nb <= self._pl_cache_max_bytes // 4:
+                self._pl_cache[key] = pl
+                self._pl_cache_bytes += nb
+                while self._pl_cache_bytes > self._pl_cache_max_bytes and self._pl_cache:
+                    _, old = self._pl_cache.popitem(last=False)
+                    ob = old.docids.nbytes + old.tfs.nbytes
+                    if old.positions is not None:
+                        ob += old.positions.nbytes + old.pos_offsets.nbytes
+                    self._pl_cache_bytes -= ob
+        return pl
 
 
 def _prefix_upper(prefix: str) -> str | None:
@@ -493,6 +526,29 @@ class DoclenStore:
         self._files = [files[i] for i in order]
         self._loaded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._total: int | None = None
+        self._dense: np.ndarray | None = None
+        self._dense_tried = False
+
+    # docid spans up to this many entries get ONE dense uint32 array
+    # (O(1) fancy-index gather instead of per-shard searchsorted — the
+    # BM25 dl lookup is ~30% of a short query). 2^25 entries = 128 MB
+    # per store; bigger corpora keep the bounded shard-gather path.
+    _DENSE_MAX = 1 << 25
+
+    def _try_dense(self) -> None:
+        self._dense_tried = True
+        if not self._files:
+            return
+        base = int(self._lo.min())
+        span = int(self._hi.max()) - base + 1
+        if span <= 0 or span > self._DENSE_MAX:
+            return
+        dense = np.zeros(span, np.uint32)
+        for i in range(len(self._files)):
+            ids, dls = self._shard(i)
+            dense[ids.astype(np.int64) - base] = dls
+        self._dense = dense
+        self._dense_base = base
 
     def _shard(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         arr = self._loaded.get(i)
@@ -509,6 +565,13 @@ class DoclenStore:
         d = np.asarray(docids, np.uint64).ravel()
         out = np.zeros(len(d), np.uint32)
         if len(d) == 0:
+            return out
+        if not self._dense_tried:
+            self._try_dense()
+        if self._dense is not None:
+            idx = d.astype(np.int64) - self._dense_base
+            ok = (idx >= 0) & (idx < len(self._dense))
+            out[ok] = self._dense[idx[ok]]
             return out
         fi = np.searchsorted(self._lo, d, side="right") - 1
         fi = np.clip(fi, 0, len(self._files) - 1)

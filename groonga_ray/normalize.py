@@ -6,17 +6,44 @@ REMOVE_BLANK (whitespace is dropped from the normalized string and the
 *preceding* emitted character is flagged BLANK), and WITH_TYPES (a char
 class per normalized character: ALPHA/DIGIT/SYMBOL/KANJI/...).
 
-Parity scope: exact for ASCII (which is what the code corpus and the
-reference's ASCII golden tests exercise); non-ASCII uses Python's
-unicodedata NFKC + category classes rather than the reference's
-generated nfkc.c tables.
+Parity scope: the tokenizer path (:func:`normalize`) is byte-exact
+against the reference for BOTH ASCII and non-ASCII when
+``data/nfkc.npz`` is present — a compact dump of the reference's
+generated nfkc.c tables (lib/nfkc.c:26 char types, :9693 map1,
+:24478 map2; produced by tools/gen_nfkc_tables.py, which compiles and
+probes the generated functions). Without the data file, or for
+:func:`normalize_detailed` (the normalize *command*'s checks view),
+non-ASCII falls back to Python's unicodedata NFKC + category classes.
 """
 
 from __future__ import annotations
 
+import os
 import unicodedata
 
 import numpy as np
+
+_NFKC_TABLES: "dict | None | bool" = None
+
+
+def _nfkc_tables():
+    """Lazy-load the reference-exact NFKC tables; False when absent."""
+    global _NFKC_TABLES
+    if _NFKC_TABLES is None:
+        path = os.path.join(os.path.dirname(__file__), "data", "nfkc.npz")
+        if os.path.exists(path):
+            z = np.load(path, allow_pickle=True)
+            _NFKC_TABLES = {
+                "ctype": z["char_type"],
+                "map1": dict(zip(z["map1_cp"].tolist(), z["map1_str"].tolist())),
+                "map2": {
+                    (p, s): o
+                    for p, s, o in zip(z["map2_pre"], z["map2_suf"], z["map2_out"])
+                },
+            }
+        else:
+            _NFKC_TABLES = False
+    return _NFKC_TABLES
 
 # char classes, same ordering idea as grn_char_type (groonga.h)
 CHAR_NULL = 0
@@ -69,6 +96,9 @@ def normalize(text: str, nfkc: bool = True) -> tuple[str, np.ndarray, np.ndarray
       GRN_STR_ISBLANK bit, set on the preceding char because blanks
       themselves are removed under GRN_STRING_REMOVE_BLANK).
     """
+    tabs = _nfkc_tables() if nfkc else False
+    if tabs:
+        return _normalize_tables(text, tabs)
     if nfkc:
         text = unicodedata.normalize("NFKC", text)
     text = text.lower()
@@ -84,6 +114,38 @@ def normalize(text: str, nfkc: bool = True) -> tuple[str, np.ndarray, np.ndarray
         out_chars.append(ch)
         classes.append(cls)
         blanks.append(False)
+    return "".join(out_chars), np.array(classes, np.uint8), np.array(blanks, bool)
+
+
+def _normalize_tables(text: str, tabs: dict) -> tuple[str, np.ndarray, np.ndarray]:
+    """Reference-exact utf8_normalize (lib/normalizer.c:616-757) over
+    the dumped nfkc.c tables: map1 per source char (NFKC decompose +
+    casefold), map2 pairwise composition against the LAST EMITTED char
+    (on match the composite replaces both the previous char and the
+    whole mapped sequence, exactly as the C replaces p with p2), then
+    blank removal (' ' and unprintable ASCII flag the preceding char)
+    with grn_nfkc_char_type per emitted char."""
+    map1, map2, ctype = tabs["map1"], tabs["map2"], tabs["ctype"]
+    out_chars: list[str] = []
+    classes: list[int] = []
+    blanks: list[bool] = []
+    for ch in text:
+        seq = map1.get(ord(ch), ch)
+        if out_chars and seq:
+            comp = map2.get((out_chars[-1], seq[0]))
+            if comp is not None:
+                out_chars.pop()
+                classes.pop()
+                blanks.pop()
+                seq = comp
+        for c in seq:
+            if c == " " or ord(c) < 0x20:
+                if out_chars:
+                    blanks[-1] = True
+                continue
+            out_chars.append(c)
+            classes.append(int(ctype[ord(c)]))
+            blanks.append(False)
     return "".join(out_chars), np.array(classes, np.uint8), np.array(blanks, bool)
 
 

@@ -774,79 +774,176 @@ def semantic_dedup(
 _EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
 
-def _edge_fingerprint(edges: "ray.data.Dataset") -> tuple:
-    """Order-independent fingerprint of an edge multiset: (count,
-    sum(u), sum(v), wrapped sum of a per-edge mix). Only #blocks tiny
-    partial rows ever reach the driver."""
+# ---------------- task-based star rounds (the at-scale CC path)
+#
+# The star rounds are ITERATIVE with a tiny per-round data dependency
+# (a convergence fingerprint); expressing each round as Dataset
+# groupby/join chains costs ~8 all-to-all operator launches per round,
+# and round LATENCY — not data volume — dominates (measured minutes
+# for a 300k-edge graph with deep chains). This is the case where the
+# Dataset API genuinely can't express the semantics efficiently, so
+# the rounds run as raw Ray tasks: edge state lives in the object
+# store as P hash(u)-partitions, each round is one wave of P
+# large-star tasks and one wave of P small-star tasks (numpy
+# sort+reduceat inside), and the driver sees only 4-number
+# fingerprints. Partition-local pair dedup is global dedup because u
+# determines the partition.
 
-    def partial(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
-        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = u * np.uint64(0x9E3779B97F4A7C15) ^ v * np.uint64(0xC2B2AE3D27D4EB4F)
-        return pa.table(
-            {
-                "n": pa.array([len(u)], pa.int64()),
-                "su": pa.array([int(u.sum(dtype=np.uint64))], pa.uint64()),
-                "sv": pa.array([int(v.sum(dtype=np.uint64))], pa.uint64()),
-                "sh": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
-            }
-        )
-
-    parts = edges.map_batches(partial, batch_format="pyarrow").take_all()
-    M = (1 << 64) - 1
-    return (
-        sum(p["n"] for p in parts),
-        sum(p["su"] for p in parts) & M,
-        sum(p["sv"] for p in parts) & M,
-        sum(p["sh"] for p in parts) & M,
-    )
+_CC_MIX_A = 0x9E3779B97F4A7C15
+_CC_MIX_B = 0xC2B2AE3D27D4EB4F
 
 
-def _distinct_edges(edges: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
-    """Distinct (u, v) rows via a two-key hash groupby (pre-deduped per
-    batch first so the exchange moves unique rows only)."""
+def _cc_hash_part(x: np.ndarray, P: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = x.astype(np.uint64) * np.uint64(_CC_MIX_A)
+    return ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
 
-    def local(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return _EDGE_SCHEMA.empty_table()
-        u = batch.column("u").to_numpy(zero_copy_only=False)
-        v = batch.column("v").to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, u))
-        u, v = u[order], v[order]
+
+def _cc_dedup_pairs(u: np.ndarray, v: np.ndarray):
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    if len(u):
         keep = np.concatenate([[True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])])
-        return pa.table({"u": pa.array(u[keep], pa.int64()), "v": pa.array(v[keep], pa.int64())})
+        u, v = u[keep], v[keep]
+    return u, v
 
-    def drop_count(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "u" not in batch.schema.names:
-            return _EDGE_SCHEMA.empty_table()
-        return batch.select(["u", "v"])
 
+def _cc_split(u: np.ndarray, v: np.ndarray, P: int) -> list:
+    """P (u, v) tables split by hash(u)."""
+    part = _cc_hash_part(u, P)
+    order = np.argsort(part, kind="stable")
+    u, v, part = u[order], v[order], part[order]
+    bounds = np.searchsorted(part, np.arange(P + 1))
+    return [
+        pa.table({"u": pa.array(u[a:b], pa.int64()), "v": pa.array(v[a:b], pa.int64())})
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+
+
+def _cc_concat(tables: list) -> tuple:
+    us = [t.column("u").to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
+    vs = [t.column("v").to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
+    if not us:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     return (
-        edges.map_batches(local, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .count()
-        .map_batches(drop_count, batch_format="pyarrow")
+        np.concatenate(us).astype(np.int64),
+        np.concatenate(vs).astype(np.int64),
     )
 
 
-def _node_min(edges: "ray.data.Dataset", num_partitions: int) -> "ray.data.Dataset":
-    """(ju, m) = per-node min neighbor (min over v grouped by u),
-    normalized for use as a join right side. The repartition folds away
-    the hash aggregator's schema-less empty partitions, which otherwise
-    break Dataset.join (pyarrow FieldRef lookup on an empty table)."""
+def _cc_group_min(x: np.ndarray, y: np.ndarray):
+    """Per sorted-group min: returns (sorted x, sorted y, starts, m)
+    where m[g] = min(min y in group g, group key)."""
+    order = np.argsort(x, kind="stable")
+    x, y = x[order], y[order]
+    starts = np.flatnonzero(np.concatenate([[True], x[1:] != x[:-1]]))
+    m = np.minimum(np.minimum.reduceat(y, starts), x[starts])
+    return x, y, starts, m
 
-    def rename(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or batch.num_columns < 2:
-            return pa.schema([("ju", pa.int64()), ("m", pa.int64())]).empty_table()
-        return batch.rename_columns(["ju", "m"])
 
-    return (
-        edges.groupby("u")
-        .min("v")
-        .map_batches(rename, batch_format="pyarrow")
-        .repartition(num_partitions)
+def _cc_ls_task(P: int, dir_tables: list, rev_tables: list):
+    """Large-star over this partition's incident rows (directed +
+    reversed): connect each strictly-greater neighbor to the node's
+    min; emit split by hash(new u)."""
+    import ray
+
+    du, dv = _cc_concat(ray.get(list(dir_tables)))
+    ru, rv = _cc_concat(ray.get(list(rev_tables)))
+    x = np.concatenate([du, ru])
+    y = np.concatenate([dv, rv])
+    if len(x) == 0:
+        empty = _EDGE_SCHEMA.empty_table()
+        return tuple([empty] * P)
+    x, y = _cc_dedup_pairs(x, y)
+    x, y, starts, m = _cc_group_min(x, y)
+    reps = np.diff(np.append(starts, len(x)))
+    mrow = np.repeat(m, reps)
+    keep = (y > x) & (y != mrow)
+    nu, nv = _cc_dedup_pairs(y[keep], mrow[keep])
+    return tuple(_cc_split(nu, nv, P))
+
+
+def _cc_ss_task(P: int, dir_tables: list):
+    """Small-star over directed (large->small) edges: connect every
+    neighbor and the node itself to the node's min. Returns P directed
+    splits + P reversed splits + a fingerprint tuple."""
+    import ray
+
+    u, v = _cc_concat(ray.get(list(dir_tables)))
+    if len(u) == 0:
+        empty = _EDGE_SCHEMA.empty_table()
+        return tuple([empty] * (2 * P)) + ((0, 0, 0, 0),)
+    u, v = _cc_dedup_pairs(u, v)
+    su, sv, starts, m = _cc_group_min(u, v)
+    reps = np.diff(np.append(starts, len(su)))
+    mrow = np.repeat(m, reps)
+    keep = sv != mrow
+    nu = np.concatenate([sv[keep], su[starts]])
+    nv = np.concatenate([mrow[keep], m])
+    nu, nv = _cc_dedup_pairs(nu, nv)
+    with np.errstate(over="ignore"):
+        h = (
+            nu.astype(np.uint64) * np.uint64(_CC_MIX_A)
+            ^ nv.astype(np.uint64) * np.uint64(_CC_MIX_B)
+        )
+    fp = (
+        int(len(nu)),
+        int(nu.sum(dtype=np.uint64) if len(nu) else 0),
+        int(nv.sum(dtype=np.uint64) if len(nv) else 0),
+        int(h.sum(dtype=np.uint64) if len(h) else 0),
     )
+    return tuple(_cc_split(nu, nv, P)) + tuple(_cc_split(nv, nu, P)) + (fp,)
+
+
+def _cc_split2_task(tbl: pa.Table, P: int):
+    """Initial scatter: directed splits by hash(u) + reversed by hash(v)."""
+    u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    return tuple(_cc_split(u, v, P)) + tuple(_cc_split(v, u, P))
+
+
+def _cc_star_rounds_tasks(
+    E_raw: "ray.data.Dataset", P: int, max_rounds: int
+) -> "ray.data.Dataset":
+    """Run the large-star/small-star rounds as task waves; returns the
+    converged star edge set as a Dataset (one block per partition)."""
+    import ray
+
+    split2 = ray.remote(num_returns=2 * P)(_cc_split2_task)
+    ls = ray.remote(num_returns=P)(_cc_ls_task)
+    ss = ray.remote(num_returns=2 * P + 1)(_cc_ss_task)
+
+    dirs: list[list] = [[] for _ in range(P)]
+    revs: list[list] = [[] for _ in range(P)]
+    for ref in E_raw.to_arrow_refs():
+        outs = split2.remote(ref, P)
+        for i in range(P):
+            dirs[i].append(outs[i])
+            revs[i].append(outs[P + i])
+
+    M = (1 << 64) - 1
+    fp_prev = None
+    for _ in range(max_rounds):
+        ls_outs = [ls.remote(P, dirs[i], revs[i]) for i in range(P)]
+        mid_dirs = [[ls_outs[j][i] for j in range(P)] for i in range(P)]
+        ss_outs = [ss.remote(P, mid_dirs[i]) for i in range(P)]
+        dirs = [[ss_outs[j][i] for j in range(P)] for i in range(P)]
+        revs = [[ss_outs[j][P + i] for j in range(P)] for i in range(P)]
+        fps = ray.get([ss_outs[j][2 * P] for j in range(P)])
+        fp = tuple(sum(f[k] for f in fps) & M for k in range(4))
+        if fp == fp_prev:
+            break
+        fp_prev = fp
+    else:
+        raise RuntimeError(f"dup_clusters did not converge in {max_rounds} rounds")
+
+    import ray.data
+
+    flat = [r for part in dirs for r in part]
+    return ray.data.from_arrow_refs(flat)
+
+
+
 
 
 def _cc_driver_numpy(u: np.ndarray, v: np.ndarray) -> pa.Table:
@@ -918,13 +1015,6 @@ def dup_clusters(
         u, v = np.maximum(a, b), np.minimum(a, b)
         return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
 
-    def sym(batch: pa.Table) -> pa.Table:
-        u = batch.column("u").combine_chunks()
-        v = batch.column("v").combine_chunks()
-        return pa.table(
-            {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
-        )
-
     E_raw = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
     n_raw = E_raw.count()  # metadata on a materialized dataset, no pass
     if n_raw == 0:
@@ -947,61 +1037,9 @@ def dup_clusters(
             )
         )
 
-    E = _distinct_edges(E_raw, num_partitions).materialize()
-    fp = _edge_fingerprint(E)
-
-    for _ in range(max_rounds):
-        # ---- large-star: for every node u, connect neighbors v > u to
-        # m = min(N(u) + {u})
-        S = E.map_batches(sym, batch_format="pyarrow")
-        J = S.join(_node_min(S, num_partitions), "inner", num_partitions,
-                   on=("u",), right_on=("ju",))
-
-        def ls_emit(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _EDGE_SCHEMA.empty_table()
-            u = batch.column("u").to_numpy(zero_copy_only=False)
-            v = batch.column("v").to_numpy(zero_copy_only=False)
-            m = np.minimum(batch.column("m").to_numpy(zero_copy_only=False), u)
-            keep = (v > u) & (v != m)
-            return pa.table({"u": pa.array(v[keep], pa.int64()),
-                             "v": pa.array(m[keep], pa.int64())})
-
-        E = _distinct_edges(J.map_batches(ls_emit, batch_format="pyarrow"), num_partitions)
-        E = E.materialize()
-
-        # ---- small-star: edges already point large->small, so N-(u) =
-        # {v}; connect m = min(N-(u) + {u}) to every v and to u itself
-        Mtbl = _node_min(E, num_partitions).materialize()
-        J = E.join(Mtbl, "inner", num_partitions, on=("u",), right_on=("ju",))
-
-        def ss_emit(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _EDGE_SCHEMA.empty_table()
-            v = batch.column("v").to_numpy(zero_copy_only=False)
-            m = batch.column("m").to_numpy(zero_copy_only=False)
-            keep = v != m
-            return pa.table({"u": pa.array(v[keep], pa.int64()),
-                             "v": pa.array(m[keep], pa.int64())})
-
-        def m_edges(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or "ju" not in batch.schema.names:
-                return _EDGE_SCHEMA.empty_table()
-            return pa.table({"u": batch.column("ju"), "v": batch.column("m")})
-
-        E = _distinct_edges(
-            J.map_batches(ss_emit, batch_format="pyarrow")
-            .union(Mtbl.map_batches(m_edges, batch_format="pyarrow")),
-            num_partitions,
-        )
-        E = E.materialize()
-
-        new_fp = _edge_fingerprint(E)
-        if new_fp == fp:
-            break
-        fp = new_fp
-    else:
-        raise RuntimeError(f"dup_clusters did not converge in {max_rounds} rounds")
+    # large-star/small-star rounds as raw-task waves (see
+    # _cc_star_rounds_tasks for why this is not a Dataset pipeline)
+    E = _cc_star_rounds_tasks(E_raw, num_partitions, max_rounds)
 
     # E is now a union of stars: (v, m) with m = component min
     def labels(batch: pa.Table) -> pa.Table:

@@ -531,13 +531,23 @@ def top_k(
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
     take = min(n, offset + k)
+    docids, scores = result.docids, result.scores
+    if 0 < take and take * 16 < n:
+        # partial sort: argpartition narrows to the candidates whose
+        # score reaches the take-th boundary (ties at the boundary are
+        # all kept so the docid tiebreak below stays exact), then the
+        # full lexsort runs over that small set only
+        part = np.argpartition(-scores, take - 1)[:take]
+        kth = scores[part].min()
+        cand = np.flatnonzero(scores >= kth)
+        docids, scores = docids[cand], scores[cand]
     second = (
-        result.docids if tie == "asc"
-        else result.docids.astype(np.int64) * -1
+        docids if tie == "asc"
+        else docids.astype(np.int64) * -1
     )
-    order = np.lexsort((second, -result.scores))[:take]
+    order = np.lexsort((second, -scores))[:take]
     order = order[offset:]
-    return result.docids[order], result.scores[order]
+    return docids[order], scores[order]
 
 
 # ---------------------------------------------------------------- WAND

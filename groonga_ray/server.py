@@ -442,9 +442,9 @@ class CommandServer:
         params = {k: v for k, v in parse_qsl(parts.query, keep_blank_values=True)}
         if body_values is not None:
             params["values"] = body_values
-        # output_type: json (default) or tsv, from the query arg or the
-        # /d/<command>.<type> path suffix (grn_ctx_qe_exec,
-        # lib/ctx.c:1240-1256); xml/msgpack stay out of scope
+        # output_type: json (default), tsv, or msgpack, from the query
+        # arg or the /d/<command>.<type> path suffix (grn_ctx_qe_exec,
+        # lib/ctx.c:1240-1256); xml stays out of scope
         output_type = params.pop("output_type", "json")
         params.pop("command_version", None)  # v1 only
         status = 200
@@ -456,7 +456,7 @@ class CommandServer:
             status, rc, err = 404, GRN_INVALID_ARGUMENT, f"not found: {path}"
         else:
             name = path[3:]
-            for suffix in (".json", ".tsv"):
+            for suffix in (".json", ".tsv", ".msgpack"):
                 if name.endswith(suffix):
                     name = name[: -len(suffix)]
                     output_type = suffix[1:]
@@ -469,6 +469,20 @@ class CommandServer:
                 rc, round(started, 6), round(elapsed, 6), body, err
             ).encode("utf-8")
             mime = "text/tab-separated-values"
+        elif output_type == "msgpack":
+            # same envelope the JSON writer renders, packed binary
+            # (lib/output.c msgpack_pack_* over the identical element
+            # stream; mime lib/ctx.c:1130)
+            from .msgpackio import pack
+
+            head = [rc, round(started, 6), round(elapsed, 6)]
+            if err is not None:
+                head.append(err)
+                env = [head]
+            else:
+                env = [head, body] if body is not None else [head]
+            payload = pack(env)
+            mime = "application/x-msgpack"
         else:
             head = [rc, round(started, 6), round(elapsed, 6)]
             if err is not None:

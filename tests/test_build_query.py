@@ -368,6 +368,92 @@ def test_sort_input_files_distributed(built, tmp_path):
         assert s1.get(k) == s2.get(k), k
 
 
+def test_sort_build_index_fused(built, tmp_path):
+    """Fused sort+build (tokenize inside the sort's finalize tasks)
+    must produce an index identical to sort_input_files -> build_index:
+    same stats, same lexicon, same query results — and a rerun resumes
+    (all manifests revalidate, no work repeated)."""
+    import pyarrow as pa
+
+    from groonga_ray.build import sort_build_index
+
+    files, index_dir, cfg, meta = built
+    tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+    rng = np.random.default_rng(11)
+    shuffled = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+    unsorted_dir = tmp_path / "unsorted"
+    unsorted_dir.mkdir()
+    half = tbl.num_rows // 2
+    pq.write_table(shuffled.slice(0, half), str(unsorted_dir / "in-0.parquet"))
+    pq.write_table(
+        shuffled.slice(half, tbl.num_rows - half), str(unsorted_dir / "in-1.parquet")
+    )
+
+    sorted_dir = str(tmp_path / "fused_sorted")
+    idx = str(tmp_path / "fused_idx")
+    meta2 = sort_build_index(
+        [str(unsorted_dir / "in-0.parquet"), str(unsorted_dir / "in-1.parquet")],
+        ["repo", "path"],
+        sorted_dir,
+        idx,
+        cfg,
+    )
+    assert meta2["n_docs"] == meta["n_docs"]
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        s1 = json.load(fh)
+    with open(os.path.join(idx, "stats.json")) as fh:
+        s2 = json.load(fh)
+    assert s1 == s2
+
+    # identical lexicon SEMANTICS (term/df/cf). The salt-part layout
+    # (n_parts/parts/buckets) legitimately differs: it derives from
+    # shard boundaries, which follow file boundaries, and the fused
+    # sort writes range-sized files rather than the fixture's 4
+    import glob as _glob
+    import pyarrow.compute as _pcc
+
+    def lex_semantics(d):
+        t = pa.concat_tables(
+            pq.read_table(f, columns=["term", "df", "cf"])
+            for f in sorted(_glob.glob(os.path.join(d, "sec=content", "lexicon", "bucket=*.parquet")))
+        )
+        return t.take(_pcc.sort_indices(t, sort_keys=[("term", "ascending")]))
+
+    assert lex_semantics(index_dir).equals(lex_semantics(idx))
+
+    # identical query results through the engine
+    from groonga_ray.engine import IndexedTable, select
+
+    sorted_files = sorted(
+        os.path.join(sorted_dir, f)
+        for f in os.listdir(sorted_dir)
+        if f.endswith(".parquet")
+    )
+    r1 = select(
+        IndexedTable(index_dir, sorted(files)),
+        query="query", match_columns="content", limit=10, sortby="-_score,_id",
+        output_columns=("_id", "_score"),
+    )["rows"]
+    r2 = select(
+        IndexedTable(idx, sorted_files),
+        query="query", match_columns="content", limit=10, sortby="-_score,_id",
+        output_columns=("_id", "_score"),
+    )["rows"]
+    assert r1.column("_id").to_pylist() == r2.column("_id").to_pylist()
+    assert r1.column("_score").to_pylist() == r2.column("_score").to_pylist()
+
+    # rerun = pure resume: marker + manifests revalidate
+    meta3 = sort_build_index(
+        [str(unsorted_dir / "in-0.parquet"), str(unsorted_dir / "in-1.parquet")],
+        ["repo", "path"],
+        sorted_dir,
+        idx,
+        cfg,
+    )
+    assert meta3["n_docs"] == meta2["n_docs"]
+    assert meta3["timings"]["fused_sort_tokenize_sec"] < 2.0  # skipped, not re-sorted
+
+
 def test_auto_rows_per_shard_from_metadata(tmp_path):
     """target_rows_per_shard=None derives the shard size from parquet
     footer statistics at the ~TARGET_SHARD_TEXT_BYTES text budget."""

@@ -233,3 +233,23 @@ def test_register_command_and_shutdown(ray_session, tmp_path):
             break
         time.sleep(0.1)
     assert not server._thread.is_alive()
+
+
+def test_output_type_msgpack(srv):
+    from groonga_ray.msgpackio import unpack
+    _, base = srv
+    q = ("/d/select?table=documents&query=query&output_columns=_id,_score"
+         "&limit=2")
+    with urllib.request.urlopen(base + q, timeout=10) as r:
+        env_json = json.loads(r.read().decode("utf-8"))
+    with urllib.request.urlopen(base + q + "&output_type=msgpack", timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("application/x-msgpack")
+        env_mp = unpack(r.read())
+    # identical body; head timings differ between the two requests
+    assert env_mp[0][0] == env_json[0][0] == 0
+    assert env_mp[1] == env_json[1]
+    # .msgpack path suffix on a map-shaped body (status)
+    with urllib.request.urlopen(base + "/d/status.msgpack", timeout=10) as r:
+        st = unpack(r.read())
+    assert st[0][0] == 0
+    assert isinstance(st[1], dict) and "version" in st[1]

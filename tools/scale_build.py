@@ -81,6 +81,10 @@ def main() -> None:
                     help="resume demo: SIGKILL a subprocess build after this many seconds, then rebuild")
     ap.add_argument("--skip-sort", action="store_true",
                     help="reuse an existing sorted dir from a prior run")
+    ap.add_argument("--fused", action="store_true",
+                    help="use build.sort_build_index (sort finalize tasks "
+                         "tokenize in-memory): one cold path, no corpus "
+                         "re-read between sort and stage A")
     ap.add_argument("--keep-runs", action="store_true",
                     help="do NOT wipe the stage-A run dir before building (the "
                          "kill-resume demo needs surviving manifests; a timed "
@@ -117,7 +121,12 @@ def main() -> None:
     out["corpus_gb"] = round(sum(os.path.getsize(f) for f in files) / 1e9, 2)
 
     sorted_dir = f"/tmp/scale_sorted_{args.rows}"
-    if not (args.skip_sort and os.path.isdir(sorted_dir)):
+    if args.fused:
+        sorted_dir += "_fused"
+        if not args.skip_sort:
+            shutil.rmtree(sorted_dir, ignore_errors=True)
+        sorted_files = None  # sort_build_index owns the sort
+    elif not (args.skip_sort and os.path.isdir(sorted_dir)):
         shutil.rmtree(sorted_dir, ignore_errors=True)
         ms = MemSampler(); ms.start()
         t0 = time.time()
@@ -129,7 +138,8 @@ def main() -> None:
             os.path.join(sorted_dir, f) for f in os.listdir(sorted_dir)
             if f.endswith(".parquet")
         )
-    out["sorted_files"] = len(sorted_files)
+    if sorted_files is not None:
+        out["sorted_files"] = len(sorted_files)
 
     # untimed warm build (same recipe as bench.py): this sandbox's
     # first-touch page-fault path is ~60x slow, so a fresh process
@@ -170,7 +180,18 @@ def main() -> None:
     cfg = BuildConfig(**cfg_kw)
     ms = MemSampler(); ms.start()
     t0 = time.time()
-    meta = build_index(sorted_files, idx_dir, cfg, concurrency=max(4, args.cpus - 2))
+    if args.fused:
+        from groonga_ray.build import sort_build_index
+
+        meta = sort_build_index(
+            files, ["repo", "path"], sorted_dir, idx_dir, cfg,
+            concurrency=max(4, args.cpus - 2),
+        )
+        out["fused_sort_tokenize_sec"] = meta["timings"]["fused_sort_tokenize_sec"]
+        out["cold_total_sec"] = meta["timings"]["cold_total_sec"]
+        out["sorted_files"] = len(meta["sorted_files"])
+    else:
+        meta = build_index(sorted_files, idx_dir, cfg, concurrency=max(4, args.cpus - 2))
     out["build_sec"] = round(time.time() - t0, 1)
     out["build_peak_mem_gb"] = ms.stop()
     out["stage_a_sec"] = meta["timings"]["stage_a_sec"]
@@ -195,6 +216,13 @@ def run_kill_resume(args) -> None:
             "--out", idx_dir, "--skip-sort", "--keep-runs"]
     if args.merge_slice_postings:
         base += ["--merge-slice-postings", str(args.merge_slice_postings)]
+    if args.fused:
+        # fused resume: --skip-sort keeps the sorted dir so the rerun
+        # revalidates scatter.done.json / sort.done.json / shard
+        # manifests instead of repeating finished work — wipe it only
+        # here, before the first (killed) attempt
+        shutil.rmtree(f"/tmp/scale_sorted_{args.rows}_fused", ignore_errors=True)
+        base += ["--fused"]
     p = subprocess.Popen(base, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
     time.sleep(args.kill_after)
     p.kill(); p.wait()

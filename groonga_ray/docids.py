@@ -261,6 +261,18 @@ def _scatter_to_runs(
     batch_rows = max(1024, int(target_batch_bytes / per_row))
     if n_ranges is None:
         n_ranges = max(1, min(4096, -(-total // target_rows_per_range)))
+        # ranges bound finalize parallelism, not just memory: lift the
+        # count to >=2 task waves across the cluster's cores (smaller
+        # ranges only shrink each task's working set, never grow it)
+        try:
+            import ray as _ray
+
+            ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        if total > 64 * ncpu * 1024:
+            n_ranges = min(4096, max(n_ranges, 2 * ncpu))
+            target_rows_per_range = max(1, -(-total // n_ranges))
 
     fingerprint = {
         "files": file_rows,

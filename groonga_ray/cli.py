@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -32,7 +33,7 @@ def _ray_init(num_cpus: int | None):
 
 
 def cmd_build(args):
-    from .build import BuildConfig, build_index
+    from .build import BuildConfig, build_index, sort_build_index
 
     _ray_init(args.num_cpus)
     cfg = BuildConfig(
@@ -41,7 +42,16 @@ def cmd_build(args):
         n_buckets=args.buckets,
         target_rows_per_shard=args.rows_per_shard,
     )
-    meta = build_index(sorted(args.files), args.index, cfg, concurrency=args.concurrency)
+    if args.sort_by:
+        # unsorted ingest: the fused cold path (range sort + in-memory
+        # tokenize per range — one corpus pass less than sort-then-build)
+        sorted_dir = args.sorted_dir or os.path.join(args.index, "_sorted")
+        meta = sort_build_index(
+            sorted(args.files), args.sort_by.split(","), sorted_dir,
+            args.index, cfg, concurrency=args.concurrency,
+        )
+    else:
+        meta = build_index(sorted(args.files), args.index, cfg, concurrency=args.concurrency)
     print(json.dumps(meta, indent=1))
 
 
@@ -270,6 +280,13 @@ def main(argv=None):
     b.add_argument("--rows-per-shard", type=int, default=None)  # None = auto from parquet metadata (~8M tokens/shard)
     b.add_argument("--concurrency", type=int, default=None)
     b.add_argument("--num-cpus", type=int, default=None)
+    b.add_argument("--sort-by", default=None,
+                   help="comma-separated key columns for UNSORTED input: "
+                        "runs the fused distributed sort + build "
+                        "(docids = global key rank)")
+    b.add_argument("--sorted-dir", default=None,
+                   help="where the fused path writes the key-sorted corpus "
+                        "(default <index>/_sorted); the engine serves from it")
     b.add_argument("files", nargs="+")
     b.set_defaults(fn=cmd_build)
 

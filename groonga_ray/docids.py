@@ -120,13 +120,38 @@ def compute_rank_mapping(files: list[str], key_columns: list[str], n_ranges: int
 
 
 def _composite_key(tbl, key_columns: list[str]):
-    """NUL-joined binary composite of the key columns (keys are text;
-    NUL sorts below every other byte, so composite order == tuple
-    order)."""
+    """NUL-joined binary composite of the key columns whose BYTE order
+    equals tuple order. Text keys cast directly (NUL sorts below every
+    other byte). Integer and float keys encode as 8-byte big-endian
+    with the sign bit flipped (floats: full bit-inversion for
+    negatives — the standard IEEE-754 order-preserving transform);
+    the fixed width keeps alignment, so embedded NULs can't confuse
+    the field separator."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    cols = [pc.cast(tbl.column(c), pa.large_binary()) for c in key_columns]
+    def enc(c: str):
+        col = tbl.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_integer(t):
+            a = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            u = a.view(np.uint64) ^ np.uint64(1 << 63)
+            buf = pa.py_buffer(u.astype(">u8").tobytes())
+            fsb = pa.Array.from_buffers(pa.binary(8), len(u), [None, buf])
+            return fsb.cast(pa.large_binary())
+        if pa.types.is_floating(t):
+            a = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            u = a.view(np.uint64)
+            neg = (u >> np.uint64(63)).astype(bool)
+            u = np.where(neg, ~u, u ^ np.uint64(1 << 63))
+            buf = pa.py_buffer(u.astype(">u8").tobytes())
+            fsb = pa.Array.from_buffers(pa.binary(8), len(u), [None, buf])
+            return fsb.cast(pa.large_binary())
+        return pc.cast(col, pa.large_binary())
+
+    cols = [enc(c) for c in key_columns]
     if len(cols) == 1:
         return cols[0]
     sep = pa.scalar(b"\x00", type=pa.large_binary())

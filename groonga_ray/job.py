@@ -100,7 +100,16 @@ def cmd_build(args: argparse.Namespace) -> int:
         n_buckets=args.buckets,
         target_rows_per_shard=args.rows_per_shard,
     )
-    meta = build_index(files, args.index, cfg, concurrency=args.concurrency)
+    if getattr(args, "sort_by", None):
+        from .build import sort_build_index
+
+        sorted_dir = args.sorted_dir or os.path.join(args.index, "_sorted")
+        meta = sort_build_index(
+            files, args.sort_by.split(","), sorted_dir, args.index, cfg,
+            concurrency=args.concurrency,
+        )
+    else:
+        meta = build_index(files, args.index, cfg, concurrency=args.concurrency)
     wall = time.time() - t0
 
     # aggregate the per-partition manifests into job-level lineage
@@ -232,6 +241,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--concurrency", type=int, default=None)
     b.add_argument("--num-cpus", type=int, default=None)
     b.add_argument("--metrics", default=None, help="job metrics JSON path (default <index>/job_metrics.json)")
+    b.add_argument("--sort-by", default=None,
+                   help="comma-separated key columns for UNSORTED input: "
+                        "fused distributed sort + build (docids = key rank)")
+    b.add_argument("--sorted-dir", default=None,
+                   help="fused path's key-sorted corpus dir (default <index>/_sorted)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="run a query sweep against an index")

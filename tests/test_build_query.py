@@ -454,6 +454,96 @@ def test_sort_build_index_fused(built, tmp_path):
     assert meta3["timings"]["fused_sort_tokenize_sec"] < 2.0  # skipped, not re-sorted
 
 
+def test_sort_build_index_multi_section(built, tmp_path):
+    """Fused path with TWO text sections: per-section runs/doclens/
+    lexicons all built from the same in-memory range slices."""
+    import pyarrow as pa
+
+    from dataclasses import replace
+
+    from groonga_ray.build import sort_build_index
+    from groonga_ray.engine import IndexedTable, select
+
+    files, _, cfg, _ = built
+    tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+    # second section derived from path so content is deterministic
+    tbl = tbl.append_column(
+        "title", tbl.column("path").cast(pa.large_string())
+    )
+    rng = np.random.default_rng(5)
+    shuffled = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+    unsorted_dir = tmp_path / "u"
+    unsorted_dir.mkdir()
+    pq.write_table(shuffled, str(unsorted_dir / "in.parquet"))
+
+    cfg2 = replace(cfg, text_columns=("content", "title"))
+    idx = str(tmp_path / "idx2sec")
+    meta = sort_build_index(
+        [str(unsorted_dir / "in.parquet")], ["repo", "path"],
+        str(tmp_path / "s"), idx, cfg2,
+    )
+    assert set(meta["sections"]) == {"content", "title"}
+    assert meta["stats"]["sections"]["title"]["n_docs"] == tbl.num_rows
+    sorted_files = sorted(
+        str(p) for p in (tmp_path / "s").glob("sorted-*.parquet")
+    )
+    t = IndexedTable(idx, sorted_files)
+    # title section indexes the path strings; query one back
+    some_path = tbl.column("path")[0].as_py()
+    token = some_path.split("/")[-1].split(".")[0]
+    res = select(t, query=token, match_columns="title", limit=5)
+    assert res["hits"] >= 1
+
+
+def test_sort_input_files_int_key(ray_session, tmp_path):
+    """Numeric sort keys (e.g. doc_id) must range-sort correctly: the
+    composite key encodes ints/floats order-preservingly (8-byte
+    big-endian, sign flipped) — regression: int64 keys crashed the
+    text-only cast."""
+    import pyarrow as pa
+
+    from groonga_ray.docids import sort_input_files
+
+    rng = np.random.default_rng(21)
+    ids = rng.permutation(5000).astype(np.int64) - 2500  # negatives too
+    tbl = pa.table({"doc_id": pa.array(ids), "text": pa.array([f"t{i}" for i in ids])})
+    src = tmp_path / "u.parquet"
+    pq.write_table(tbl, str(src))
+    out = sort_input_files([str(src)], ["doc_id"], str(tmp_path / "s"), n_ranges=7)
+    got = pa.concat_tables([pq.read_table(f, columns=["doc_id"]) for f in out])
+    vals = got.column("doc_id").to_pylist()
+    assert vals == sorted(ids.tolist())
+
+
+def test_cli_build_sort_by(built, tmp_path):
+    """CLI surface of the fused path: ``build --sort-by`` on unsorted
+    input produces a queryable index (subprocess, owns its session)."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+
+    files, _, _, _ = built
+    tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+    rng = np.random.default_rng(13)
+    shuffled = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+    src = tmp_path / "unsorted.parquet"
+    pq.write_table(shuffled, str(src))
+    idx = tmp_path / "cli_idx"
+    r = subprocess.run(
+        [sys.executable, "-m", "groonga_ray.cli", "build",
+         "--index", str(idx), "--columns", "content",
+         "--sort-by", "repo,path", "--buckets", "8",
+         "--rows-per-shard", "400", "--num-cpus", "2", str(src)],
+        input=None, capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    meta = json.loads(r.stdout)
+    assert meta["n_docs"] == tbl.num_rows
+    assert (idx / "_sorted").is_dir()
+
+
 def test_auto_rows_per_shard_from_metadata(tmp_path):
     """target_rows_per_shard=None derives the shard size from parquet
     footer statistics at the ~TARGET_SHARD_TEXT_BYTES text budget."""

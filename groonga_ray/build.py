@@ -1426,6 +1426,14 @@ def sort_build_index(
     (scatter.done.json marker), mid-fused-finalize (atomic range files;
     missing shard runs are rebuilt from the written file), or
     mid-merge (bucket manifests), with no artifact divergence.
+
+    Scale envelope: the 4096-range cap bounds one job at ~4 TB of
+    in-memory rows (1 GiB ranges). For a 100-TB ingest, don't raise
+    the cap — compose: split the corpus into ~TB segments, fused-build
+    each as its own delta (``add_documents``-style disjoint docid
+    ranges), and serve through the LSM read-merge; segments build in
+    parallel across the cluster and each keeps this function's memory
+    and resume story intact.
     """
     import shutil
 

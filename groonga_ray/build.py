@@ -1428,12 +1428,17 @@ def sort_build_index(
     mid-merge (bucket manifests), with no artifact divergence.
 
     Scale envelope: the 4096-range cap bounds one job at ~4 TB of
-    in-memory rows (1 GiB ranges). For a 100-TB ingest, don't raise
-    the cap — compose: split the corpus into ~TB segments, fused-build
-    each as its own delta (``add_documents``-style disjoint docid
-    ranges), and serve through the LSM read-merge; segments build in
-    parallel across the cluster and each keeps this function's memory
-    and resume story intact.
+    in-memory rows (1 GiB ranges), and peak DISK is ~3x the corpus
+    (source + scatter runs + sorted output coexist until the runs are
+    deleted after the last finalize — an 8M-doc probe on this sandbox's
+    60 GB free confirmed the 3x sum is the binding constraint, not
+    memory). For a 100-TB ingest, don't raise the cap — compose: split
+    the corpus into ~TB segments, fused-build each as its own delta
+    (``add_documents``-style disjoint docid ranges), and serve through
+    the LSM read-merge; segments build in parallel across the cluster,
+    each keeps this function's memory/disk/resume story intact, and
+    source segments can be dropped as soon as their sorted output
+    lands.
     """
     import shutil
 

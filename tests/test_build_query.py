@@ -454,6 +454,63 @@ def test_sort_build_index_fused(built, tmp_path):
     assert meta3["timings"]["fused_sort_tokenize_sec"] < 2.0  # skipped, not re-sorted
 
 
+def test_sort_build_index_partial_resume(built, tmp_path):
+    """Resume from artifact damage at two points of the fused path:
+    (a) a shard-run manifest vanishes (kill between range write and
+    tokenize) -> only that shard re-tokenizes from the written range
+    file; (b) a sorted range file AND the sort markers vanish -> the
+    scatter re-runs and the index still converges to the same stats."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow as pa
+
+    from groonga_ray.build import sort_build_index
+
+    files, _, cfg, _ = built
+    tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+    rng = np.random.default_rng(17)
+    shuffled = tbl.take(pa.array(rng.permutation(tbl.num_rows)))
+    u = tmp_path / "u"
+    u.mkdir()
+    pq.write_table(shuffled, str(u / "in.parquet"))
+    sorted_dir, idx = str(tmp_path / "s"), str(tmp_path / "i")
+
+    meta1 = sort_build_index([str(u / "in.parquet")], ["repo", "path"], sorted_dir, idx, cfg)
+    with open(os.path.join(idx, "stats.json")) as fh:
+        stats1 = json.load(fh)
+
+    # (a) drop one shard-run manifest: rerun rebuilds just that shard
+    mans = sorted(_glob.glob(os.path.join(
+        _runs_base_of(cfg, idx), "sec=content", "runs", "shard=*", "manifest.json")))
+    assert mans
+    os.unlink(mans[0])
+    meta2 = sort_build_index([str(u / "in.parquet")], ["repo", "path"], sorted_dir, idx, cfg)
+    assert meta2["n_docs"] == meta1["n_docs"]
+    with open(os.path.join(idx, "stats.json")) as fh:
+        assert json.load(fh) == stats1
+
+    # (b) drop a sorted range file + both sort markers: full re-sort,
+    # same final stats
+    sf = sorted(_glob.glob(os.path.join(sorted_dir, "sorted-*.parquet")))
+    os.unlink(sf[0])
+    for m in ("sort.done.json",):
+        p = os.path.join(sorted_dir, m)
+        if os.path.exists(p):
+            os.unlink(p)
+    shutil.rmtree(os.path.join(sorted_dir, "_sort_runs"), ignore_errors=True)
+    meta3 = sort_build_index([str(u / "in.parquet")], ["repo", "path"], sorted_dir, idx, cfg)
+    assert meta3["n_docs"] == meta1["n_docs"]
+    with open(os.path.join(idx, "stats.json")) as fh:
+        assert json.load(fh) == stats1
+
+
+def _runs_base_of(cfg, index_dir):
+    from groonga_ray.build import runs_base
+
+    return runs_base(cfg, index_dir)
+
+
 def test_sort_build_index_multi_section(built, tmp_path):
     """Fused path with TWO text sections: per-section runs/doclens/
     lexicons all built from the same in-memory range slices."""

@@ -802,6 +802,23 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
     assert list(pdf["estimate"]) == e1["estimate"]
 
 
+def test_stable_hash_env_pins_fnv1a(monkeypatch):
+    """GROONGA_RAY_STABLE_HASH=1 pins minhash token hashing to fnv1a
+    (the cross-environment contract documented in _hash_tokens)."""
+    import pyarrow as pa
+
+    from groonga_ray.pipelines.dedup import _hash_tokens
+    from groonga_ray.utils import fnv1a
+
+    terms = pa.array(["alpha", "beta", "gamma", ""], pa.large_string())
+    monkeypatch.setenv("GROONGA_RAY_STABLE_HASH", "1")
+    pinned = _hash_tokens(terms)
+    assert pinned.tolist() == fnv1a(terms).tolist()
+    monkeypatch.delenv("GROONGA_RAY_STABLE_HASH")
+    default = _hash_tokens(terms)
+    assert default.dtype == pinned.dtype and len(default) == len(pinned)
+
+
 def test_broadcast_join_inner_and_left(ray_session):
     import pyarrow as pa
     import ray.data as rd

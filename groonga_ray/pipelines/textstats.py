@@ -139,9 +139,10 @@ class Fingerprint:
         max_pos = int(tb.positions.max()) + 1 if len(tb.positions) else 1
         powers = np.empty(max_pos, np.uint64)
         powers[0] = np.uint64(1)
-        for j in range(1, max_pos):  # O(max doc length), not O(total tokens)
-            powers[j] = powers[j - 1] * P
-        contrib = h * powers[tb.positions]
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+            for j in range(1, max_pos):  # O(max doc length), not O(total tokens)
+                powers[j] = powers[j - 1] * P
+            contrib = h * powers[tb.positions]
         out = np.zeros(n, np.uint64)
         np.add.at(out, tb.row_idx, contrib)
         return pa.table(

@@ -457,6 +457,11 @@ def build_shard_run(
     fp = {
         "file": shard.file,
         "rows": [shard.row_start, shard.num_rows],
+        # docid_base participates: a changed input upstream can shift
+        # this shard's docid range while its (file, rows) stay
+        # identical — reusing the run then serves postings whose
+        # docids are offset against the corpus rows
+        "base": shard.docid_base,
         "config": cfg.fingerprint(),
     }
     existing = read_manifest(man_path)

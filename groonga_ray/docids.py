@@ -135,6 +135,18 @@ def _composite_key(tbl, key_columns: list[str]):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         t = col.type
+        if (pa.types.is_integer(t) or pa.types.is_floating(t)) and col.null_count:
+            raise ValueError(
+                f"sort key column {c!r} contains nulls — numeric sort keys "
+                "must be non-null (a null has no defined rank)"
+            )
+        if pa.types.is_unsigned_integer(t):
+            # unsigned: plain big-endian bytes ARE the order (no sign
+            # bit to flip; routing through int64 would wrap >= 2^63)
+            u = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            buf = pa.py_buffer(u.astype(">u8").tobytes())
+            fsb = pa.Array.from_buffers(pa.binary(8), len(u), [None, buf])
+            return fsb.cast(pa.large_binary())
         if pa.types.is_integer(t):
             a = col.to_numpy(zero_copy_only=False).astype(np.int64)
             u = a.view(np.uint64) ^ np.uint64(1 << 63)
@@ -322,9 +334,12 @@ def _scatter_to_runs(
                 "target_rows_per_range": int(m["target_rows_per_range"]),
                 "range_counts": np.array(m["range_counts"], np.int64),
             }
-        # stale or partial scatter: start clean
-        for f in os.listdir(runs_dir):
-            os.unlink(os.path.join(runs_dir, f))
+    # no valid marker: ANY leftover file is a stale or partial scatter
+    # (a kill mid-stage-2 leaves completed run files WITHOUT a marker —
+    # re-scattering next to them would double-count their rows), so
+    # start clean unconditionally
+    for f in os.listdir(runs_dir):
+        os.unlink(os.path.join(runs_dir, f))
 
     # ---- stage 1: boundary sample (driver holds only the sample)
     sample_ds = ray.data.read_parquet(files, columns=key_columns)

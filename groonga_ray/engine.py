@@ -1477,7 +1477,8 @@ def _sub_filter_path_keys(table: "IndexedTable", path: str, sub: str) -> pa.Arra
         seg = key_col
     out: dict = {}
     inner_vals = np.fromiter(inner.values(), np.float64, len(inner))
-    inner_keys_py = list(inner.keys())
+    inner_arr = pa.array(list(inner.keys()))  # built ONCE, cast per type below
+    kset_by_type: dict = {}
     for f in sorted(files):
         pf = pq.ParquetFile(f)
         for rg in range(pf.metadata.num_row_groups):
@@ -1491,11 +1492,14 @@ def _sub_filter_path_keys(table: "IndexedTable", path: str, sub: str) -> pa.Arra
             # per-row sums via list_parent_indices for list columns;
             # only rows with a positive score enter the (small) result
             is_list = pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
-            try:
-                kset = pa.array(inner_keys_py).cast(
-                    col.type.value_type if is_list else col.type
-                )
-            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            vt = col.type.value_type if is_list else col.type
+            if vt not in kset_by_type:
+                try:
+                    kset_by_type[vt] = inner_arr.cast(vt)
+                except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                    kset_by_type[vt] = None
+            kset = kset_by_type[vt]
+            if kset is None:
                 continue  # type mismatch: zero contributions (see above)
             totals = np.zeros(tbl.num_rows, np.float64)
             if is_list:

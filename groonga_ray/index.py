@@ -549,6 +549,9 @@ class DoclenStore:
             dense[ids.astype(np.int64) - base] = dls
         self._dense = dense
         self._dense_base = base
+        # the per-shard (docid, dl) arrays were only scaffolding for the
+        # dense copy — keeping them would triple the footprint
+        self._loaded.clear()
 
     def _shard(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         arr = self._loaded.get(i)

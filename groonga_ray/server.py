@@ -464,32 +464,27 @@ class CommandServer:
             if rc != SUCCESS:
                 status = 400 if rc == GRN_INVALID_ARGUMENT else 500
         elapsed = time.time() - started
+        # ONE envelope shape for every output type; the branches below
+        # only serialize it (json / msgpack carry it verbatim, tsv's
+        # delimiter machine renders the same head/body/err triple)
+        head = [rc, round(started, 6), round(elapsed, 6)]
+        if err is not None:
+            env = [head + [err]]
+        else:
+            env = [head, body] if body is not None else [head]
         if output_type == "tsv":
             payload = tsv_envelope(
                 rc, round(started, 6), round(elapsed, 6), body, err
             ).encode("utf-8")
             mime = "text/tab-separated-values"
         elif output_type == "msgpack":
-            # same envelope the JSON writer renders, packed binary
-            # (lib/output.c msgpack_pack_* over the identical element
-            # stream; mime lib/ctx.c:1130)
+            # packed binary of the identical element stream
+            # (lib/output.c msgpack_pack_*; mime lib/ctx.c:1130)
             from .msgpackio import pack
 
-            head = [rc, round(started, 6), round(elapsed, 6)]
-            if err is not None:
-                head.append(err)
-                env = [head]
-            else:
-                env = [head, body] if body is not None else [head]
             payload = pack(env)
             mime = "application/x-msgpack"
         else:
-            head = [rc, round(started, 6), round(elapsed, 6)]
-            if err is not None:
-                head.append(err)
-                env = [head]
-            else:
-                env = [head, body] if body is not None else [head]
             payload = json.dumps(env, ensure_ascii=False).encode("utf-8")
             mime = "application/json"
         try:

@@ -572,6 +572,53 @@ def test_sort_input_files_int_key(ray_session, tmp_path):
     assert vals == sorted(ids.tolist())
 
 
+def test_scatter_orphan_runs_cleared(ray_session, tmp_path):
+    """A kill mid-scatter leaves run files WITHOUT a marker; the rerun
+    must clear them before re-scattering (regression: they were kept,
+    double-counting their rows into the sorted output)."""
+    import pyarrow as pa
+
+    from groonga_ray.docids import sort_input_files
+
+    tbl = pa.table({
+        "k": pa.array([f"key{i:04d}" for i in np.random.default_rng(3).permutation(2000)]),
+        "v": pa.array(np.arange(2000, dtype=np.int64)),
+    })
+    src = tmp_path / "in.parquet"
+    pq.write_table(tbl, str(src))
+    out_dir = tmp_path / "sorted"
+    runs_dir = out_dir / "_sort_runs"
+    runs_dir.mkdir(parents=True)
+    # orphan run from a "killed" prior attempt: a full duplicate
+    # scatter batch, bucket-tagged like the real one — and NO marker
+    from groonga_ray.build import _write_run_bucket_rowgroups
+
+    orphan = tbl.append_column("bucket", pa.array(np.zeros(2000, np.uint32)))
+    _write_run_bucket_rowgroups(orphan, str(runs_dir / "run-orphan.parquet"))
+
+    files = sort_input_files([str(src)], ["k"], str(out_dir), n_ranges=4)
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 2000  # orphan rows must NOT leak in
+
+
+def test_composite_key_uint64_and_nulls(tmp_path):
+    """uint64 keys >= 2^63 must sort AFTER small values (regression:
+    int64 routing wrapped them below zero); numeric null keys raise."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from groonga_ray.docids import _composite_key
+
+    t = pa.table({"k": pa.array([2**63 + 5, 0, 2**63, 7], pa.uint64())})
+    keys = _composite_key(t, ["k"]).to_pylist()
+    order = sorted(range(4), key=lambda i: keys[i])
+    assert order == [1, 3, 2, 0]  # 0, 7, 2^63, 2^63+5
+
+    tn = pa.table({"k": pa.array([1, None, 3], pa.int64())})
+    with _pytest.raises(ValueError, match="null"):
+        _composite_key(tn, ["k"])
+
+
 def test_cli_build_sort_by(built, tmp_path):
     """CLI surface of the fused path: ``build --sort-by`` on unsorted
     input produces a queryable index (subprocess, owns its session)."""

@@ -45,8 +45,12 @@ def gen_vectors(out_dir: str, rows: int, dim: int, n_clusters: int = 512,
         if os.path.exists(path):
             base += n
             continue
-        assign = rng.integers(0, n_clusters, size=n)
-        m = centers[assign] + rng.normal(size=(n, dim)).astype(np.float32)
+        # per-chunk stream: resuming over cached chunks yields the SAME
+        # vectors a fresh run would (one shared stream would skip the
+        # cached chunks' draws and shift every later chunk)
+        crng = np.random.default_rng(seed + 1000 + ci)
+        assign = crng.integers(0, n_clusters, size=n)
+        m = centers[assign] + crng.normal(size=(n, dim)).astype(np.float32)
         tbl = pa.table(
             {
                 "vec_id": pa.array(np.arange(base, base + n, dtype=np.int64)),

@@ -814,7 +814,13 @@ def _merge_bucket_table(
         if isinstance(terms, pa.ChunkedArray):
             terms = terms.combine_chunks()
         rank, sorted_terms = _rank_terms(terms)
-        cfirst0 = np.array([c[0] for c in cold.column("cfirst").to_pylist()], np.uint64)
+        # vectorized list-first: flatten + offsets (cold rows always
+        # carry ≥1 chunk, so offsets[:-1] indexes each row's head)
+        _cf = cold.column("cfirst")
+        if isinstance(_cf, pa.ChunkedArray):
+            _cf = _cf.combine_chunks()
+        _off = _cf.offsets.to_numpy(zero_copy_only=False)[:-1]
+        cfirst0 = _cf.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)[_off]
         order = np.lexsort((cfirst0, rank))
         # group boundaries over ordered rows: term changes, plus — for
         # terms hot in some other shard — any gap containing a hot shard

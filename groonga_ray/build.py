@@ -1725,34 +1725,68 @@ def delete_documents(index_dir: str, docids) -> int:
     return int(len(new))
 
 
+def _row_docid_ranges(tbl: pa.Table):
+    """(first_docid, last_docid) per posting row from the cfirst/clast
+    chunk-summary columns — no posting decode (chunks are docid-ordered
+    within a row, so first chunk's cfirst / last chunk's clast bound
+    the row)."""
+    def _edge(colname: str, last: bool):
+        col = tbl.column(colname)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+        idx = (off[1:] - 1) if last else off[:-1]
+        return flat[idx]
+
+    return _edge("cfirst", last=False), _edge("clast", last=True)
+
+
 def _compact_one_file(part: str, dead: np.ndarray) -> int:
     """Rewrite one posting partition without its tombstoned docids;
     returns 1 when the file changed. Rows keep their part ids, so the
     docid-disjoint parts invariant is preserved (each surviving row's
-    range is a subset of its original)."""
-    tbl = pq.read_table(part)
-    if tbl.num_rows == 0 or len(dead) == 0:
+    range is a subset of its original).
+
+    Cost is proportional to the rows the tombstones can actually
+    touch, not the partition: a cfirst/clast pre-pass (two small
+    columns, no posting bytes) finds rows whose docid range intersects
+    the dead set — single-df and narrow-range terms (the bulk of any
+    vocabulary) skip decode entirely; untouched rows carry over
+    verbatim and only the touched survivors re-encode."""
+    pf = pq.ParquetFile(part)
+    if pf.metadata.num_rows == 0 or len(dead) == 0:
         return 0
-    order = np.arange(tbl.num_rows)
+    head = pf.read(columns=["cfirst", "clast"])
+    row_first, row_last = _row_docid_ranges(head)
+    # row intersects dead iff some dead id in [first, last]
+    di = np.searchsorted(dead, row_first, side="left")
+    has = (di < len(dead)) & (dead[np.minimum(di, len(dead) - 1)] <= row_last)
+    touched = np.flatnonzero(has)
+    if touched.size == 0:
+        return 0
+
+    tbl = pq.read_table(part)
     docids, tfs, positions, row_offsets = codec.bulk_decode_rows(
-        tbl, order, with_positions=True
+        tbl, touched, with_positions=True
     )
     pos_idx = np.searchsorted(dead, docids)
     pos_idx = np.clip(pos_idx, 0, len(dead) - 1)
     keep = dead[pos_idx] != docids
     if keep.all():
         return 0
-    # re-encode surviving postings, preserving term rows
+    # re-encode the TOUCHED rows' surviving postings
     terms = tbl.column("term")
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
-    df_per_row = np.diff(row_offsets)
-    row_of_posting = np.repeat(np.arange(tbl.num_rows), df_per_row)
+    df_per_row = np.diff(row_offsets)          # per touched row
+    row_of_posting = np.repeat(np.arange(len(touched)), df_per_row)
     k_rows = row_of_posting[keep]
-    new_df = np.bincount(k_rows, minlength=tbl.num_rows)
-    live_rows = np.flatnonzero(new_df > 0)
-    term_offsets = np.zeros(len(live_rows) + 1, np.int64)
-    np.cumsum(new_df[live_rows], out=term_offsets[1:])
+    new_df = np.bincount(k_rows, minlength=len(touched))
+    live_local = np.flatnonzero(new_df > 0)
+    live_rows = touched[live_local]            # global row ids
+    term_offsets = np.zeros(len(live_local) + 1, np.int64)
+    np.cumsum(new_df[live_local], out=term_offsets[1:])
     if positions is not None:
         tf64 = tfs.astype(np.int64)
         pos_starts = np.cumsum(tf64) - tf64
@@ -1768,7 +1802,7 @@ def _compact_one_file(part: str, dead: np.ndarray) -> int:
         new_pos_off = out_off
     else:
         new_pos = new_pos_off = None
-    new_tbl = codec.encode_posting_table(
+    enc = codec.encode_posting_table(
         terms.take(pa.array(live_rows)),
         term_offsets,
         docids[keep],
@@ -1779,8 +1813,21 @@ def _compact_one_file(part: str, dead: np.ndarray) -> int:
     part_col = tbl.column("part")
     if isinstance(part_col, pa.ChunkedArray):
         part_col = part_col.combine_chunks()
-    new_tbl = new_tbl.append_column("part", part_col.take(pa.array(live_rows)))
-    atomic_write_table(new_tbl, part, row_group_size=POSTING_ROW_GROUP)
+    enc = enc.append_column("part", part_col.take(pa.array(live_rows)))
+
+    # untouched rows carry over verbatim; restore term-major,
+    # first-docid-minor order so term runs stay contiguous and parts
+    # stay docid-ordered within a term
+    untouched = np.flatnonzero(~has)
+    rest = tbl.take(pa.array(untouched)).select(enc.column_names)
+    merged = pa.concat_tables([rest, enc], promote_options="default")
+    m_first, _ = _row_docid_ranges(merged)
+    order = pc.sort_indices(
+        pa.table({"t": merged.column("term"), "f": pa.array(m_first, pa.uint64())}),
+        sort_keys=[("t", "ascending"), ("f", "ascending")],
+    )
+    merged = merged.take(order)
+    atomic_write_table(merged, part, row_group_size=POSTING_ROW_GROUP)
     return 1
 
 
